@@ -1,0 +1,211 @@
+"""Batched TPU spectrum pipeline.
+
+The TPU-native re-design of the reference's per-source, per-ISA virtual
+``tick_spectrum`` (/root/reference/src/source_generic.cpp:26-180,
+src/source_avx2.cpp:24-209): instead of one SIMD lane-width per OBS source,
+one pure function over a ``[S, C, N]`` batch (S streams, C capture channels,
+N fft_size) jit-compiled per :class:`ResolvedConfig`.  Runtime CPUID dispatch
+disappears; XLA owns codegen.  All tables the reference precomputes in
+``update()`` (window coefficients, slope/roll-off modifiers) are baked into
+the traced graph as constants.
+
+State (EMA buffers, the ``m_decibels`` work buffers, the silence latch) is
+threaded functionally.  ``decibels`` mirrors the reference's ``m_decibels``
+array exactly, including its mixed-domain quirk: in mono downmix the fold
+writes dBFS into channel 0 while channel 1 retains the pre-fold linear
+magnitude (src/source_generic.cpp:150-153 only writes channel 0).
+
+Silence/timeout semantics are replicated exactly, including channel-ordering
+(a non-silent channel 0 clears the silence latch before channel 1 is
+examined) and the freeze-the-old-frame behavior when every channel is silent
+and below the floor gate.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..core.config import DB_MIN, ResolvedConfig
+from ..core.enums import FFTWindow, TSmoothingMode
+from .oracle import TV_EMA_DENOM, rolloff_modifiers, slope_modifiers
+from .windows import window_coefficients, window_sum
+
+
+@struct.dataclass
+class SpectrumState:
+    """Per-stream carried state (the functional ``m_*`` members)."""
+
+    tsmooth: jnp.ndarray      # [S, C, nbins] f32 — EMA magnitudes
+    decibels: jnp.ndarray     # [S, O, nbins] f32 — the m_decibels buffers
+    last_silent: jnp.ndarray  # [S] bool
+
+
+def init_state(cfg: ResolvedConfig, num_streams: int) -> SpectrumState:
+    nbins = cfg.fft_size // 2
+    C = max(cfg.capture_channels, 1)
+    O = max(cfg.output_channels, C)
+    return SpectrumState(
+        tsmooth=jnp.zeros((num_streams, C, nbins), jnp.float32),
+        decibels=jnp.full((num_streams, O, nbins), DB_MIN, jnp.float32),
+        last_silent=jnp.zeros((num_streams,), bool),
+    )
+
+
+def display_decibels(cfg: ResolvedConfig, state: SpectrumState) -> jnp.ndarray:
+    """The dB channels the renderer consumes: [S, display_channels, nbins]."""
+    return state.decibels[:, :cfg.display_channels]
+
+
+def dbfs(mag: jnp.ndarray) -> jnp.ndarray:
+    """20·log10(mag) with DB_MIN for mag<=0 (src/source.hpp:293-299)."""
+    safe = jnp.where(mag > 0.0, mag, 1.0)
+    return jnp.where(mag > 0.0, 20.0 * jnp.log10(safe), DB_MIN)
+
+
+def gravity_coefficient(cfg: ResolvedConfig, dt: jnp.ndarray) -> jnp.ndarray:
+    """EMA retain factor, traced over dt for the time-varying mode
+    (src/source.hpp:301-312)."""
+    if cfg.tsmoothing == TSmoothingMode.NONE or cfg.gravity <= 0.0:
+        return jnp.float32(0.0)
+    if cfg.tsmoothing == TSmoothingMode.TVEXPONENTIAL:
+        hi = TV_EMA_DENOM * 5.0
+        return jnp.exp(-dt / (cfg.gravity * hi)).astype(jnp.float32)
+    return jnp.float32(cfg.gravity)
+
+
+def _magnitude_pipeline(cfg: ResolvedConfig, samples: jnp.ndarray,
+                        rfft_fn) -> jnp.ndarray:
+    """window → rFFT → |z|·2/Σw → slope (src/source_generic.cpp:97-122)."""
+    nbins = cfg.fft_size // 2
+    x = samples
+    if cfg.window != FFTWindow.NONE:
+        coeffs = jnp.asarray(
+            window_coefficients(cfg.window, cfg.fft_size, cfg.sine_exponent,
+                                dtype=np.float32))
+        x = x * coeffs
+    z = rfft_fn(x)[..., :nbins]  # drop the Nyquist bin, as the reference does
+    mag_coeff = 2.0 / window_sum(cfg.window, cfg.fft_size, cfg.sine_exponent)
+    mag = jnp.abs(z).astype(jnp.float32) * jnp.float32(mag_coeff)
+    if cfg.slope > 0.0:
+        mods = jnp.asarray(slope_modifiers(nbins, cfg.slope).astype(np.float32))
+        mag = mag * mods
+    return mag
+
+
+def make_spectrum_step(cfg: ResolvedConfig, rfft_fn=jnp.fft.rfft):
+    """Build the jit-able spectrum step for a resolved config.
+
+    Returns ``step(samples, state, dt, active, input_rms) -> SpectrumState``:
+
+    * ``samples``   [S, C, N] f32 — assembled frames (runtime guarantees N
+      samples per stream; prefill covers startup, src/source.cpp:1243-1248)
+    * ``dt``        scalar f32 — seconds since last tick
+    * ``active``    [S] bool — show && capture-fresh (500 ms timeout gate,
+      src/source_generic.cpp:36-48)
+    * ``input_rms`` [S] f32 — volume-normalization RMS (0 if unused)
+
+    ``display_decibels(cfg, state)`` of the result is the frame output.
+    """
+    nbins = cfg.fft_size // 2
+    C = max(cfg.capture_channels, 1)
+    O = max(cfg.output_channels, C)
+    D = cfg.display_channels
+    floor_gate = jnp.float32(cfg.floor - 10)
+
+    if cfg.rolloff_q > 0.0 and cfg.rolloff_rate > 0.0:
+        rolloff = jnp.asarray(rolloff_modifiers(
+            cfg.fft_size, cfg.audio.samples_per_sec, cfg.cutoff_low,
+            cfg.cutoff_high, cfg.rolloff_q, cfg.rolloff_rate).astype(np.float32))
+    else:
+        rolloff = None
+
+    def step(samples: jnp.ndarray, state: SpectrumState, dt: jnp.ndarray,
+             active: jnp.ndarray, input_rms: jnp.ndarray) -> SpectrumState:
+        samples = samples.astype(jnp.float32)
+        g = gravity_coefficient(cfg, dt)
+        g2 = 1.0 - g
+
+        # --- full math path for every stream/channel (masked later) ---
+        mag = _magnitude_pipeline(cfg, samples, rfft_fn)  # [S, C, nbins]
+
+        if cfg.tsmoothing != TSmoothingMode.NONE:
+            old = state.tsmooth
+            if cfg.fast_peaks:
+                old = jnp.maximum(mag, old)
+            mag_s = g * old + g2 * mag
+        else:
+            mag_s = mag
+
+        # --- silence gating (src/source_generic.cpp:63-95), vectorized ---
+        nz = jnp.any(samples != 0.0, axis=-1)            # [S, C] channel has input
+        # latch value as seen by channel c: earlier channels may clear it
+        ls0 = state.last_silent
+        ls_seen_list = [ls0]
+        for c in range(1, C):
+            ls_seen_list.append(ls_seen_list[-1] & ~nz[:, c - 1])
+        ls_seen = jnp.stack(ls_seen_list, axis=1)        # [S, C]
+
+        # outsilent: display-channel dB all <= floor-10 (channel 0 in mono)
+        disp_ch = [c if cfg.stereo else 0 for c in range(C)]
+        out_silent = jnp.stack(
+            [jnp.all(state.decibels[:, disp_ch[c]] <= floor_gate, axis=-1)
+             for c in range(C)], axis=1)                  # [S, C]
+
+        silent = ~nz
+        skip = silent & (ls_seen | out_silent)           # channel keeps old state
+        counted = silent & ~ls_seen & out_silent         # adds to silent_channels
+        latch_survives = ls0 & jnp.all(~nz, axis=1)
+        latch_set = jnp.all(counted, axis=1)
+        new_last_silent = latch_survives | latch_set     # [S]
+
+        pm = (~skip)[:, :, None]
+        new_tsmooth = jnp.where(pm, mag_s, state.tsmooth)
+        # skipped channels keep their old m_decibels value verbatim
+        work = jnp.where(pm, mag_s, state.decibels[:, :C])  # [S, C, nbins]
+
+        # --- duplicate mono capture for stereo output (src:141-142) ---
+        if O > C:
+            work = jnp.concatenate([work, work[:, :1]], axis=1)  # [S, O, nbins]
+
+        # --- channel fold (src/source_generic.cpp:144-159) ---
+        if cfg.stereo:
+            folded = dbfs(work)
+        elif C == 2:
+            d0 = dbfs((work[:, :1] + work[:, 1:2]) * 0.5)
+            folded = jnp.concatenate([d0, work[:, 1:]], axis=1)
+        else:
+            folded = dbfs(work)
+
+        # --- volume normalization, display channels, bins>=1 (src:161-167) ---
+        if cfg.normalize_volume:
+            comp = jnp.minimum(cfg.volume_target - dbfs(input_rms), cfg.max_gain)
+            folded = folded.at[:, :D, 1:].add(comp[:, None, None])
+
+        # --- roll-off, display channels, bins>=1 (src:169-179) ---
+        if rolloff is not None:
+            folded = folded.at[:, :D, 1:].set(
+                jnp.maximum(folded[:, :D, 1:] - rolloff[1:], DB_MIN))
+
+        # streams that latched silent keep their previous frame verbatim
+        frozen = new_last_silent[:, None, None]
+        new_db = jnp.where(frozen, state.decibels, folded)
+
+        # --- timeout / hidden: decay to DB_MIN unless already latched ---
+        # (src/source_generic.cpp:36-48); only display channels are cleared
+        timed_out = ~active
+        to_fresh = (timed_out & ~state.last_silent)[:, None, None]
+        to_bc = timed_out[:, None, None]
+        new_tsmooth = jnp.where(to_fresh, 0.0,
+                                jnp.where(to_bc, state.tsmooth, new_tsmooth))
+        cleared = state.decibels.at[:, :D].set(DB_MIN)
+        new_db = jnp.where(to_fresh, cleared,
+                           jnp.where(to_bc, state.decibels, new_db))
+        new_last_silent = jnp.where(timed_out, True, new_last_silent)
+
+        return SpectrumState(tsmooth=new_tsmooth, decibels=new_db,
+                             last_silent=new_last_silent)
+
+    return step

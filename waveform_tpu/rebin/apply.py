@@ -1,0 +1,72 @@
+"""JAX application of the rebin tables: the render-time resampling stage.
+
+Composes, per frame and per display channel:
+interp gather (Lanczos/Catmull-Rom/point) → optional bar band averaging →
+optional Gaussian smoothing → dB→pixel mapping → optional mirroring —
+the batched equivalent of /root/reference/src/source.cpp:1380-1424 (curve)
+and :1505-1564 (bars).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import ResolvedConfig
+from ..core.enums import DisplayMode, FilterMode, InterpMode
+from .filter import build_gauss_tables
+from .interp import build_interp_tables, mirror_indices
+
+
+def make_rebin_fn(cfg: ResolvedConfig, *, top: float | None = None,
+                  bottom: float | None = None, apply_pixel_map: bool = True):
+    """Build ``rebin(db [..., nbins]) -> [..., P]`` for the resolved config.
+
+    ``top``/``bottom`` are the pixel-map endpoints; curve mode uses
+    ``(0, cpos - channel_offset)`` and bars ``(border_top, border_bottom)``
+    (src/source.cpp:1408-1417, 1548-1557) — the caller supplies them since
+    they depend on render geometry. With ``apply_pixel_map=False`` the output
+    stays in dBFS.
+    """
+    tables = build_interp_tables(cfg)
+    taps = jnp.asarray(tables.taps.astype(np.int32))        # [P, T]
+    weights = jnp.asarray(tables.weights)                    # [P, T]
+    band = (None if tables.band_matrix is None
+            else jnp.asarray(tables.band_matrix))            # [B, P]
+
+    n_out = tables.num_outputs
+    use_gauss = cfg.filter_mode == FilterMode.GAUSS and not cfg.meter_mode
+    if use_gauss:
+        gt = build_gauss_tables(cfg.settings.filter_radius, n_out)
+        gw = jnp.asarray(gt.weights)
+        grenorm = jnp.asarray(gt.renorm)
+        pad = (len(gt.weights) - 1) // 2
+
+    if cfg.mirror_freq_axis:
+        mirror = jnp.asarray(mirror_indices(n_out))
+
+    dbrange = float(cfg.ceiling - cfg.floor)
+
+    def rebin(db: jnp.ndarray, top: jnp.ndarray | float = 0.0,
+              bottom: jnp.ndarray | float = 0.0) -> jnp.ndarray:
+        # interp: gather taps along the bin axis and reduce with the LUT
+        gathered = jnp.take(db, taps, axis=-1)               # [..., P, T]
+        vals = jnp.einsum("...pt,pt->...p", gathered, weights)
+        if band is not None:
+            vals = jnp.einsum("...p,bp->...b", vals, band)
+        if use_gauss:
+            # zero-padded conv divided by the per-pixel valid-weight sum is
+            # exactly the reference's edge renormalization (filter.hpp:133-158)
+            padded = jnp.pad(vals, [(0, 0)] * (vals.ndim - 1) + [(pad, pad)])
+            smoothed = jnp.zeros_like(vals)
+            for j in range(len(gt.weights)):
+                smoothed = smoothed + padded[..., j:j + vals.shape[-1]] * gw[j]
+            vals = smoothed / grenorm
+        if apply_pixel_map:
+            t = jnp.clip(cfg.ceiling - vals, 0.0, dbrange) / dbrange
+            vals = top + (bottom - top) * t
+        if cfg.mirror_freq_axis:
+            vals = jnp.take(vals, mirror, axis=-1)
+        return vals
+
+    return rebin

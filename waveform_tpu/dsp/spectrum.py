@@ -123,8 +123,12 @@ def make_spectrum_step(cfg: ResolvedConfig, rfft_fn=jnp.fft.rfft):
         rolloff = None
 
     def step(samples: jnp.ndarray, state: SpectrumState, dt: jnp.ndarray,
-             active: jnp.ndarray, input_rms: jnp.ndarray) -> SpectrumState:
+             active: jnp.ndarray, input_rms: jnp.ndarray,
+             valid: jnp.ndarray | None = None,
+             run: jnp.ndarray | None = None) -> SpectrumState:
         samples = samples.astype(jnp.float32)
+        if valid is None:
+            valid = jnp.ones(samples.shape[:2], bool)   # [S, C]
         g = gravity_coefficient(cfg, dt)
         g2 = 1.0 - g
 
@@ -140,7 +144,10 @@ def make_spectrum_step(cfg: ResolvedConfig, rfft_fn=jnp.fft.rfft):
             mag_s = mag
 
         # --- silence gating (src/source_generic.cpp:63-95), vectorized ---
-        nz = jnp.any(samples != 0.0, axis=-1)            # [S, C] channel has input
+        # channels whose ring lacked data are skipped entirely: they neither
+        # scan (can't clear the latch) nor count toward it (the reference
+        # `continue`s before the silence scan, source_generic.cpp:60-61)
+        nz = jnp.any(samples != 0.0, axis=-1) & valid    # [S, C] channel has input
         # latch value as seen by channel c: earlier channels may clear it
         ls0 = state.last_silent
         ls_seen_list = [ls0]
@@ -155,8 +162,8 @@ def make_spectrum_step(cfg: ResolvedConfig, rfft_fn=jnp.fft.rfft):
              for c in range(C)], axis=1)                  # [S, C]
 
         silent = ~nz
-        skip = silent & (ls_seen | out_silent)           # channel keeps old state
-        counted = silent & ~ls_seen & out_silent         # adds to silent_channels
+        skip = ~valid | (silent & (ls_seen | out_silent))  # keeps old state
+        counted = valid & silent & ~ls_seen & out_silent   # adds to latch count
         latch_survives = ls0 & jnp.all(~nz, axis=1)
         latch_set = jnp.all(counted, axis=1)
         new_last_silent = latch_survives | latch_set     # [S]
@@ -204,6 +211,14 @@ def make_spectrum_step(cfg: ResolvedConfig, rfft_fn=jnp.fft.rfft):
         new_db = jnp.where(to_fresh, cleared,
                            jnp.where(to_bc, state.decibels, new_db))
         new_last_silent = jnp.where(timed_out, True, new_last_silent)
+
+        if run is not None:
+            # streams whose tick never ran (capture lost, retry pending)
+            # freeze verbatim (src/source.cpp:1333-1336 early return)
+            rb = run[:, None, None]
+            new_tsmooth = jnp.where(rb, new_tsmooth, state.tsmooth)
+            new_db = jnp.where(rb, new_db, state.decibels)
+            new_last_silent = jnp.where(run, new_last_silent, state.last_silent)
 
         return SpectrumState(tsmooth=new_tsmooth, decibels=new_db,
                              last_silent=new_last_silent)

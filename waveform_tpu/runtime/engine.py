@@ -1,0 +1,173 @@
+"""Batched multi-stream engine: S host stream-sources feeding one device step.
+
+Where the reference runs one ``WAVSource::tick`` per OBS source per video
+frame (/root/reference/src/source.cpp:1324-1344), this engine assembles all
+streams' frames into one ``[S, C, N]`` batch and executes a single jitted
+device step (spectrum or meter) plus the rebin stage — the scale axis of the
+TPU design (SURVEY.md §2c: batch over streams replaces thread fan-out).
+
+The host/device split is a producer/consumer pipeline: audio callbacks push
+into per-stream rings (any thread), ``tick()`` drains/peeks them into a
+pinned batch buffer and launches the device step.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import ResolvedConfig
+from ..core.enums import DisplayMode
+from ..dsp.meter import MeterState, init_meter_state, make_meter_step
+from ..dsp.spectrum import (
+    SpectrumState,
+    display_decibels,
+    init_state,
+    make_spectrum_step,
+)
+from ..rebin.apply import make_rebin_fn
+from .source import StreamSource
+from .waveform_host import WaveformScroller
+
+
+class WaveformEngine:
+    """S concurrent streams under one resolved config."""
+
+    def __init__(self, cfg: ResolvedConfig, num_streams: int,
+                 rfft_fn=None, jit: bool = True):
+        self.cfg = cfg
+        self.S = num_streams
+        C = max(cfg.capture_channels, 1)
+        self.C = C
+        self.sources = [StreamSource(cfg) for _ in range(num_streams)]
+        self._batch = np.zeros((num_streams, C, cfg.fft_size), np.float32)
+
+        if cfg.meter_mode:
+            self._meter_windows = np.zeros((num_streams, C, cfg.fft_size),
+                                           np.float32)
+            self.meter_state: MeterState = init_meter_state(cfg, num_streams)
+            step = make_meter_step(cfg)
+            self._meter_step = jax.jit(step) if jit else step
+        elif cfg.display_mode == DisplayMode.WAVEFORM:
+            self._scrollers = [WaveformScroller(cfg) for _ in range(num_streams)]
+        else:
+            self.state: SpectrumState = init_state(cfg, num_streams)
+            kwargs = {} if rfft_fn is None else {"rfft_fn": rfft_fn}
+            step = make_spectrum_step(cfg, **kwargs)
+            self._step = jax.jit(step) if jit else step
+
+        if not cfg.meter_mode:
+            self._rebin = make_rebin_fn(cfg, apply_pixel_map=False)
+            if jit:
+                self._rebin = jax.jit(self._rebin)
+
+        self._last_tick_ns: int | None = None
+
+    # ------------------------------------------------------------------
+
+    def feed(self, stream: int, data: np.ndarray | None, timestamp_ns: int,
+             now_ns: int | None = None, muted: bool = False) -> bool:
+        """Audio-callback entry for one stream ([channels, frames] planar)."""
+        now_ns = time.monotonic_ns() if now_ns is None else now_ns
+        return self.sources[stream].capture_audio(data, timestamp_ns, now_ns,
+                                                  muted)
+
+    # ------------------------------------------------------------------
+
+    def tick(self, now_ns: int | None = None) -> np.ndarray:
+        """One video frame for all streams.
+
+        Returns the display values: dBFS ``[S, D, nbins]`` for spectrum mode
+        before rebin; use :meth:`render_values` for the rebinned axis.
+        """
+        now_ns = time.monotonic_ns() if now_ns is None else now_ns
+        if self._last_tick_ns is None:
+            dt = 1.0 / self.cfg.fps
+        else:
+            dt = max((now_ns - self._last_tick_ns) / 1e9, 1e-9)
+        self._last_tick_ns = now_ns
+
+        if self.cfg.meter_mode:
+            return self._tick_meter(now_ns, dt)
+        if self.cfg.display_mode == DisplayMode.WAVEFORM:
+            return self._tick_waveform(now_ns, dt)
+        return self._tick_spectrum(now_ns, dt)
+
+    def _tick_spectrum(self, now_ns: int, dt: float) -> np.ndarray:
+        S, C = self.S, self.C
+        valid = np.zeros((S, C), bool)
+        active = np.zeros(S, bool)
+        run = np.zeros(S, bool)
+        rms = np.zeros(S, np.float32)
+        for i, src in enumerate(self.sources):
+            t = src.prepare_spectrum_tick(now_ns, dt)
+            self._batch[i] = t.frame
+            valid[i] = t.valid
+            active[i] = t.active
+            run[i] = t.run
+            rms[i] = t.input_rms
+        self.state = self._step(jnp.asarray(self._batch), self.state,
+                                jnp.float32(dt), jnp.asarray(active),
+                                jnp.asarray(rms), jnp.asarray(valid),
+                                jnp.asarray(run))
+        return np.asarray(display_decibels(self.cfg, self.state))
+
+    def _tick_meter(self, now_ns: int, dt: float) -> np.ndarray:
+        S = self.S
+        fresh = np.zeros(S, bool)
+        show = np.zeros(S, bool)
+        run = np.zeros(S, bool)
+        for i, src in enumerate(self.sources):
+            r, f = src.drain_meter_samples(now_ns, dt, self._meter_windows[i])
+            run[i], fresh[i], show[i] = r, f, src.show
+            # timeout memset (src/source_generic.cpp:184-199): host zeroes
+            # the ring for fresh-lost streams that weren't already latched
+            if r and not f and not bool(self.meter_state.last_silent[i]):
+                self._meter_windows[i] = 0.0
+        new = self._meter_step(jnp.asarray(self._meter_windows),
+                               self.meter_state, jnp.float32(dt),
+                               jnp.asarray(fresh), jnp.asarray(show))
+        # streams that didn't run keep their state
+        if not run.all():
+            rm = jnp.asarray(run)
+            new = MeterState(
+                meter_buf=jnp.where(rm[:, None], new.meter_buf,
+                                    self.meter_state.meter_buf),
+                meter_val=jnp.where(rm[:, None], new.meter_val,
+                                    self.meter_state.meter_val),
+                last_silent=jnp.where(rm, new.last_silent,
+                                      self.meter_state.last_silent))
+        self.meter_state = new
+        return np.asarray(self.meter_state.meter_val)[:, None, :]
+
+    def _tick_waveform(self, now_ns: int, dt: float) -> np.ndarray:
+        outs = []
+        for i, src in enumerate(self.sources):
+            outs.append(self._scrollers[i].tick(src, now_ns, dt))
+        return np.stack(outs)
+
+    # ------------------------------------------------------------------
+
+    def render_values(self) -> np.ndarray:
+        """Rebinned dBFS on the output axis: [S, D, width|num_bars]."""
+        if self.cfg.meter_mode:
+            return np.asarray(self.meter_state.meter_val)[:, None, :]
+        if self.cfg.display_mode == DisplayMode.WAVEFORM:
+            return self._tick_waveform_values()
+        db = display_decibels(self.cfg, self.state)
+        return np.asarray(self._rebin(db))
+
+    def _tick_waveform_values(self) -> np.ndarray:
+        vals = np.stack([s.display for s in self._scrollers])
+        return vals
+
+    @property
+    def last_silent(self) -> np.ndarray:
+        if self.cfg.meter_mode:
+            return np.asarray(self.meter_state.last_silent)
+        if self.cfg.display_mode == DisplayMode.WAVEFORM:
+            return np.array([s.last_silent for s in self._scrollers])
+        return np.asarray(self.state.last_silent)

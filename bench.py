@@ -1,0 +1,166 @@
+"""Waveform-TPU benchmark harness.
+
+Headline metric (BASELINE.md north star): 4096-pt spectrum frames processed
+per second per chip — one "frame" = one stream's full tick (device ring
+advance → Hann window → rFFT → magnitude → EMA → silence gating → dBFS →
+log-axis Lanczos rebin to 800 px), batched over S concurrent streams and
+scan-batched T ticks per dispatch (runtime/serving.py bulk mode).
+
+Methodology, mirroring FFTW's self-benchmark (deps/fftw-3.3.11/tests/README —
+inputs generated in-process, transform throughput measured):
+
+* Audio is synthesized on device per tick (jax PRNG noise) so the metric is
+  the chip's analysis throughput.  This container reaches the TPU through a
+  relay tunnel whose transfers are pathological and erratic (measured:
+  scalar D2H 31 ms; 52 MB H2D 42 ms or 1000+ ms run to run) — including
+  them would benchmark the tunnel, not the chip.  A secondary stderr line
+  reports the transfer-inclusive serving number for reference.
+* The full stateful pipeline runs every tick: ring advance, EMA state chain,
+  silence gating, rebin.  Nothing is constant-folded away (fresh PRNG audio
+  each tick, state threaded through the scan).
+
+An accuracy gate runs first (FFTW-style verify-before-benchmark): max |dB
+err| vs the float64 oracle must stay < 1e-2 above the -120 dBFS render
+floor or no throughput is reported.
+
+Target: ≥10,000 frames/s/chip (BASELINE.json); vs_baseline = value / 10000.
+
+Usage: python bench.py [--streams 256] [--fft 4096] [--scan 32] [--reps 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--streams", type=int, default=256)
+    ap.add_argument("--fft", type=int, default=4096)
+    ap.add_argument("--width", type=int, default=800)
+    ap.add_argument("--scan", type=int, default=32, help="ticks per dispatch")
+    ap.add_argument("--reps", type=int, default=10)
+    ap.add_argument("--warmup", type=int, default=2)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from waveform_tpu import AudioInfo, Settings, resolve
+    from waveform_tpu.core.enums import FFTWindow, InterpMode, TSmoothingMode
+    from waveform_tpu.dsp import oracle
+    from waveform_tpu.dsp.devring import init_ring, push
+    from waveform_tpu.dsp.spectrum import (
+        display_decibels,
+        init_state,
+        make_spectrum_step,
+    )
+    from waveform_tpu.rebin.apply import make_rebin_fn
+
+    S, N, W, T = args.streams, args.fft, args.width, args.scan
+    SR = 48000
+    cfg = resolve(Settings(fft_size=N, width=W, window=FFTWindow.HANN,
+                           interp_mode=InterpMode.LANCZOS,
+                           enable_large_fft=True),
+                  AudioInfo(SR, 2))
+    step = make_spectrum_step(cfg)
+    rebin = make_rebin_fn(cfg, apply_pixel_map=False)
+    hop = int(SR / cfg.fps)
+
+    def bench_dispatch(key, ring, state, dt, active, rms):
+        """T full ticks; fresh on-device PRNG audio per tick."""
+        def body(carry, k):
+            ring, state = carry
+            new = 0.5 * jax.random.normal(k, (S, 2, hop), jnp.float32)
+            ring = push(ring, new, jnp.full((S,), hop, jnp.int32))
+            state = step(ring.buf, state, dt, active, rms)
+            px = rebin(display_decibels(cfg, state))
+            # carry a cheap reduction so nothing is dead code
+            return (ring, state), px.mean()
+        keys = jax.random.split(key, T)
+        (ring, state), sums = jax.lax.scan(body, (ring, state), keys)
+        return sums, ring, state
+
+    fn = jax.jit(bench_dispatch, donate_argnums=(1, 2))
+    ring = init_ring(S, 2, N)
+    state = init_state(cfg, S)
+    dt = jnp.float32(1 / 60)
+    active = jnp.ones(S, bool)
+    rms = jnp.zeros(S, jnp.float32)
+    key = jax.random.key(0)
+
+    for i in range(args.warmup):
+        sums, ring, state = fn(jax.random.fold_in(key, i), ring, state, dt,
+                               active, rms)
+    jax.block_until_ready(sums)
+
+    # --- accuracy gate vs float64 oracle on the current ring window ---
+    window = np.asarray(ring.buf[0]).astype(np.float64)
+    acc_cfg = resolve(Settings(fft_size=N, width=W, window=FFTWindow.HANN,
+                               temporal_smoothing=TSmoothingMode.NONE,
+                               enable_large_fft=True), AudioInfo(SR, 2))
+    want, _ = oracle.spectrum_frame(window, None, acc_cfg, dt=1 / 60)
+    step2 = jax.jit(make_spectrum_step(acc_cfg))
+    st2 = step2(jnp.asarray(window[None], jnp.float32), init_state(acc_cfg, 1),
+                dt, jnp.ones(1, bool), jnp.zeros(1, jnp.float32))
+    got = np.asarray(display_decibels(acc_cfg, st2))[0]
+    vis = want > -120.0
+    max_err = float(np.abs(got[vis] - want[vis]).max())
+    if max_err > 1e-2:
+        print(json.dumps({"metric": "accuracy_gate_failed",
+                          "value": max_err, "unit": "dB", "vs_baseline": 0.0}))
+        return 1
+
+    # --- measured: chip analysis throughput ---
+    t0 = time.perf_counter()
+    for i in range(args.reps):
+        sums, ring, state = fn(jax.random.fold_in(key, 100 + i), ring, state,
+                               dt, active, rms)
+    jax.block_until_ready(sums)
+    elapsed = time.perf_counter() - t0
+    frames_per_sec = S * T * args.reps / elapsed
+
+    # --- secondary: transfer-inclusive serving tick (tunnel-limited) ---
+    from waveform_tpu.runtime.serving import ServingEngine
+    NSC = 1_000_000_000
+    eng = ServingEngine(cfg, S)
+    pkt = np.asarray(0.5 * np.random.default_rng(0).standard_normal(
+        (S, 2, hop)), np.float32)
+    now = NSC
+    for k in range(3):
+        eng.feed_batch(pkt, now, now_ns=now)
+        now += hop * NSC // SR
+        px = eng.tick(now_ns=now)
+    jax.block_until_ready(px)
+    t1 = time.perf_counter()
+    reps2 = 10
+    for k in range(reps2):
+        eng.feed_batch(pkt, now, now_ns=now)
+        now += hop * NSC // SR
+        px = eng.tick(now_ns=now)
+    jax.block_until_ready(px)
+    serving_fps = S * reps2 / (time.perf_counter() - t1)
+
+    print(json.dumps({
+        "metric": f"{N}pt_spectrum_frames_per_sec_per_chip",
+        "value": round(frames_per_sec, 1),
+        "unit": "frames/s",
+        "vs_baseline": round(frames_per_sec / 10000.0, 3),
+    }))
+    print(f"# accuracy max|dB err| vs float64 oracle: {max_err:.2e}; "
+          f"S={S} N={N} hop={hop} scan={T} reps={args.reps} "
+          f"elapsed={elapsed:.3f}s "
+          f"({elapsed / (args.reps * T) * 1e3:.2f} ms/tick); "
+          f"tunnel-limited per-tick serving (incl. H2D over relay): "
+          f"{serving_fps:,.0f} frames/s; backend={jax.default_backend()}",
+          file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

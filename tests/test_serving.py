@@ -1,0 +1,108 @@
+"""Device-ring serving path: correctness vs the host-ring engine and oracle."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from waveform_tpu import (
+    AudioInfo,
+    FFTWindow,
+    Settings,
+    TSmoothingMode,
+    resolve,
+)
+from waveform_tpu.dsp.devring import init_ring, push
+from waveform_tpu.runtime.engine import WaveformEngine
+from waveform_tpu.runtime.serving import ServingEngine
+
+NS, SR = 1_000_000_000, 48000
+
+
+def test_device_ring_push():
+    ring = init_ring(2, 1, 8)
+    new = np.zeros((2, 1, 4), np.float32)
+    new[0, 0] = [1, 2, 3, 4]
+    new[1, 0] = [9, 9, 9, 9]
+    ring = push(ring, jnp.asarray(new), jnp.asarray([4, 2], np.int32))
+    np.testing.assert_array_equal(
+        np.asarray(ring.buf[0, 0]), [0, 0, 0, 0, 1, 2, 3, 4])
+    # stream 1 advanced by 2: window is zeros + first 2 of new
+    np.testing.assert_array_equal(
+        np.asarray(ring.buf[1, 0]), [0, 0, 0, 0, 0, 0, 9, 9])
+    # zero-count push is identity
+    ring2 = push(ring, jnp.zeros((2, 1, 4), jnp.float32),
+                 jnp.zeros(2, jnp.int32))
+    np.testing.assert_array_equal(np.asarray(ring2.buf), np.asarray(ring.buf))
+
+
+def _session(engine_cls, cfg, n_ticks=20, freq=2000.0, **kw):
+    eng = engine_cls(cfg, 2, **kw)
+    now = NS
+    phase = 0
+    out = None
+    for k in range(n_ticks):
+        for _ in range(2):  # 2 packets per tick
+            t = (np.arange(480) + phase) / SR
+            x = np.sin(2 * np.pi * freq * t).astype(np.float32)
+            for s in range(2):
+                eng.feed(s, np.stack([x, x]), now, now_ns=now)
+            phase += 480
+            now += 480 * NS // SR
+        out = eng.tick(now_ns=now)
+    return eng, out
+
+
+def test_serving_matches_host_engine():
+    """Both engines see identical audio at identical timestamps → identical
+    spectra (the device ring reproduces pop-to-sync/peek assembly)."""
+    cfg = resolve(Settings(fft_size=1024, window=FFTWindow.HANN,
+                           temporal_smoothing=TSmoothingMode.NONE),
+                  AudioInfo(SR, 2))
+    host_eng, host_db = _session(WaveformEngine, cfg, jit=False)
+    srv_eng, _ = _session(ServingEngine, cfg)
+    srv_db = srv_eng.read_decibels()
+    np.testing.assert_allclose(srv_db, host_db, atol=1e-3)
+
+
+def test_serving_tone_and_pixels():
+    cfg = resolve(Settings(fft_size=2048), AudioInfo(SR, 2))
+    eng, pixels = _session(ServingEngine, cfg, n_ticks=30, freq=5000.0)
+    db = eng.read_decibels()
+    pk = int(np.argmax(db[0, 0])) * SR / cfg.fft_size
+    assert abs(pk - 5000) < 2 * SR / cfg.fft_size
+    assert db[0, 0].max() > -2
+    px = eng.read_pixels()
+    assert px.shape == (2, 1, 800)
+    assert np.isfinite(px).all()
+
+
+def test_serving_timeout_decay():
+    cfg = resolve(Settings(fft_size=1024), AudioInfo(SR, 2))
+    eng, _ = _session(ServingEngine, cfg, n_ticks=10, freq=1000.0)
+    from waveform_tpu import DB_MIN
+    db = eng.read_decibels()
+    assert db.max() > -10
+    # no audio for 600 ms → timeout → DB_MIN
+    last_now = NS + 10 * 2 * 480 * NS // SR
+    eng.tick(now_ns=last_now + 600_000_000)
+    db = eng.read_decibels()
+    assert (db == DB_MIN).all()
+
+
+def test_serving_hop_budget_absorbs_burst():
+    """A burst larger than one hop drains over several ticks without loss of
+    sync (excess stays queued, capped by the reserve trim)."""
+    cfg = resolve(Settings(fft_size=1024,
+                           temporal_smoothing=TSmoothingMode.NONE),
+                  AudioInfo(SR, 2))
+    eng = ServingEngine(cfg, 1)
+    now = NS
+    # burst: 0.4 s of ramp all at once, timestamps in the past->now
+    n = int(0.4 * SR)
+    x = (np.arange(n) / n).astype(np.float32)
+    eng.feed(0, np.stack([x, x]), now - 400_000_000, now_ns=now)
+    for k in range(30):
+        now += NS // 60
+        eng.tick(now_ns=now)
+    db = eng.read_decibels()
+    # after draining, the window holds the ramp tail (non-silent, DC-heavy)
+    assert db[0, 0, 0] > -20

@@ -1,0 +1,300 @@
+"""High-throughput serving engine: device-resident windows, fused tick.
+
+The production path for hundreds of concurrent streams: audio packets queue
+on the host (metadata-only sync accounting, no sample copying into host
+rings); each tick pushes only the newly arrived synced samples to the
+device ring (dsp/devring.py) and runs push → spectrum → rebin as ONE jitted
+call with donated state.  Display output stays on device; callers read it
+back on their own cadence (e.g. every frame over PCIe, or never — downstream
+device consumers compose directly).
+
+Host-side A/V sync follows the reference exactly: the window must end
+``dtsamples`` behind the freshest audio when timestamps run ahead of the
+clock (get_audio_sync, /root/reference/src/source.hpp:279-285), mute
+zero-fills (src/source.cpp:1878-1879), bogus timestamps clamp to the wall
+clock at 16 s (src/source.cpp:1833-1837).
+"""
+
+from __future__ import annotations
+
+import time
+from collections import deque
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import CAPTURE_TIMEOUT_NS, MAX_TS_DELTA_NS, ResolvedConfig
+from ..core.ring import audio_frames_to_ns, ns_to_audio_frames
+from ..dsp.devring import DeviceRing, init_ring, push
+from ..dsp.spectrum import (
+    SpectrumState,
+    display_decibels,
+    init_state,
+    make_spectrum_step,
+)
+from ..rebin.apply import make_rebin_fn
+
+
+class _PendingStream:
+    """Host bookkeeping for one stream: queued packets + sync timestamps."""
+
+    __slots__ = ("chunks", "queued", "capture_ts", "audio_ts", "show")
+
+    def __init__(self):
+        self.chunks: deque[np.ndarray] = deque()  # [C, n] arrays
+        self.queued = 0            # samples queued
+        self.capture_ts = 0
+        self.audio_ts = 0
+        self.show = True
+
+
+class ServingEngine:
+    """Batched device-resident spectrum serving for S streams."""
+
+    def __init__(self, cfg: ResolvedConfig, num_streams: int,
+                 hop_budget: int | None = None, rfft_fn=None):
+        if not cfg.spectrum_mode:
+            raise ValueError("ServingEngine handles spectrum mode; use "
+                             "WaveformEngine for meter/waveform modes")
+        if cfg.normalize_volume:
+            raise NotImplementedError(
+                "volume normalization on the serving path is not wired up "
+                "yet; use WaveformEngine")
+        self.cfg = cfg
+        self.S = num_streams
+        self.C = max(cfg.capture_channels, 1)
+        # hop budget: max new samples consumed per stream per tick; default
+        # 2 video frames of audio so jitter doesn't stall the window
+        self.H = hop_budget or (2 * int(cfg.audio.samples_per_sec / cfg.fps)
+                                + 16)
+        self._pending = [_PendingStream() for _ in range(num_streams)]
+        self._push_buf = np.zeros((num_streams, self.C, self.H), np.float32)
+        # feed_batch fast path (shared sync state)
+        self._batch_chunks: deque[np.ndarray] = deque()
+        self._batch_queued = 0
+        self._batch_mode = False
+
+        self.ring = init_ring(num_streams, self.C, cfg.fft_size)
+        self.state = init_state(cfg, num_streams)
+
+        step = make_spectrum_step(cfg, **({} if rfft_fn is None else
+                                          {"rfft_fn": rfft_fn}))
+        rebin = make_rebin_fn(cfg, apply_pixel_map=False)
+
+        def fused_tick(new, counts, ring: DeviceRing, state: SpectrumState,
+                       dt, active, rms):
+            ring = push(ring, new, counts)
+            state = step(ring.buf, state, dt, active, rms)
+            pixels = rebin(display_decibels(cfg, state))
+            return pixels, ring, state
+
+        self._tick = jax.jit(fused_tick, donate_argnums=(2, 3))
+
+        def scan_ticks(new_T, counts_T, ring, state, dt, active_T, rms):
+            """T ticks in one dispatch (bulk/offline processing)."""
+            def body(carry, xs):
+                ring, state = carry
+                new, counts, active = xs
+                ring = push(ring, new, counts)
+                state = step(ring.buf, state, dt, active, rms)
+                return (ring, state), rebin(display_decibels(cfg, state))
+            (ring, state), pxs = jax.lax.scan(body, (ring, state),
+                                              (new_T, counts_T, active_T))
+            return pxs, ring, state
+
+        self._scan_ticks = jax.jit(scan_ticks, donate_argnums=(2, 3))
+        self._last_pixels = None
+
+    # ------------------------------------------------------------------
+
+    def feed(self, stream: int, data: np.ndarray | None, timestamp_ns: int,
+             now_ns: int | None = None, muted: bool = False) -> None:
+        """Queue one packet ([channels, frames] float32 planar)."""
+        now_ns = time.monotonic_ns() if now_ns is None else now_ns
+        p = self._pending[stream]
+        cfg = self.cfg
+        frames = 0 if data is None else data.shape[-1]
+        if frames == 0 or cfg.capture_channels == 0:
+            return
+        p.capture_ts = now_ns
+        audio_len = audio_frames_to_ns(cfg.audio.samples_per_sec, frames)
+        if abs(timestamp_ns - now_ns) > MAX_TS_DELTA_NS:
+            p.audio_ts = now_ns
+        else:
+            p.audio_ts = timestamp_ns + audio_len
+
+        if (muted and not cfg.settings.ignore_mute) or data is None:
+            chunk = np.zeros((self.C, frames), np.float32)
+        else:
+            chunk = np.asarray(
+                data[cfg.channel_base:cfg.channel_base + self.C], np.float32)
+        p.chunks.append(chunk)
+        p.queued += frames
+        # bound the queue: never hold more than sync reserve + one window +
+        # one hop (the analog of the capture-side trim, src/source.cpp:1883-86)
+        dtaudio = self._audio_sync(p, now_ns)
+        dtsamples = (ns_to_audio_frames(cfg.audio.samples_per_sec, dtaudio)
+                     if dtaudio > 0 else 0)
+        max_q = dtsamples + cfg.fft_size + self.H
+        while p.queued > max_q and p.chunks:
+            drop = p.queued - max_q
+            head = p.chunks[0]
+            if head.shape[-1] <= drop:
+                p.queued -= head.shape[-1]
+                p.chunks.popleft()
+            else:
+                p.chunks[0] = head[:, drop:]
+                p.queued -= drop
+                break
+
+    def _audio_sync(self, p: _PendingStream, ts: int) -> int:
+        audio_ts = p.audio_ts + self.cfg.ts_offset_ns
+        delta = min(abs(audio_ts - ts), MAX_TS_DELTA_NS)
+        return -delta if audio_ts < ts else delta
+
+    def feed_batch(self, data: np.ndarray, timestamp_ns: int,
+                   now_ns: int | None = None) -> None:
+        """Synchronized ingestion for all S streams at once.
+
+        ``data`` is [S, channels, frames] float32 planar with one shared
+        timestamp — the fan-out case (one mixing bus, S consumers) and the
+        fast path for serving: O(1) Python work per tick instead of O(S).
+        Streams fed this way share sync state; don't mix with per-stream
+        ``feed`` on the same engine.
+        """
+        now_ns = time.monotonic_ns() if now_ns is None else now_ns
+        cfg = self.cfg
+        frames = data.shape[-1]
+        if frames == 0 or cfg.capture_channels == 0:
+            return
+        p = self._pending[0]  # shared sync bookkeeping
+        p.capture_ts = now_ns
+        audio_len = audio_frames_to_ns(cfg.audio.samples_per_sec, frames)
+        p.audio_ts = (now_ns if abs(timestamp_ns - now_ns) > MAX_TS_DELTA_NS
+                      else timestamp_ns + audio_len)
+        self._batch_mode = True
+        self._batch_chunks.append(
+            np.asarray(data[:, cfg.channel_base:cfg.channel_base + self.C],
+                       np.float32))
+        self._batch_queued += frames
+        dtaudio = self._audio_sync(p, now_ns)
+        dtsamples = (ns_to_audio_frames(cfg.audio.samples_per_sec, dtaudio)
+                     if dtaudio > 0 else 0)
+        max_q = dtsamples + cfg.fft_size + self.H
+        while self._batch_queued > max_q and self._batch_chunks:
+            drop = self._batch_queued - max_q
+            head = self._batch_chunks[0]
+            if head.shape[-1] <= drop:
+                self._batch_queued -= head.shape[-1]
+                self._batch_chunks.popleft()
+            else:
+                self._batch_chunks[0] = head[..., drop:]
+                self._batch_queued -= drop
+                break
+
+    def _assemble_batch(self, now_ns: int):
+        """Vectorized push-buffer assembly for the feed_batch path."""
+        cfg = self.cfg
+        p = self._pending[0]
+        sr = cfg.audio.samples_per_sec
+        dtaudio = self._audio_sync(p, now_ns)
+        reserve = ns_to_audio_frames(sr, dtaudio) if dtaudio > 0 else 0
+        take = min(max(self._batch_queued - reserve, 0), self.H)
+        got = 0
+        self._push_buf[:] = 0.0
+        while got < take and self._batch_chunks:
+            head = self._batch_chunks[0]
+            n = head.shape[-1]
+            use = min(n, take - got)
+            self._push_buf[:, :, got:got + use] = head[..., :use]
+            if use == n:
+                self._batch_chunks.popleft()
+            else:
+                self._batch_chunks[0] = head[..., use:]
+            self._batch_queued -= use
+            got += use
+        active = p.show and (now_ns - p.capture_ts) <= CAPTURE_TIMEOUT_NS
+        counts = np.full(self.S, take, np.int32)
+        return counts, np.full(self.S, active, bool)
+
+    # ------------------------------------------------------------------
+
+    def tick(self, now_ns: int | None = None, dt: float | None = None):
+        """One batched frame. Returns the on-device pixels [S, D, P]."""
+        now_ns = time.monotonic_ns() if now_ns is None else now_ns
+        dt = (1.0 / self.cfg.fps) if dt is None else dt
+        cfg = self.cfg
+        sr = cfg.audio.samples_per_sec
+
+        rms = np.zeros(self.S, np.float32)
+        if self._batch_mode:
+            counts, active = self._assemble_batch(now_ns)
+            pixels, self.ring, self.state = self._tick(
+                jnp.asarray(self._push_buf), jnp.asarray(counts), self.ring,
+                self.state, jnp.float32(dt), jnp.asarray(active),
+                jnp.asarray(rms))
+            self._last_pixels = pixels
+            return pixels
+
+        counts = np.zeros(self.S, np.int32)
+        active = np.zeros(self.S, bool)
+        self._push_buf[:] = 0.0
+        for i, p in enumerate(self._pending):
+            active[i] = p.show and (now_ns - p.capture_ts) <= CAPTURE_TIMEOUT_NS
+            # consume everything except the sync reserve, capped at the hop
+            # budget (the device window absorbs them; excess stays queued)
+            dtaudio = self._audio_sync(p, now_ns)
+            reserve = (ns_to_audio_frames(sr, dtaudio) if dtaudio > 0 else 0)
+            take = min(max(p.queued - reserve, 0), self.H)
+            counts[i] = take
+            got = 0
+            while got < take and p.chunks:
+                head = p.chunks[0]
+                n = head.shape[-1]
+                use = min(n, take - got)
+                self._push_buf[i, :, got:got + use] = head[:, :use]
+                if use == n:
+                    p.chunks.popleft()
+                else:
+                    p.chunks[0] = head[:, use:]
+                p.queued -= use
+                got += use
+
+        pixels, self.ring, self.state = self._tick(
+            jnp.asarray(self._push_buf), jnp.asarray(counts), self.ring,
+            self.state, jnp.float32(dt), jnp.asarray(active),
+            jnp.asarray(rms))
+        self._last_pixels = pixels
+        return pixels
+
+    def tick_many(self, new_samples, counts=None, active=None,
+                  dt: float | None = None):
+        """Bulk mode: process T video frames in one device dispatch.
+
+        ``new_samples`` is [T, S, C, hop] (device or host array) — each tick
+        advances every stream's window by ``counts[t, s]`` (default: full
+        hop) and runs the complete pipeline.  Returns pixels [T, S, D, P]
+        (on device) and updates ring/state.  This is the offline/recorded-
+        audio path: one dispatch amortizes launch latency over T×S frames.
+        """
+        T, S = new_samples.shape[0], self.S
+        hop = new_samples.shape[-1]
+        if counts is None:
+            counts = jnp.full((T, S), hop, jnp.int32)
+        if active is None:
+            active = jnp.ones((T, S), bool)
+        dt = (1.0 / self.cfg.fps) if dt is None else dt
+        rms = jnp.zeros(S, jnp.float32)
+        pxs, self.ring, self.state = self._scan_ticks(
+            jnp.asarray(new_samples, jnp.float32), jnp.asarray(counts),
+            self.ring, self.state, jnp.float32(dt), jnp.asarray(active), rms)
+        self._last_pixels = pxs[-1]
+        return pxs
+
+    def read_pixels(self) -> np.ndarray:
+        """Host readback of the latest rebinned frame (synchronizes)."""
+        return np.asarray(self._last_pixels)
+
+    def read_decibels(self) -> np.ndarray:
+        return np.asarray(display_decibels(self.cfg, self.state))

@@ -12,6 +12,7 @@ __version__ = "0.1.0"
 
 from .core.config import (  # noqa: F401
     DB_MIN,
+    RGBA,
     AudioInfo,
     ResolvedConfig,
     Settings,

@@ -1,0 +1,220 @@
+"""Rasterizer: the reference's vertex+shader render path as array ops.
+
+Where the reference builds triangle strips on the CPU and lets the GPU
+shade them (/root/reference/src/source.cpp:1360-1670 + data/gradient.effect),
+a TPU-native renderer computes per-pixel coverage and color directly on a
+[H, W] grid — branch-free masks instead of geometry, and the radial layout
+as an inverse polar warp instead of a vertex transform.  One jitted call
+renders a frame; batching over streams is a vmap away.
+
+Geometry parity:
+* curve solid/line fills & polyline spans (render_curve, src:1360-1471)
+* bars / stepped bars with bar_width/gap, step_width/gap, min_bar_height
+  (render_bars, src:1473-1670; init_steps src:920-933)
+* rounded caps as disc masks at bar ends (cap verts src:1292-1309)
+* stereo split about cpos with channel_spacing (src:1372-1373,1486-1494)
+* meter mode: one bar per channel through the bar path (src:1505-1509)
+* radial: inverse of VSRadial's polar warp (gradient.effect:43-59)
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import ResolvedConfig
+from ..core.enums import DisplayMode, RenderMode
+from ..rebin.apply import make_rebin_fn
+from .colors import pixel_colors, pulse_color_value
+
+
+def render_geometry(cfg: ResolvedConfig) -> dict:
+    """The constants update()/render derive before drawing."""
+    Hh = cfg.height
+    center = Hh / 2.0
+    bottom = float(Hh)
+    cpos = center if cfg.stereo else bottom
+    channel_offset = cfg.channel_spacing * 0.5
+    cap_radius = cfg.settings.bar_width / 2.0 if cfg.rounded_caps else 0.0
+    border_top = cap_radius
+    border_bottom = (cpos - cap_radius
+                     if cfg.rounded_caps and (not cfg.stereo
+                                              or cfg.channel_spacing > 0)
+                     else cpos)
+    if cfg.channel_spacing > 0:
+        border_bottom -= channel_offset
+    if cfg.settings.min_bar_height > 0:
+        border_bottom -= cfg.settings.min_bar_height
+    border_bottom = min(max(border_bottom, border_top), cpos)
+    return dict(height=Hh, width=cfg.width, cpos=cpos, bottom=bottom,
+                channel_offset=channel_offset, cap_radius=cap_radius,
+                border_top=border_top, border_bottom=border_bottom)
+
+
+def make_renderer(cfg: ResolvedConfig):
+    """Build ``render(db [D, nbins]) -> RGBA image [outH, outW, 4] f32``.
+
+    For meter mode pass the meter values as ``db [1, num_bars]`` (already
+    dBFS).  Waveform mode passes its dB pixel buffer [D, width].
+    """
+    g = render_geometry(cfg)
+    Hh, Ww = g["height"], g["width"]
+    cpos, bottom = g["cpos"], g["bottom"]
+    channel_offset = g["channel_offset"]
+    curve_like = cfg.display_mode in (DisplayMode.CURVE, DisplayMode.WAVEFORM)
+    line_mode = cfg.render_mode == RenderMode.LINE and curve_like
+    D = cfg.display_channels
+
+    if cfg.meter_mode:
+        rebin = None
+        num_bars = cfg.num_bars
+    elif curve_like:
+        rebin = make_rebin_fn(cfg, apply_pixel_map=True)
+        num_bars = 0
+    else:
+        rebin = make_rebin_fn(cfg, apply_pixel_map=True)
+        num_bars = cfg.num_bars
+
+    rows = jnp.arange(Hh, dtype=jnp.float32)[:, None]      # [H, 1]
+    cols = jnp.arange(Ww, dtype=jnp.float32)[None, :]      # [1, W]
+
+    bar_stride = cfg.settings.bar_width + cfg.settings.bar_gap
+    step_stride = cfg.settings.step_width + cfg.settings.step_gap
+    stepped = cfg.display_mode in (DisplayMode.STEPPED_BAR,
+                                   DisplayMode.STEPPED_METER)
+
+    def _dbfs_to_y(vals, top, bot):
+        dbr = float(cfg.ceiling - cfg.floor)
+        t = jnp.clip(cfg.ceiling - vals, 0.0, dbr) / dbr
+        return top + (bot - top) * t
+
+    def _channel_mask(vals_px, channel):
+        """Coverage mask [H, W] for one display channel."""
+        if curve_like:
+            y = vals_px                                      # [W]
+            if channel == 0:
+                ytop = y
+            else:
+                ytop = bottom - y
+            if line_mode:
+                prev = jnp.concatenate([ytop[:1], ytop[:-1]])
+                lo = jnp.minimum(ytop, prev)
+                hi = jnp.maximum(ytop, prev)
+                return (rows >= lo[None, :] - 0.5) & (rows <= hi[None, :] + 0.5)
+            bot_y = cpos - channel_offset if channel == 0 else cpos + channel_offset
+            if channel == 0:
+                return (rows >= ytop[None, :]) & (rows <= bot_y)
+            return (rows <= ytop[None, :]) & (rows >= bot_y)
+
+        # bars / stepped bars / meters
+        bar_idx = (cols // bar_stride).astype(jnp.int32)     # [1, W]
+        in_bar = ((cols - bar_idx * bar_stride) < cfg.settings.bar_width) \
+            & (bar_idx < num_bars)
+        bar_idx_c = jnp.clip(bar_idx, 0, max(num_bars - 1, 0))
+        val = vals_px[bar_idx_c[0]][None, :]                 # [1, W] top y
+
+        if stepped:
+            maxheight = cpos - val - channel_offset
+            if channel == 0:
+                d = cpos - channel_offset - rows             # [H, W] via bcast
+            else:
+                d = rows - cpos - channel_offset
+            j = jnp.floor(d / step_stride)
+            in_cell = (d - j * step_stride) <= cfg.settings.step_width
+            lit = (j >= 0) & (j * step_stride < maxheight) & (d >= 0)
+            return in_bar & in_cell & lit
+
+        offset = g["cap_radius"] + channel_offset
+        use_off = (cfg.rounded_caps and not cfg.stereo) or cfg.channel_spacing > 0
+        if channel == 0:
+            bot_y = cpos - offset if use_off else cpos
+            mask = (rows >= val) & (rows <= bot_y)
+        else:
+            topv = bottom - val
+            bot_y = cpos + offset if use_off else cpos
+            mask = (rows <= topv) & (rows >= bot_y)
+
+        if cfg.rounded_caps:
+            ccx = bar_idx_c * bar_stride + g["cap_radius"]   # [1, W]
+            ccy = val if channel == 0 else bottom - val
+            dist2 = (cols - ccx) ** 2 + (rows - ccy) ** 2
+            cap = in_bar & (dist2 <= g["cap_radius"] ** 2)
+            mask = mask | cap
+            if use_off:
+                ccy2 = cpos - offset if channel == 0 else cpos + offset
+                dist2b = (cols - ccx) ** 2 + (rows - ccy2) ** 2
+                mask = mask | (in_bar & (dist2b <= g["cap_radius"] ** 2))
+        return mask & in_bar
+
+    def render(db: jnp.ndarray) -> jnp.ndarray:
+        # --- values on the output axis, in pixel y ---
+        if cfg.meter_mode:
+            vals = _dbfs_to_y(db, g["border_top"], g["border_bottom"])
+        elif curve_like:
+            top = 0.0
+            bot = cpos - channel_offset
+            vals = rebin(db, top, bot)                       # [D, W]
+        else:
+            vals = rebin(db, g["border_top"], g["border_bottom"])  # [D, B]
+
+        flat = vals.reshape(-1)
+        mini = jnp.argmin(flat)
+        miny = flat[mini]
+        minpos = (mini % vals.shape[-1]).astype(jnp.float32)
+
+        # --- shader uniforms (src/source.cpp:1693-1743) ---
+        if curve_like:
+            bt, bb = 0.0, cpos - channel_offset
+        else:
+            bt, bb = g["border_top"], g["border_bottom"]
+        if cfg.render_mode == RenderMode.GRADIENT:
+            grad_height = (cpos - miny - channel_offset) * cfg.settings.grad_ratio
+            grad_center, grad_offset = cpos, channel_offset
+        else:  # RANGE (and unused otherwise)
+            grad_height = cpos - channel_offset
+            grad_center, grad_offset = cpos, channel_offset
+        npos = vals.shape[-1]
+        pulse = pulse_color_value(cfg, miny, minpos, bt, bb, npos) \
+            if cfg.render_mode == RenderMode.PULSE else None
+
+        # per-row colors depend only on y
+        ygrid = jnp.broadcast_to(rows, (Hh, Ww))
+        colors = pixel_colors(cfg, ygrid, grad_center, grad_height,
+                              grad_offset, pulse)            # [H, W, 4]
+
+        img = jnp.zeros((Hh, Ww, 4), jnp.float32)
+        for ch in range(D if not cfg.meter_mode else 1):
+            v = vals[ch] if not cfg.meter_mode else vals[0]
+            mask = _channel_mask(v, ch)
+            img = jnp.where(mask[..., None], colors, img)
+
+        if cfg.radial:
+            img = _radial_warp(cfg, img)
+        return img
+
+    def _radial_warp(cfg: ResolvedConfig, img: jnp.ndarray) -> jnp.ndarray:
+        """Inverse of VSRadial (gradient.effect:43-59)."""
+        dz = cfg.deadzone_px
+        R = Hh + dz
+        side = int(R * 2)
+        cy = cx = R
+        py = jnp.arange(side, dtype=jnp.float32)[:, None] - cy
+        px = jnp.arange(side, dtype=jnp.float32)[None, :] - cx
+        rho = jnp.sqrt(px * px + py * py)
+        # forward: x' = -rho*sin(a), y' = rho*cos(a)
+        ang = jnp.arctan2(-px, py)                           # [-pi, pi]
+        ang = (ang - cfg.radial_rotation) % (2.0 * math.pi)
+        arc = max(cfg.radial_arc, 1e-6) * 2.0 * math.pi
+        xg = ang / arc * (Ww - 1)
+        yg = rho - dz
+        if cfg.invert:
+            yg = Hh - yg
+        valid = (ang <= arc) & (yg >= 0) & (yg < Hh) & (rho >= dz)
+        xi = jnp.clip(xg.astype(jnp.int32), 0, Ww - 1)
+        yi = jnp.clip(yg.astype(jnp.int32), 0, Hh - 1)
+        out = img[yi, xi]
+        return jnp.where(valid[..., None], out, 0.0)
+
+    return render

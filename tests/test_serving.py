@@ -106,3 +106,27 @@ def test_serving_hop_budget_absorbs_burst():
     db = eng.read_decibels()
     # after draining, the window holds the ramp tail (non-silent, DC-heavy)
     assert db[0, 0, 0] > -20
+
+
+def test_native_vs_python_serving_paths():
+    """use_native=True and use_native=False produce identical spectra."""
+    from waveform_tpu.native import load_library
+    if load_library() is None:
+        import pytest
+        pytest.skip("native unavailable")
+    cfg = resolve(Settings(fft_size=1024,
+                           temporal_smoothing=TSmoothingMode.NONE),
+                  AudioInfo(SR, 2))
+    rng = np.random.default_rng(5)
+    engines = [ServingEngine(cfg, 2, use_native=u) for u in (True, False)]
+    now = NS
+    for k in range(15):
+        x = rng.standard_normal((2, 2, 480)).astype(np.float32)
+        for e in engines:
+            for s in range(2):
+                e.feed(s, x[s], now, now_ns=now)
+        now += 480 * NS // SR
+        for e in engines:
+            e.tick(now_ns=now)
+    a, b = engines[0].read_decibels(), engines[1].read_decibels()
+    np.testing.assert_allclose(a, b, atol=1e-4)

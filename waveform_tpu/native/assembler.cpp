@@ -1,0 +1,254 @@
+// Waveform-TPU native runtime: multi-stream audio frame assembler.
+//
+// The TPU-native counterpart of the reference plugin's host machinery — the
+// per-source CircularBuffer feeding (/root/reference/src/circular_buffer.hpp),
+// the audio-callback timestamp/sync bookkeeping (src/source.cpp:1817-1888)
+// and the pop-to-sync-point + peek frame assembly
+// (src/source_generic.cpp:50-61) — generalized to S concurrent streams and
+// batched: one call assembles every stream's window (or serving-mode hop)
+// into a contiguous [S, C, N] array ready for host→device transfer.
+//
+// Design notes:
+//  * sample-granular float rings (the plugin only ever moves float32
+//    samples); capacity grows in 4096-sample steps with compaction
+//  * per-stream timed mutex with a 10 ms try-lock on the feed side,
+//    dropping the packet on contention — the reference's real-time-safe
+//    backpressure (src/source.cpp:1822-1823)
+//  * bogus-timestamp clamp at 16 s, A/V sync reserve, mute zero-fill —
+//    byte-for-byte the Python runtime's semantics (runtime/source.py),
+//    which the test suite cross-checks against this implementation
+//
+// C ABI only; bound from Python with ctypes (no pybind11 in this image).
+
+#include <algorithm>
+#include <atomic>
+#include <chrono>
+#include <cstdint>
+#include <cstring>
+#include <mutex>
+#include <vector>
+
+namespace {
+
+constexpr int64_t kMaxTsDeltaNs = 16LL * 1000000000LL;   // source.hpp:291
+constexpr int64_t kCaptureTimeoutNs = 500LL * 1000000LL; // source.hpp:290
+constexpr size_t kGrowStep = 4096;
+
+inline int64_t ns_to_frames(int64_t rate, int64_t ns) {
+  return (ns * rate) / 1000000000LL;
+}
+inline int64_t frames_to_ns(int64_t rate, int64_t frames) {
+  return (frames * 1000000000LL) / rate;
+}
+
+// Sample-granular ring buffer.
+class Ring {
+ public:
+  void reset() { pos_ = used_ = 0; }
+  size_t size() const { return used_; }
+
+  void push(const float* src, size_t n) {
+    if (n == 0) return;
+    reserve(used_ + n);
+    size_t cap = data_.size();
+    size_t w = (pos_ + used_) % cap;
+    size_t first = std::min(n, cap - w);
+    if (src) {
+      std::memcpy(data_.data() + w, src, first * sizeof(float));
+      std::memcpy(data_.data(), src + first, (n - first) * sizeof(float));
+    } else {
+      std::memset(data_.data() + w, 0, first * sizeof(float));
+      std::memset(data_.data(), 0, (n - first) * sizeof(float));
+    }
+    used_ += n;
+  }
+
+  // Drop (dest==nullptr) or copy out up to n front samples.
+  size_t pop(float* dest, size_t n) {
+    n = std::min(n, used_);
+    if (n == 0) return 0;
+    if (dest) peek(dest, n);
+    pos_ = (pos_ + n) % data_.size();
+    used_ -= n;
+    return n;
+  }
+
+  void peek(float* dest, size_t n) const {
+    n = std::min(n, used_);
+    size_t first = std::min(n, data_.size() - pos_);
+    std::memcpy(dest, data_.data() + pos_, first * sizeof(float));
+    std::memcpy(dest + first, data_.data(), (n - first) * sizeof(float));
+  }
+
+ private:
+  void reserve(size_t n) {
+    if (data_.size() >= n) return;
+    size_t new_size = (n + kGrowStep) & ~(kGrowStep - 1);
+    std::vector<float> fresh(new_size);
+    if (used_) peek(fresh.data(), used_);
+    data_.swap(fresh);
+    pos_ = 0;
+  }
+
+  std::vector<float> data_ = std::vector<float>(kGrowStep);
+  size_t pos_ = 0;
+  size_t used_ = 0;
+};
+
+struct Stream {
+  std::timed_mutex mtx;
+  std::vector<Ring> rings;  // one per channel
+  int64_t capture_ts = 0;
+  int64_t audio_ts = 0;
+  uint8_t show = 1;
+};
+
+struct Engine {
+  int num_streams;
+  int channels;
+  int64_t window;      // fft_size (or waveform_samples) in samples
+  int64_t sample_rate;
+  int64_t ts_offset_ns;
+  std::vector<Stream> streams;
+};
+
+inline int64_t audio_sync(const Engine& e, const Stream& s, int64_t ts) {
+  int64_t audio_ts = s.audio_ts + e.ts_offset_ns;
+  int64_t delta = std::min<int64_t>(std::llabs(audio_ts - ts), kMaxTsDeltaNs);
+  return (audio_ts < ts) ? -delta : delta;
+}
+
+}  // namespace
+
+extern "C" {
+
+Engine* wf_create(int num_streams, int channels, long long window,
+                  long long sample_rate, long long ts_offset_ns,
+                  int prefill) {
+  auto* e = new Engine();
+  e->num_streams = num_streams;
+  e->channels = channels;
+  e->window = window;
+  e->sample_rate = sample_rate;
+  e->ts_offset_ns = ts_offset_ns;
+  e->streams = std::vector<Stream>(num_streams);
+  for (auto& s : e->streams) {
+    s.rings.resize(channels);
+    if (prefill)  // startup silence prefill (src/source.cpp:1243-1248)
+      for (auto& r : s.rings) r.push(nullptr, (size_t)window);
+  }
+  return e;
+}
+
+void wf_destroy(Engine* e) { delete e; }
+
+// Feed one packet for one stream. data is planar [channels, frames]
+// (contiguous), or nullptr for silence. Returns 0 if dropped on contention.
+int wf_feed(Engine* e, int stream, const float* data, int frames,
+            long long timestamp_ns, long long now_ns, int muted) {
+  Stream& s = e->streams[stream];
+  if (!s.mtx.try_lock_for(std::chrono::milliseconds(10))) return 0;
+  std::lock_guard<std::timed_mutex> lk(s.mtx, std::adopt_lock);
+  if (frames <= 0) return 1;
+
+  s.capture_ts = now_ns;
+  int64_t audio_len = frames_to_ns(e->sample_rate, frames);
+  if (std::llabs(timestamp_ns - now_ns) > kMaxTsDeltaNs)
+    s.audio_ts = now_ns;  // bogus timestamp (src/source.cpp:1833-1837)
+  else
+    s.audio_ts = timestamp_ns + audio_len;
+
+  int64_t dtaudio = audio_sync(*e, s, s.capture_ts);
+  int64_t dtsamples = dtaudio > 0 ? ns_to_frames(e->sample_rate, dtaudio) : 0;
+  size_t max_size = (size_t)(dtsamples + e->window);
+
+  for (int c = 0; c < e->channels; ++c) {
+    const float* src = (muted || !data) ? nullptr : data + (size_t)c * frames;
+    s.rings[c].push(src, (size_t)frames);
+    size_t sz = s.rings[c].size();
+    if (sz > max_size) s.rings[c].pop(nullptr, sz - max_size);
+  }
+  return 1;
+}
+
+// Batched feed: one packet for every stream, planar [S, C, frames].
+int wf_feed_batch(Engine* e, const float* data, int frames,
+                  long long timestamp_ns, long long now_ns, int muted) {
+  int ok = 0;
+  for (int i = 0; i < e->num_streams; ++i) {
+    const float* p =
+        data ? data + (size_t)i * e->channels * frames : nullptr;
+    ok += wf_feed(e, i, p, frames, timestamp_ns, now_ns, muted);
+  }
+  return ok;
+}
+
+// Spectrum-mode assembly: pop-to-sync + peek one full window per channel
+// (src/source_generic.cpp:50-61). out is [S, C, window]; valid is [S, C];
+// active is [S] (show && capture fresh).
+void wf_assemble(Engine* e, long long now_ns, float* out, unsigned char* valid,
+                 unsigned char* active) {
+  const int64_t W = e->window;
+  for (int i = 0; i < e->num_streams; ++i) {
+    Stream& s = e->streams[i];
+    std::lock_guard<std::timed_mutex> lk(s.mtx);
+    active[i] =
+        (s.show && (now_ns - s.capture_ts) <= kCaptureTimeoutNs) ? 1 : 0;
+    int64_t dtaudio = audio_sync(*e, s, now_ns);
+    int64_t dtsize =
+        W + (dtaudio > 0 ? ns_to_frames(e->sample_rate, dtaudio) : 0);
+    for (int c = 0; c < e->channels; ++c) {
+      Ring& r = s.rings[c];
+      float* dst = out + ((size_t)i * e->channels + c) * W;
+      if ((int64_t)r.size() >= dtsize) {
+        r.pop(nullptr, r.size() - (size_t)dtsize);
+        r.peek(dst, (size_t)W);
+        valid[i * e->channels + c] = 1;
+      } else {
+        std::memset(dst, 0, (size_t)W * sizeof(float));
+        valid[i * e->channels + c] = 0;
+      }
+    }
+  }
+}
+
+// Serving-mode assembly: consume up to H new samples per stream past the
+// sync reserve (device-ring push path, runtime/serving.py). out [S, C, H]
+// zero-padded; counts [S]; active [S].
+void wf_assemble_hop(Engine* e, long long now_ns, int H, float* out,
+                     int* counts, unsigned char* active) {
+  for (int i = 0; i < e->num_streams; ++i) {
+    Stream& s = e->streams[i];
+    std::lock_guard<std::timed_mutex> lk(s.mtx);
+    active[i] =
+        (s.show && (now_ns - s.capture_ts) <= kCaptureTimeoutNs) ? 1 : 0;
+    int64_t dtaudio = audio_sync(*e, s, now_ns);
+    int64_t reserve = dtaudio > 0 ? ns_to_frames(e->sample_rate, dtaudio) : 0;
+    int64_t avail = (int64_t)s.rings[0].size() - reserve;
+    int64_t take = std::clamp(avail, (int64_t)0, (int64_t)H);
+    counts[i] = (int)take;
+    for (int c = 0; c < e->channels; ++c) {
+      float* dst = out + ((size_t)i * e->channels + c) * H;
+      size_t got = s.rings[c].pop(dst, (size_t)take);
+      std::memset(dst + got, 0, ((size_t)H - got) * sizeof(float));
+    }
+  }
+}
+
+void wf_set_show(Engine* e, int stream, int show) {
+  e->streams[stream].show = (uint8_t)show;
+}
+
+void wf_detach(Engine* e, int stream) {  // source lost (src/source.cpp:722-749)
+  Stream& s = e->streams[stream];
+  std::lock_guard<std::timed_mutex> lk(s.mtx);
+  for (auto& r : s.rings) r.reset();
+  s.capture_ts = 0;
+  s.audio_ts = 0;
+}
+
+long long wf_ring_size(Engine* e, int stream, int channel) {
+  return (long long)e->streams[stream].rings[channel].size();
+}
+
+}  // extern "C"

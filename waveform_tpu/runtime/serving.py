@@ -53,7 +53,8 @@ class ServingEngine:
     """Batched device-resident spectrum serving for S streams."""
 
     def __init__(self, cfg: ResolvedConfig, num_streams: int,
-                 hop_budget: int | None = None, rfft_fn=None):
+                 hop_budget: int | None = None, rfft_fn=None,
+                 use_native: bool | None = None):
         if not cfg.spectrum_mode:
             raise ValueError("ServingEngine handles spectrum mode; use "
                              "WaveformEngine for meter/waveform modes")
@@ -74,6 +75,21 @@ class ServingEngine:
         self._batch_chunks: deque[np.ndarray] = deque()
         self._batch_queued = 0
         self._batch_mode = False
+
+        # native C++ assembler (waveform_tpu/native): per-stream rings +
+        # sync + batched hop assembly without per-stream Python work
+        self._native = None
+        if use_native or use_native is None:
+            try:
+                from ..native import NativeAssembler
+                self._native = NativeAssembler(
+                    num_streams, self.C, cfg.fft_size,
+                    cfg.audio.samples_per_sec, cfg.ts_offset_ns,
+                    prefill=False)
+            except (RuntimeError, OSError):
+                if use_native:
+                    raise
+                self._native = None
 
         self.ring = init_ring(num_streams, self.C, cfg.fft_size)
         self.state = init_state(cfg, num_streams)
@@ -112,8 +128,17 @@ class ServingEngine:
              now_ns: int | None = None, muted: bool = False) -> None:
         """Queue one packet ([channels, frames] float32 planar)."""
         now_ns = time.monotonic_ns() if now_ns is None else now_ns
-        p = self._pending[stream]
         cfg = self.cfg
+        if self._native is not None:
+            if data is not None:
+                data = np.asarray(
+                    data[cfg.channel_base:cfg.channel_base + self.C],
+                    np.float32)
+            self._native.feed(stream, data,
+                              timestamp_ns, now_ns, muted
+                              and not cfg.settings.ignore_mute)
+            return
+        p = self._pending[stream]
         frames = 0 if data is None else data.shape[-1]
         if frames == 0 or cfg.capture_channels == 0:
             return
@@ -167,6 +192,11 @@ class ServingEngine:
         cfg = self.cfg
         frames = data.shape[-1]
         if frames == 0 or cfg.capture_channels == 0:
+            return
+        if self._native is not None:
+            self._native.feed_batch(
+                np.asarray(data[:, cfg.channel_base:cfg.channel_base + self.C],
+                           np.float32), timestamp_ns, now_ns)
             return
         p = self._pending[0]  # shared sync bookkeeping
         p.capture_ts = now_ns
@@ -228,6 +258,16 @@ class ServingEngine:
         sr = cfg.audio.samples_per_sec
 
         rms = np.zeros(self.S, np.float32)
+        if self._native is not None:
+            new, counts, active = self._native.assemble_hop(
+                now_ns, self.H, out=self._push_buf)
+            pixels, self.ring, self.state = self._tick(
+                jnp.asarray(new), jnp.asarray(counts), self.ring,
+                self.state, jnp.float32(dt), jnp.asarray(active),
+                jnp.asarray(rms))
+            self._last_pixels = pixels
+            return pixels
+
         if self._batch_mode:
             counts, active = self._assemble_batch(now_ns)
             pixels, self.ring, self.state = self._tick(

@@ -1,0 +1,173 @@
+"""Aux subsystems: settings I/O, property sheet, profiler, wisdom, checkpoint."""
+
+import json
+import math
+
+import numpy as np
+import pytest
+
+from waveform_tpu import (
+    AudioInfo,
+    DisplayMode,
+    FFTWindow,
+    RenderMode,
+    RGBA,
+    Settings,
+    TSmoothingMode,
+    resolve,
+)
+from waveform_tpu.core.properties import (
+    PROPERTIES,
+    PROPERTY_MAP,
+    visible_properties,
+)
+from waveform_tpu.core.settings_io import (
+    load_settings,
+    save_settings,
+    settings_from_obs,
+    settings_to_obs,
+)
+from waveform_tpu.runtime.profiler import FrameProfiler, fft_mflops
+
+
+def test_settings_roundtrip(tmp_path):
+    s = Settings(fft_size=2048, window=FFTWindow.BLACKMAN,
+                 display_mode=DisplayMode.STEPPED_BAR, gravity=0.3,
+                 color_base=RGBA(1.0, 0.5, 0.0, 1.0), slope=1.5)
+    p = tmp_path / "settings.json"
+    save_settings(str(p), s)
+    s2 = load_settings(str(p))
+    assert s2.fft_size == 2048
+    assert s2.window == FFTWindow.BLACKMAN
+    assert s2.display_mode == DisplayMode.STEPPED_BAR
+    assert abs(s2.color_base.g - 0.5) < 1 / 255
+    assert s2.color_base.a == 1.0
+
+
+def test_settings_from_obs_scene_json():
+    """The exact key/value shapes OBS scene collections store for the
+    reference plugin parse directly."""
+    obs_block = {
+        "audio_source": "Desktop Audio",
+        "display_mode": "bars",
+        "window": "blackman_harris",
+        "fft_size": 4096,
+        "gravity": 0.65,
+        "temporal_smoothing": "exp_moving_avg",
+        "color_base": 0xFF00FF00,     # ABGR packed int: green, opaque
+        "bar_width": 12,
+        "some_obs_internal_key": {"ignored": True},
+        "interp_mode": "lanczos",
+    }
+    s = settings_from_obs(obs_block)
+    assert s.display_mode == DisplayMode.BAR
+    assert s.window == FFTWindow.BLACKMAN_HARRIS
+    assert s.color_base.g == 1.0 and s.color_base.r == 0.0
+    assert s.color_base.a == 1.0
+    assert s.bar_width == 12
+    # unknown enum strings keep defaults, like the reference's p_equ chain
+    s2 = settings_from_obs({"window": "kaiser"})
+    assert s2.window == FFTWindow.HANN
+
+
+def test_settings_to_obs_color_packing():
+    d = settings_to_obs(Settings(color_crest=RGBA(1, 0, 0, 1)))
+    assert d["color_crest"] == 0xFF0000FF  # A<<24 | B<<16 | G<<8 | R
+
+
+def test_property_sheet_covers_settings():
+    from dataclasses import fields
+    keys = {f.name for f in fields(Settings)}
+    assert {p.key for p in PROPERTIES} == keys
+    assert PROPERTY_MAP["fft_size"].minimum == 128
+    assert PROPERTY_MAP["gravity"].step == 0.01
+
+
+def test_visibility_rules():
+    # curve defaults: bar/step geometry hidden, fft controls visible
+    vis = visible_properties(Settings())
+    assert "fft_size" in vis and "bar_width" not in vis
+    assert "gravity" in vis and "sine_exponent" not in vis
+    assert "deadzone" not in vis  # radial off
+    # meter mode: spectral controls hidden, rms/meter_buf visible
+    vis = visible_properties(Settings(display_mode=DisplayMode.METER))
+    assert "rms_mode" in vis and "meter_buf" in vis
+    assert "fft_size" not in vis and "window" not in vis
+    assert "normalize_volume" not in vis
+    # stepped bars show step geometry
+    vis = visible_properties(Settings(display_mode=DisplayMode.STEPPED_BAR))
+    assert {"step_width", "step_gap", "bar_width"} <= vis
+    assert "rounded_caps" not in vis
+    # pulse render shows pulse_mode + grad_ratio
+    vis = visible_properties(Settings(render_mode=RenderMode.PULSE))
+    assert {"pulse_mode", "grad_ratio"} <= vis
+    assert "range_middle" not in vis
+    # power-of-sine exposes the exponent
+    vis = visible_properties(Settings(window=FFTWindow.POWER_OF_SINE))
+    assert "sine_exponent" in vis
+
+
+def test_fft_mflops_definition():
+    # 2.5·N·log2(N)/t for real transforms (libbench2/mflops.c)
+    assert fft_mflops(4096, 1.0, real_input=True) == pytest.approx(
+        2.5 * 4096 * 12 / 1e6)
+    assert fft_mflops(4096, 1.0, real_input=False) == pytest.approx(
+        5 * 4096 * 12 / 1e6)
+
+
+def test_frame_profiler():
+    import time
+    prof = FrameProfiler(num_streams=8, fft_size=1024)
+    for _ in range(5):
+        with prof.tick():
+            time.sleep(0.001)
+    st = prof.stats()
+    assert st["ticks"] == 5
+    assert st["ms_per_tick"] >= 1.0
+    assert st["frames_per_sec"] == pytest.approx(8 / (st["ms_per_tick"] / 1e3))
+    assert st["p99_ms"] >= st["p50_ms"]
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    from waveform_tpu.runtime.serving import ServingEngine
+    NS, SR = 1_000_000_000, 48000
+    cfg = resolve(Settings(fft_size=1024), AudioInfo(SR, 2))
+    eng = ServingEngine(cfg, 2)
+    now = NS
+    for k in range(10):
+        x = rng.standard_normal((2, 2, 480)).astype(np.float32)
+        for s in range(2):
+            eng.feed(s, x[s], now, now_ns=now)
+        now += 480 * NS // SR
+        eng.tick(now_ns=now)
+    before = eng.read_decibels()
+    p = str(tmp_path / "state.npz")
+    eng.save_state(p)
+
+    eng2 = ServingEngine(cfg, 2)
+    eng2.load_state(p)
+    np.testing.assert_array_equal(eng2.read_decibels(), before)
+    np.testing.assert_array_equal(np.asarray(eng2.ring.buf),
+                                  np.asarray(eng.ring.buf))
+    # mismatched stream count is rejected, not silently wrong
+    eng3 = ServingEngine(cfg, 4)
+    with pytest.raises(ValueError, match="shape"):
+        eng3.load_state(p)
+
+
+def test_wisdom_cache(tmp_path):
+    from waveform_tpu.utils import wisdom
+    d = wisdom.enable(str(tmp_path / "cache"))
+    cfg = resolve(Settings(fft_size=256), AudioInfo(48000, 2))
+    wisdom.warm(cfg, num_streams=2)
+    import os
+    assert os.path.isdir(d)
+
+
+def test_startup_banner(capsys):
+    from waveform_tpu.utils.log import get_logger, log_startup_banner
+    log_startup_banner()
+    # logger writes to stderr via its handler
+    err = capsys.readouterr().err
+    assert "Waveform-TPU v" in err
+    assert "Backend:" in err

@@ -255,3 +255,44 @@ def test_volume_normalization_rms_window():
     src.prepare_spectrum_tick(end, 1 / 60)
     # RMS window of squared max-channel samples: all 0.25 → rms 0.5
     np.testing.assert_allclose(src.input_rms, 0.5, atol=0.01)
+
+
+def test_contention_drops_packet():
+    """The audio callback drops its packet when the tick holds the lock
+    longer than 10 ms (src/source.cpp:1822-1823 backpressure)."""
+    import threading
+    import time as _time
+    cfg = cfg_for(fft_size=1024)
+    src = StreamSource(cfg)
+    src._lock.acquire()
+    try:
+        t0 = _time.monotonic()
+        ok = src.capture_audio(np.ones((2, 480), np.float32), NS, now_ns=NS)
+        waited = _time.monotonic() - t0
+    finally:
+        src._lock.release()
+    assert not ok            # dropped
+    assert 0.009 < waited < 0.5  # gave up after ~10ms
+    # non-blocking variant returns immediately
+    src._lock.acquire()
+    try:
+        ok = src.capture_audio(np.ones((2, 480), np.float32), NS, now_ns=NS,
+                               blocking=False)
+    finally:
+        src._lock.release()
+    assert not ok
+
+
+def test_fault_injection_stale_timestamps():
+    """Audio stamped far in the past is treated as stale: the sync reserve
+    is 0, the ring trims to one window, display shows the latest samples."""
+    cfg = cfg_for(fft_size=1024, temporal_smoothing=TSmoothingMode.NONE)
+    src = StreamSource(cfg)
+    now = 100 * NS
+    ramp = np.arange(4800, dtype=np.float32) / 4800
+    # stamped 10 s in the past (but < 16 s clamp)
+    src.capture_audio(np.stack([ramp, ramp]), now - 10 * NS, now_ns=now)
+    tick = src.prepare_spectrum_tick(now, 1 / 60)
+    assert tick.valid.all()
+    # window is the ramp tail (latest audio), not zeros
+    assert tick.frame[0, -1] == ramp[-1]

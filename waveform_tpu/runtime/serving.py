@@ -338,3 +338,15 @@ class ServingEngine:
 
     def read_decibels(self) -> np.ndarray:
         return np.asarray(display_decibels(self.cfg, self.state))
+
+    # ------------------------------------------------------------------
+
+    def save_state(self, path: str) -> None:
+        """Checkpoint device state (EMA trails, dB buffers, latches, ring)."""
+        from ..utils.checkpoint import save_pytree
+        save_pytree(path, (self.state, self.ring))
+
+    def load_state(self, path: str) -> None:
+        """Resume a checkpoint into this engine (same config + stream count)."""
+        from ..utils.checkpoint import load_pytree
+        self.state, self.ring = load_pytree(path, (self.state, self.ring))

@@ -171,3 +171,33 @@ def test_startup_banner(capsys):
     err = capsys.readouterr().err
     assert "Waveform-TPU v" in err
     assert "Backend:" in err
+
+
+def test_locale_labels():
+    from waveform_tpu.core.locale import LOCALES, label
+    assert set(LOCALES) == {"en-US", "zh-CN", "zh-TW", "it-IT"}
+    # every property key resolves in every locale
+    from waveform_tpu.core.properties import PROPERTY_MAP
+    for loc in LOCALES:
+        for key in PROPERTY_MAP:
+            assert label(key, loc)
+    assert label("fft_size", "zh-CN") == "FFT 大小"
+    assert label("fft_size", "it-IT") == "Dimensione FFT"
+    assert label("fft_size", "xx-XX") == "FFT size"  # fallback to en-US
+
+
+def test_demo_wav_reader(tmp_path):
+    import wave
+    from waveform_tpu.demo import read_wav
+    sr = 8000
+    x = (np.sin(2 * np.pi * 440 * np.arange(800) / sr))
+    pcm = (x * 32767).astype(np.int16)
+    p = str(tmp_path / "t.wav")
+    with wave.open(p, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(pcm.tobytes())
+    audio, got_sr = read_wav(p)
+    assert got_sr == sr and audio.shape == (1, 800)
+    np.testing.assert_allclose(audio[0], x, atol=1e-4)

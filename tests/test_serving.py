@@ -130,3 +130,32 @@ def test_native_vs_python_serving_paths():
             e.tick(now_ns=now)
     a, b = engines[0].read_decibels(), engines[1].read_decibels()
     np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+def test_serving_volume_normalization():
+    """Device-resident RMS window: gain = min(target - dbfs(rms), max_gain)
+    applied to bins >= 1 (src/source_generic.cpp:161-167)."""
+    base = dict(fft_size=1024, temporal_smoothing=TSmoothingMode.NONE,
+                window=FFTWindow.NONE)
+    quiet_amp = 0.1
+    engines = {}
+    for norm in (False, True):
+        cfg = resolve(Settings(normalize_volume=norm, volume_target=-8,
+                               max_gain=30, **base), AudioInfo(SR, 2))
+        eng = ServingEngine(cfg, 1)
+        now = NS
+        t_ph = 0
+        for k in range(80):  # > 1 s so the RMS window fills
+            t = (np.arange(800) + t_ph) / SR
+            x = (quiet_amp * np.sin(2 * np.pi * 1125 * t)).astype(np.float32)  # bin-exact
+            eng.feed(0, np.stack([x, x]), now, now_ns=now)
+            t_ph += 800
+            now += 800 * NS // SR
+            eng.tick(now_ns=now)
+        engines[norm] = eng.read_decibels()
+    peak_raw = engines[False][0, 0].max()
+    peak_norm = engines[True][0, 0].max()
+    # raw peak ~ 20log10(0.1) = -20 dB; rms of 0.1 sine ~ 0.0707 -> dbfs -23
+    # gain = min(-8 - (-23), 30) = 15 dB
+    assert abs(peak_raw - (-20.0)) < 0.5
+    assert abs((peak_norm - peak_raw) - 15.0) < 0.7

@@ -58,10 +58,6 @@ class ServingEngine:
         if not cfg.spectrum_mode:
             raise ValueError("ServingEngine handles spectrum mode; use "
                              "WaveformEngine for meter/waveform modes")
-        if cfg.normalize_volume:
-            raise NotImplementedError(
-                "volume normalization on the serving path is not wired up "
-                "yet; use WaveformEngine")
         self.cfg = cfg
         self.S = num_streams
         self.C = max(cfg.capture_channels, 1)
@@ -94,32 +90,57 @@ class ServingEngine:
         self.ring = init_ring(num_streams, self.C, cfg.fft_size)
         self.state = init_state(cfg, num_streams)
 
+        # device-resident volume-normalization RMS window: the reference
+        # keeps a 1 s host ring of per-timepoint max-channel squares
+        # (src/source.cpp:1843-1871, 810-835); here it rides the same
+        # device-ring mechanism as the samples, synced by construction
+        self._normalize = cfg.normalize_volume
+        if self._normalize:
+            self.rms_ring = init_ring(num_streams, 1, cfg.input_rms_size)
+        else:
+            self.rms_ring = None
+
         step = make_spectrum_step(cfg, **({} if rfft_fn is None else
                                           {"rfft_fn": rfft_fn}))
         rebin = make_rebin_fn(cfg, apply_pixel_map=False)
+        normalize = self._normalize
+        rms_size = cfg.input_rms_size
 
         def fused_tick(new, counts, ring: DeviceRing, state: SpectrumState,
-                       dt, active, rms):
+                       dt, active, rms, rms_ring: DeviceRing | None = None):
             ring = push(ring, new, counts)
+            if normalize and rms_ring is not None:
+                sq = jnp.max(jnp.abs(new), axis=1, keepdims=True) ** 2
+                rms_ring = push(rms_ring, sq, counts)
+                rms = jnp.sqrt(jnp.sum(rms_ring.buf[:, 0], axis=-1)
+                               / rms_size)
             state = step(ring.buf, state, dt, active, rms)
             pixels = rebin(display_decibels(cfg, state))
-            return pixels, ring, state
+            return pixels, ring, state, rms_ring
 
-        self._tick = jax.jit(fused_tick, donate_argnums=(2, 3))
+        self._tick = jax.jit(fused_tick, donate_argnums=(2, 3, 7))
 
-        def scan_ticks(new_T, counts_T, ring, state, dt, active_T, rms):
+        def scan_ticks(new_T, counts_T, ring, state, dt, active_T, rms,
+                       rms_ring=None):
             """T ticks in one dispatch (bulk/offline processing)."""
             def body(carry, xs):
-                ring, state = carry
+                ring, state, rms_ring = carry
                 new, counts, active = xs
                 ring = push(ring, new, counts)
-                state = step(ring.buf, state, dt, active, rms)
-                return (ring, state), rebin(display_decibels(cfg, state))
-            (ring, state), pxs = jax.lax.scan(body, (ring, state),
-                                              (new_T, counts_T, active_T))
-            return pxs, ring, state
+                r = rms
+                if normalize and rms_ring is not None:
+                    sq = jnp.max(jnp.abs(new), axis=1, keepdims=True) ** 2
+                    rms_ring = push(rms_ring, sq, counts)
+                    r = jnp.sqrt(jnp.sum(rms_ring.buf[:, 0], axis=-1)
+                                 / rms_size)
+                state = step(ring.buf, state, dt, active, r)
+                return ((ring, state, rms_ring),
+                        rebin(display_decibels(cfg, state)))
+            (ring, state, rms_ring), pxs = jax.lax.scan(
+                body, (ring, state, rms_ring), (new_T, counts_T, active_T))
+            return pxs, ring, state, rms_ring
 
-        self._scan_ticks = jax.jit(scan_ticks, donate_argnums=(2, 3))
+        self._scan_ticks = jax.jit(scan_ticks, donate_argnums=(2, 3, 7))
         self._last_pixels = None
 
     # ------------------------------------------------------------------
@@ -261,19 +282,19 @@ class ServingEngine:
         if self._native is not None:
             new, counts, active = self._native.assemble_hop(
                 now_ns, self.H, out=self._push_buf)
-            pixels, self.ring, self.state = self._tick(
+            pixels, self.ring, self.state, self.rms_ring = self._tick(
                 jnp.asarray(new), jnp.asarray(counts), self.ring,
                 self.state, jnp.float32(dt), jnp.asarray(active),
-                jnp.asarray(rms))
+                jnp.asarray(rms), self.rms_ring)
             self._last_pixels = pixels
             return pixels
 
         if self._batch_mode:
             counts, active = self._assemble_batch(now_ns)
-            pixels, self.ring, self.state = self._tick(
+            pixels, self.ring, self.state, self.rms_ring = self._tick(
                 jnp.asarray(self._push_buf), jnp.asarray(counts), self.ring,
                 self.state, jnp.float32(dt), jnp.asarray(active),
-                jnp.asarray(rms))
+                jnp.asarray(rms), self.rms_ring)
             self._last_pixels = pixels
             return pixels
 
@@ -301,10 +322,10 @@ class ServingEngine:
                 p.queued -= use
                 got += use
 
-        pixels, self.ring, self.state = self._tick(
+        pixels, self.ring, self.state, self.rms_ring = self._tick(
             jnp.asarray(self._push_buf), jnp.asarray(counts), self.ring,
             self.state, jnp.float32(dt), jnp.asarray(active),
-            jnp.asarray(rms))
+            jnp.asarray(rms), self.rms_ring)
         self._last_pixels = pixels
         return pixels
 
@@ -326,9 +347,10 @@ class ServingEngine:
             active = jnp.ones((T, S), bool)
         dt = (1.0 / self.cfg.fps) if dt is None else dt
         rms = jnp.zeros(S, jnp.float32)
-        pxs, self.ring, self.state = self._scan_ticks(
+        pxs, self.ring, self.state, self.rms_ring = self._scan_ticks(
             jnp.asarray(new_samples, jnp.float32), jnp.asarray(counts),
-            self.ring, self.state, jnp.float32(dt), jnp.asarray(active), rms)
+            self.ring, self.state, jnp.float32(dt), jnp.asarray(active), rms,
+            self.rms_ring)
         self._last_pixels = pxs[-1]
         return pxs
 
@@ -344,9 +366,10 @@ class ServingEngine:
     def save_state(self, path: str) -> None:
         """Checkpoint device state (EMA trails, dB buffers, latches, ring)."""
         from ..utils.checkpoint import save_pytree
-        save_pytree(path, (self.state, self.ring))
+        save_pytree(path, (self.state, self.ring, self.rms_ring))
 
     def load_state(self, path: str) -> None:
         """Resume a checkpoint into this engine (same config + stream count)."""
         from ..utils.checkpoint import load_pytree
-        self.state, self.ring = load_pytree(path, (self.state, self.ring))
+        self.state, self.ring, self.rms_ring = load_pytree(
+            path, (self.state, self.ring, self.rms_ring))

@@ -116,3 +116,13 @@ def test_point_bar_truncation_semantics(rng):
     widths = oracle.band_widths(edges, cfg.num_bars)
     want = oracle.apply_interp_bars(db[0, 0], edges, widths, InterpMode.POINT)
     np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_band_widths_reference_truncation():
+    """The reference truncates the float difference, not each edge index
+    ((int)(idx[i+1]-idx[i]), src/source.cpp:871)."""
+    idx = np.array([1.9, 3.1, 4.05, 7.9])
+    w = oracle.band_widths(idx, 3)
+    # diffs: 1.2 -> 1, 0.95 -> max(0,1)=1, 3.85 -> 3
+    np.testing.assert_array_equal(w, [1, 1, 3])
+    # per-index truncation would give [3-1, 4-3, 7-4] = [2, 1, 3] — wrong

@@ -9,6 +9,7 @@ from waveform_tpu import (
     DB_MIN,
     DisplayMode,
     InterpMode,
+    PulseMode,
     RenderMode,
     RGBA,
     Settings,
@@ -187,3 +188,70 @@ def test_png_roundtrip(tmp_path):
     assert data[:8] == b"\x89PNG\r\n\x1a\n"
     assert b"IEND" in data
     assert to_rgba8(img).shape == (64, 64, 4)
+
+
+def test_pulse_frequency_mode():
+    """Pulse color follows the peak's position when pulse_mode=frequency
+    (src/source.cpp:1700)."""
+    from waveform_tpu import PulseMode
+    import jax.numpy as jnp
+    base = dict(fft_size=256, width=100, height=100, floor=-100, ceiling=0,
+                render_mode=RenderMode.PULSE, pulse_mode=PulseMode.FREQUENCY,
+                color_base=RGBA(0, 0, 1, 1), color_crest=RGBA(1, 0, 0, 1),
+                interp_mode=InterpMode.POINT, grad_ratio=1.0)
+    cfg = cfg_for(**base)
+    render = make_renderer(cfg)
+    nbins = 128
+    # peak near the low end vs near the high end of the pixel axis
+    # wide peaks: point-mode log sampling skips single bins near the top
+    # of the axis (several bins per pixel), faithfully to the reference
+    lo = np.full((1, nbins), -90.0, np.float32)
+    lo[0, 2:5] = -5.0
+    hi = np.full((1, nbins), -90.0, np.float32)
+    hi[0, 75:90] = -5.0  # within the 17.5 kHz cutoff (highbin ~93 at 48k)
+    img_lo = np.asarray(render(lo))
+    img_hi = np.asarray(render(hi))
+    c_lo = img_lo[img_lo[..., 3] > 0][0]
+    c_hi = img_hi[img_hi[..., 3] > 0][0]
+    # low-frequency peak -> t small -> blue; high-frequency peak -> red-ish
+    assert c_lo[2] > c_lo[0]
+    assert c_hi[0] > c_lo[0]
+
+
+def test_mirror_bars():
+    from waveform_tpu import resolve as _r
+    cfg = cfg_for(fft_size=512, width=300, display_mode=DisplayMode.BAR,
+                  bar_width=20, bar_gap=5, mirror_freq_axis=True,
+                  floor=-100, ceiling=0, interp_mode=InterpMode.POINT)
+    render = make_renderer(cfg)
+    db = np.linspace(-10, -90, 256, dtype=np.float32)[None]
+    img = np.asarray(render(db))
+    # bar heights mirror about the middle bar (12 bars, half=6)
+    heights = []
+    for b in range(cfg.num_bars):
+        col = img[:, b * 25 + 5, 3]
+        nz = np.nonzero(col)[0]
+        heights.append(nz.min() if len(nz) else cfg.height)
+    half = cfg.num_bars // 2
+    for i in range(half + 1, cfg.num_bars):
+        assert heights[i] == heights[half - (i - half)]
+
+
+def test_single_channel_end_to_end(rng):
+    """Single-channel mode picks the configured channel only."""
+    from waveform_tpu.runtime.engine import WaveformEngine
+    NS, SR = 1_000_000_000, 48000
+    cfg = cfg_for(fft_size=1024, channel_mode=ChannelMode.SINGLE, channel=1,
+                  audio=AudioInfo(SR, 2))
+    assert cfg.capture_channels == 1 and cfg.channel_base == 1
+    eng = WaveformEngine(cfg, 1, jit=False)
+    now = NS
+    for k in range(20):
+        t = (np.arange(480) + k * 480) / SR
+        ch0 = np.sin(2 * np.pi * 3000 * t).astype(np.float32)
+        ch1 = np.sin(2 * np.pi * 9000 * t).astype(np.float32)
+        eng.feed(0, np.stack([ch0, ch1]), now, now_ns=now)
+        now += 480 * NS // SR
+    db = eng.tick(now_ns=now)
+    pk = int(np.argmax(db[0, 0])) * SR / cfg.fft_size
+    assert abs(pk - 9000) < 2 * SR / cfg.fft_size  # channel 1's tone

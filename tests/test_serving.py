@@ -159,3 +159,81 @@ def test_serving_volume_normalization():
     # gain = min(-8 - (-23), 30) = 15 dB
     assert abs(peak_raw - (-20.0)) < 0.5
     assert abs((peak_norm - peak_raw) - 15.0) < 0.7
+
+
+def test_mute_does_not_poison_rms():
+    """The normalization RMS derives from raw pre-mute samples
+    (src/source.cpp:1843-1871 runs before the mute zero-fill), so a muted
+    stream keeps its gain instead of snapping to max_gain on unmute."""
+    cfg = resolve(Settings(fft_size=1024, normalize_volume=True,
+                           volume_target=-8, max_gain=30,
+                           temporal_smoothing=TSmoothingMode.NONE,
+                           window=FFTWindow.NONE), AudioInfo(SR, 2))
+    for use_native in (False, True):
+        from waveform_tpu.native import load_library
+        if use_native and load_library() is None:
+            continue
+        eng = ServingEngine(cfg, 1, use_native=use_native)
+        now = NS
+        ph = 0
+
+        def feed(muted, n_ticks):
+            nonlocal now, ph
+            for _ in range(n_ticks):
+                t = (np.arange(800) + ph) / SR
+                x = (0.25 * np.sin(2 * np.pi * 1125 * t)).astype(np.float32)
+                eng.feed(0, np.stack([x, x]), now, now_ns=now, muted=muted)
+                ph += 800
+                now += 800 * NS // SR
+                eng.tick(now_ns=now)
+
+        feed(False, 80)   # 1.3 s unmuted: RMS window fills at 0.25/sqrt(2)
+        db_before = eng.read_decibels()[0, 0].max()
+        feed(True, 30)    # 0.5 s muted: spectrum silent, RMS must NOT decay
+        feed(False, 2)    # unmute
+        db_after = eng.read_decibels()[0, 0].max()
+        # gain identical before and after the mute (no max_gain blast)
+        assert abs(db_after - db_before) < 0.5, (use_native, db_before,
+                                                 db_after)
+
+
+def test_short_channel_packet_zero_fills():
+    """A mono packet into a stereo engine zero-fills channel 1 (the
+    reference nullptr-checks audio->data[i] per channel)."""
+    cfg = resolve(Settings(fft_size=512,
+                           temporal_smoothing=TSmoothingMode.NONE),
+                  AudioInfo(SR, 2))
+    for use_native in (False, True):
+        from waveform_tpu.native import load_library
+        if use_native and load_library() is None:
+            continue
+        eng = ServingEngine(cfg, 1, use_native=use_native)
+        now = NS
+        for k in range(10):
+            x = np.ones((1, 480), np.float32) * 0.5  # mono packet
+            eng.feed(0, x, now, now_ns=now)
+            now += 480 * NS // SR
+            eng.tick(now_ns=now)
+        buf = np.asarray(eng.ring.buf)
+        assert (buf[0, 0, -400:] == 0.5).all()
+        assert (buf[0, 1] == 0.0).all(), use_native
+
+
+def test_dead_source_stays_dark():
+    """capture_channels == 0 (invalid single-channel index) must not ingest
+    audio on either path (reference capture_audio early-returns)."""
+    from waveform_tpu import ChannelMode, DB_MIN
+    cfg = resolve(Settings(channel_mode=ChannelMode.SINGLE, channel=5,
+                           fft_size=512), AudioInfo(SR, 2))
+    assert cfg.capture_channels == 0
+    for use_native in (False, True):
+        from waveform_tpu.native import load_library
+        if use_native and load_library() is None:
+            continue
+        eng = ServingEngine(cfg, 1, use_native=use_native)
+        now = NS
+        for k in range(10):
+            eng.feed(0, np.ones((2, 480), np.float32), now, now_ns=now)
+            now += 480 * NS // SR
+            eng.tick(now_ns=now)
+        assert (eng.read_decibels() == DB_MIN).all(), use_native

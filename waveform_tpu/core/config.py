@@ -283,12 +283,7 @@ def resolve(settings: Settings, audio: AudioInfo | None = None,
             capture_channels = min(capture_channels, 1)
     else:
         channel_base = 0
-    if meter_mode or channel_mode != ChannelMode.STEREO:
-        stereo_resolved = False
-    else:
-        stereo_resolved = True
-    if not stereo_resolved:
-        channel_spacing = 0 if channel_mode != ChannelMode.STEREO else channel_spacing
+    stereo_resolved = not meter_mode and channel_mode == ChannelMode.STEREO
 
     # --- per-mode fixups (source.cpp:1106-1143) ---
     window = s.window

@@ -110,6 +110,8 @@ def main(argv=None) -> int:
         with prof.tick():
             engine.tick(now_ns=now)
         if k % args.every == 0:
+            if settings.hide_on_silent and bool(engine.last_silent[0]):
+                continue  # render() early-return (src/source.cpp:1349-1350)
             db = engine.read_decibels()
             img = np.asarray(render(db[0]))
             write_png(os.path.join(args.out, f"frame_{k:06d}.png"), img)

@@ -169,10 +169,12 @@ def interp_indices(cfg: ResolvedConfig, sz: int) -> np.ndarray:
 
 
 def band_widths(indices: np.ndarray, num_bars: int) -> np.ndarray:
-    """Bins per bar band (src/source.cpp:866-871); indices has num_bars+1 entries."""
+    """Bins per bar band (src/source.cpp:866-871); indices has num_bars+1
+    entries.  NOTE the reference truncates the float *difference*
+    ((int)(idx[i+1]-idx[i])), not each index."""
     w = np.empty(num_bars, dtype=np.int64)
     for i in range(num_bars):
-        w[i] = max(int(indices[i + 1]) - int(indices[i]), 1)
+        w[i] = max(int(indices[i + 1] - indices[i]), 1)
     return w
 
 

@@ -49,10 +49,11 @@ def load_library():
         if path is None:
             return None
         lib = ctypes.CDLL(path)
-        lib.wf_create.restype = ctypes.c_void_p
-        lib.wf_create.argtypes = [ctypes.c_int, ctypes.c_int,
-                                  ctypes.c_longlong, ctypes.c_longlong,
-                                  ctypes.c_longlong, ctypes.c_int]
+        lib.wf_create2.restype = ctypes.c_void_p
+        lib.wf_create2.argtypes = [ctypes.c_int, ctypes.c_int,
+                                   ctypes.c_longlong, ctypes.c_longlong,
+                                   ctypes.c_longlong, ctypes.c_int,
+                                   ctypes.c_int]
         lib.wf_destroy.argtypes = [ctypes.c_void_p]
         lib.wf_feed.restype = ctypes.c_int
         lib.wf_feed.argtypes = [ctypes.c_void_p, ctypes.c_int,
@@ -69,6 +70,10 @@ def load_library():
         lib.wf_assemble_hop.argtypes = [ctypes.c_void_p, ctypes.c_longlong,
                                         ctypes.c_int, ctypes.c_void_p,
                                         ctypes.c_void_p, ctypes.c_void_p]
+        lib.wf_assemble_hop_rms.argtypes = [
+            ctypes.c_void_p, ctypes.c_longlong, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p]
         lib.wf_set_show.argtypes = [ctypes.c_void_p, ctypes.c_int,
                                     ctypes.c_int]
         lib.wf_detach.argtypes = [ctypes.c_void_p, ctypes.c_int]
@@ -84,15 +89,15 @@ class NativeAssembler:
 
     def __init__(self, num_streams: int, channels: int, window: int,
                  sample_rate: int, ts_offset_ns: int = 0,
-                 prefill: bool = True):
+                 prefill: bool = True, rms: bool = False):
         lib = load_library()
         if lib is None:
             raise RuntimeError("native assembler unavailable (g++ missing "
                                "or build failed)")
         self._lib = lib
-        self._h = ctypes.c_void_p(lib.wf_create(
+        self._h = ctypes.c_void_p(lib.wf_create2(
             num_streams, channels, window, sample_rate, ts_offset_ns,
-            1 if prefill else 0))
+            1 if prefill else 0, 1 if rms else 0))
         self.S, self.C, self.W = num_streams, channels, window
 
     def __del__(self):
@@ -107,6 +112,12 @@ class NativeAssembler:
             return bool(self._lib.wf_feed(self._h, stream, None, 0,
                                           timestamp_ns, now_ns, 1))
         data = np.ascontiguousarray(data, np.float32)
+        if data.shape[0] < self.C:
+            # zero-fill missing channels (the reference nullptr-checks
+            # audio->data[i] per channel, src/source.cpp:1878-1881)
+            pad = np.zeros((self.C - data.shape[0], data.shape[-1]),
+                           np.float32)
+            data = np.ascontiguousarray(np.vstack([data, pad]))
         return bool(self._lib.wf_feed(
             self._h, stream, data.ctypes.data_as(ctypes.c_void_p),
             data.shape[-1], timestamp_ns, now_ns, 1 if muted else 0))
@@ -144,6 +155,25 @@ class NativeAssembler:
                                   counts.ctypes.data_as(ctypes.c_void_p),
                                   active.ctypes.data_as(ctypes.c_void_p))
         return out, counts, active.astype(bool)
+
+    def assemble_hop_rms(self, now_ns: int, hop_budget: int,
+                         out: np.ndarray | None = None,
+                         rms_out: np.ndarray | None = None):
+        """Serving mode + raw-squares drain: (new, rms_sq [S,H], counts,
+        active). Engine must be created with rms=True."""
+        H = hop_budget
+        if out is None:
+            out = np.empty((self.S, self.C, H), np.float32)
+        if rms_out is None:
+            rms_out = np.empty((self.S, H), np.float32)
+        counts = np.empty(self.S, np.int32)
+        active = np.empty(self.S, np.uint8)
+        self._lib.wf_assemble_hop_rms(
+            self._h, now_ns, H, out.ctypes.data_as(ctypes.c_void_p),
+            rms_out.ctypes.data_as(ctypes.c_void_p),
+            counts.ctypes.data_as(ctypes.c_void_p),
+            active.ctypes.data_as(ctypes.c_void_p))
+        return out, rms_out, counts, active.astype(bool)
 
     def set_show(self, stream: int, show: bool) -> None:
         self._lib.wf_set_show(self._h, stream, 1 if show else 0)

@@ -21,6 +21,7 @@
 // C ABI only; bound from Python with ctypes (no pybind11 in this image).
 
 #include <algorithm>
+#include <cmath>
 #include <atomic>
 #include <chrono>
 #include <cstdint>
@@ -98,6 +99,9 @@ class Ring {
 struct Stream {
   std::timed_mutex mtx;
   std::vector<Ring> rings;  // one per channel
+  Ring rms_ring;            // per-timepoint max-channel squares (raw,
+                            // pre-mute: src/source.cpp:1843-1871 computes the
+                            // normalization RMS before the mute zero-fill)
   int64_t capture_ts = 0;
   int64_t audio_ts = 0;
   uint8_t show = 1;
@@ -109,7 +113,9 @@ struct Engine {
   int64_t window;      // fft_size (or waveform_samples) in samples
   int64_t sample_rate;
   int64_t ts_offset_ns;
+  int rms_enabled = 0;
   std::vector<Stream> streams;
+  std::vector<float> rms_scratch;  // one packet of squared peaks
 };
 
 inline int64_t audio_sync(const Engine& e, const Stream& s, int64_t ts) {
@@ -122,15 +128,16 @@ inline int64_t audio_sync(const Engine& e, const Stream& s, int64_t ts) {
 
 extern "C" {
 
-Engine* wf_create(int num_streams, int channels, long long window,
-                  long long sample_rate, long long ts_offset_ns,
-                  int prefill) {
+Engine* wf_create2(int num_streams, int channels, long long window,
+                   long long sample_rate, long long ts_offset_ns,
+                   int prefill, int rms_enabled) {
   auto* e = new Engine();
   e->num_streams = num_streams;
   e->channels = channels;
   e->window = window;
   e->sample_rate = sample_rate;
   e->ts_offset_ns = ts_offset_ns;
+  e->rms_enabled = rms_enabled;
   e->streams = std::vector<Stream>(num_streams);
   for (auto& s : e->streams) {
     s.rings.resize(channels);
@@ -138,6 +145,13 @@ Engine* wf_create(int num_streams, int channels, long long window,
       for (auto& r : s.rings) r.push(nullptr, (size_t)window);
   }
   return e;
+}
+
+Engine* wf_create(int num_streams, int channels, long long window,
+                  long long sample_rate, long long ts_offset_ns,
+                  int prefill) {
+  return wf_create2(num_streams, channels, window, sample_rate, ts_offset_ns,
+                    prefill, /*rms_enabled=*/0);
 }
 
 void wf_destroy(Engine* e) { delete e; }
@@ -161,6 +175,24 @@ int wf_feed(Engine* e, int stream, const float* data, int frames,
   int64_t dtaudio = audio_sync(*e, s, s.capture_ts);
   int64_t dtsamples = dtaudio > 0 ? ns_to_frames(e->sample_rate, dtaudio) : 0;
   size_t max_size = (size_t)(dtsamples + e->window);
+
+  if (e->rms_enabled) {
+    // per-timepoint max-channel squares from the RAW (pre-mute) samples
+    if (e->rms_scratch.size() < (size_t)frames)
+      e->rms_scratch.resize((size_t)frames);
+    for (int i = 0; i < frames; ++i) {
+      float v = 0.0f;
+      if (data)
+        for (int c = 0; c < e->channels; ++c) {
+          float a = std::fabs(data[(size_t)c * frames + i]);
+          if (a > v) v = a;
+        }
+      e->rms_scratch[(size_t)i] = v * v;
+    }
+    s.rms_ring.push(e->rms_scratch.data(), (size_t)frames);
+    size_t sz = s.rms_ring.size();
+    if (sz > max_size) s.rms_ring.pop(nullptr, sz - max_size);
+  }
 
   for (int c = 0; c < e->channels; ++c) {
     const float* src = (muted || !data) ? nullptr : data + (size_t)c * frames;
@@ -235,6 +267,20 @@ void wf_assemble_hop(Engine* e, long long now_ns, int H, float* out,
   }
 }
 
+// Like wf_assemble_hop, but also drains the raw-squares RMS ring in sync:
+// rms_out is [S, H] zero-padded.
+void wf_assemble_hop_rms(Engine* e, long long now_ns, int H, float* out,
+                         float* rms_out, int* counts, unsigned char* active) {
+  wf_assemble_hop(e, now_ns, H, out, counts, active);
+  for (int i = 0; i < e->num_streams; ++i) {
+    Stream& s = e->streams[i];
+    std::lock_guard<std::timed_mutex> lk(s.mtx);
+    float* dst = rms_out + (size_t)i * H;
+    size_t got = s.rms_ring.pop(dst, (size_t)counts[i]);
+    std::memset(dst + got, 0, ((size_t)H - got) * sizeof(float));
+  }
+}
+
 void wf_set_show(Engine* e, int stream, int show) {
   e->streams[stream].show = (uint8_t)show;
 }
@@ -243,6 +289,7 @@ void wf_detach(Engine* e, int stream) {  // source lost (src/source.cpp:722-749)
   Stream& s = e->streams[stream];
   std::lock_guard<std::timed_mutex> lk(s.mtx);
   for (auto& r : s.rings) r.reset();
+  s.rms_ring.reset();
   s.capture_ts = 0;
   s.audio_ts = 0;
 }

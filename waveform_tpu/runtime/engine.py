@@ -120,12 +120,13 @@ class WaveformEngine:
         fresh = np.zeros(S, bool)
         show = np.zeros(S, bool)
         run = np.zeros(S, bool)
+        latched = np.asarray(self.meter_state.last_silent)  # one readback
         for i, src in enumerate(self.sources):
             r, f = src.drain_meter_samples(now_ns, dt, self._meter_windows[i])
             run[i], fresh[i], show[i] = r, f, src.show
             # timeout memset (src/source_generic.cpp:184-199): host zeroes
             # the ring for fresh-lost streams that weren't already latched
-            if r and not f and not bool(self.meter_state.last_silent[i]):
+            if r and not f and not latched[i]:
                 self._meter_windows[i] = 0.0
         new = self._meter_step(jnp.asarray(self._meter_windows),
                                self.meter_state, jnp.float32(dt),

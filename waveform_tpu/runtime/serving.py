@@ -39,10 +39,12 @@ from ..rebin.apply import make_rebin_fn
 class _PendingStream:
     """Host bookkeeping for one stream: queued packets + sync timestamps."""
 
-    __slots__ = ("chunks", "queued", "capture_ts", "audio_ts", "show")
+    __slots__ = ("chunks", "rms_chunks", "queued", "capture_ts",
+                 "audio_ts", "show")
 
     def __init__(self):
-        self.chunks: deque[np.ndarray] = deque()  # [C, n] arrays
+        self.chunks: deque[np.ndarray] = deque()      # [C, n] arrays
+        self.rms_chunks: deque[np.ndarray] = deque()  # [n] raw squares
         self.queued = 0            # samples queued
         self.capture_ts = 0
         self.audio_ts = 0
@@ -67,6 +69,7 @@ class ServingEngine:
                                 + 16)
         self._pending = [_PendingStream() for _ in range(num_streams)]
         self._push_buf = np.zeros((num_streams, self.C, self.H), np.float32)
+        self._rms_buf = np.zeros((num_streams, self.H), np.float32)
         # feed_batch fast path (shared sync state)
         self._batch_chunks: deque[np.ndarray] = deque()
         self._batch_queued = 0
@@ -81,7 +84,7 @@ class ServingEngine:
                 self._native = NativeAssembler(
                     num_streams, self.C, cfg.fft_size,
                     cfg.audio.samples_per_sec, cfg.ts_offset_ns,
-                    prefill=False)
+                    prefill=False, rms=cfg.normalize_volume)
             except (RuntimeError, OSError):
                 if use_native:
                     raise
@@ -107,11 +110,14 @@ class ServingEngine:
         rms_size = cfg.input_rms_size
 
         def fused_tick(new, counts, ring: DeviceRing, state: SpectrumState,
-                       dt, active, rms, rms_ring: DeviceRing | None = None):
+                       dt, active, rms, rms_ring: DeviceRing | None = None,
+                       rms_sq=None):
             ring = push(ring, new, counts)
             if normalize and rms_ring is not None:
-                sq = jnp.max(jnp.abs(new), axis=1, keepdims=True) ** 2
-                rms_ring = push(rms_ring, sq, counts)
+                # rms_sq holds raw (pre-mute) per-timepoint max-channel
+                # squares: the reference computes the normalization RMS
+                # before the mute zero-fill (src/source.cpp:1843-1871)
+                rms_ring = push(rms_ring, rms_sq[:, None, :], counts)
                 rms = jnp.sqrt(jnp.sum(rms_ring.buf[:, 0], axis=-1)
                                / rms_size)
             state = step(ring.buf, state, dt, active, rms)
@@ -122,7 +128,9 @@ class ServingEngine:
 
         def scan_ticks(new_T, counts_T, ring, state, dt, active_T, rms,
                        rms_ring=None):
-            """T ticks in one dispatch (bulk/offline processing)."""
+            """T ticks in one dispatch (bulk/offline processing; the pushed
+            samples are raw — no mute path — so the RMS squares derive from
+            them directly)."""
             def body(carry, xs):
                 ring, state, rms_ring = carry
                 new, counts, active = xs
@@ -150,6 +158,9 @@ class ServingEngine:
         """Queue one packet ([channels, frames] float32 planar)."""
         now_ns = time.monotonic_ns() if now_ns is None else now_ns
         cfg = self.cfg
+        frames = 0 if data is None else data.shape[-1]
+        if frames == 0 or cfg.capture_channels == 0:
+            return  # dead source (reference capture_audio early-returns)
         if self._native is not None:
             if data is not None:
                 data = np.asarray(
@@ -160,9 +171,6 @@ class ServingEngine:
                               and not cfg.settings.ignore_mute)
             return
         p = self._pending[stream]
-        frames = 0 if data is None else data.shape[-1]
-        if frames == 0 or cfg.capture_channels == 0:
-            return
         p.capture_ts = now_ns
         audio_len = audio_frames_to_ns(cfg.audio.samples_per_sec, frames)
         if abs(timestamp_ns - now_ns) > MAX_TS_DELTA_NS:
@@ -170,11 +178,22 @@ class ServingEngine:
         else:
             p.audio_ts = timestamp_ns + audio_len
 
-        if (muted and not cfg.settings.ignore_mute) or data is None:
+        raw = None
+        if data is not None:
+            raw = np.asarray(
+                data[cfg.channel_base:cfg.channel_base + self.C], np.float32)
+            if raw.shape[0] < self.C:  # zero-fill missing channels
+                raw = np.vstack([raw, np.zeros(
+                    (self.C - raw.shape[0], frames), np.float32)])
+        if self._normalize:
+            # raw (pre-mute) per-timepoint max-channel squares
+            sq = (np.zeros(frames, np.float32) if raw is None
+                  else np.max(np.abs(raw), axis=0).astype(np.float32) ** 2)
+            p.rms_chunks.append(sq)
+        if (muted and not cfg.settings.ignore_mute) or raw is None:
             chunk = np.zeros((self.C, frames), np.float32)
         else:
-            chunk = np.asarray(
-                data[cfg.channel_base:cfg.channel_base + self.C], np.float32)
+            chunk = raw
         p.chunks.append(chunk)
         p.queued += frames
         # bound the queue: never hold more than sync reserve + one window +
@@ -189,8 +208,12 @@ class ServingEngine:
             if head.shape[-1] <= drop:
                 p.queued -= head.shape[-1]
                 p.chunks.popleft()
+                if p.rms_chunks:
+                    p.rms_chunks.popleft()
             else:
                 p.chunks[0] = head[:, drop:]
+                if p.rms_chunks:
+                    p.rms_chunks[0] = p.rms_chunks[0][drop:]
                 p.queued -= drop
                 break
 
@@ -280,27 +303,37 @@ class ServingEngine:
 
         rms = np.zeros(self.S, np.float32)
         if self._native is not None:
-            new, counts, active = self._native.assemble_hop(
-                now_ns, self.H, out=self._push_buf)
+            if self._normalize:
+                new, rms_sq, counts, active = self._native.assemble_hop_rms(
+                    now_ns, self.H, out=self._push_buf,
+                    rms_out=self._rms_buf)
+            else:
+                new, counts, active = self._native.assemble_hop(
+                    now_ns, self.H, out=self._push_buf)
+                rms_sq = self._rms_buf
             pixels, self.ring, self.state, self.rms_ring = self._tick(
                 jnp.asarray(new), jnp.asarray(counts), self.ring,
                 self.state, jnp.float32(dt), jnp.asarray(active),
-                jnp.asarray(rms), self.rms_ring)
+                jnp.asarray(rms), self.rms_ring, jnp.asarray(rms_sq))
             self._last_pixels = pixels
             return pixels
 
         if self._batch_mode:
             counts, active = self._assemble_batch(now_ns)
+            if self._normalize:
+                np.square(np.max(np.abs(self._push_buf), axis=1),
+                          out=self._rms_buf)
             pixels, self.ring, self.state, self.rms_ring = self._tick(
                 jnp.asarray(self._push_buf), jnp.asarray(counts), self.ring,
                 self.state, jnp.float32(dt), jnp.asarray(active),
-                jnp.asarray(rms), self.rms_ring)
+                jnp.asarray(rms), self.rms_ring, jnp.asarray(self._rms_buf))
             self._last_pixels = pixels
             return pixels
 
         counts = np.zeros(self.S, np.int32)
         active = np.zeros(self.S, bool)
         self._push_buf[:] = 0.0
+        self._rms_buf[:] = 0.0
         for i, p in enumerate(self._pending):
             active[i] = p.show and (now_ns - p.capture_ts) <= CAPTURE_TIMEOUT_NS
             # consume everything except the sync reserve, capped at the hop
@@ -315,6 +348,12 @@ class ServingEngine:
                 n = head.shape[-1]
                 use = min(n, take - got)
                 self._push_buf[i, :, got:got + use] = head[:, :use]
+                if self._normalize and p.rms_chunks:
+                    self._rms_buf[i, got:got + use] = p.rms_chunks[0][:use]
+                    if use == p.rms_chunks[0].shape[-1]:
+                        p.rms_chunks.popleft()
+                    else:
+                        p.rms_chunks[0] = p.rms_chunks[0][use:]
                 if use == n:
                     p.chunks.popleft()
                 else:
@@ -325,7 +364,7 @@ class ServingEngine:
         pixels, self.ring, self.state, self.rms_ring = self._tick(
             jnp.asarray(self._push_buf), jnp.asarray(counts), self.ring,
             self.state, jnp.float32(dt), jnp.asarray(active),
-            jnp.asarray(rms), self.rms_ring)
+            jnp.asarray(rms), self.rms_ring, jnp.asarray(self._rms_buf))
         self._last_pixels = pixels
         return pixels
 
@@ -360,6 +399,13 @@ class ServingEngine:
 
     def read_decibels(self) -> np.ndarray:
         return np.asarray(display_decibels(self.cfg, self.state))
+
+    @property
+    def last_silent(self) -> np.ndarray:
+        """Per-stream silence latch — with hide_on_silent, renderers skip
+        latched streams (the reference's render() early return,
+        src/source.cpp:1349-1350)."""
+        return np.asarray(self.state.last_silent)
 
     # ------------------------------------------------------------------
 

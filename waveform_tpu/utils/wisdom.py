@@ -31,18 +31,14 @@ def enable(cache_dir: str | None = None) -> str:
 
 
 def warm(cfg, num_streams: int) -> None:
-    """Pre-compile the spectrum + rebin pipeline for a config (AOT plan)."""
-    import jax.numpy as jnp
+    """Pre-compile the serving pipeline for a config (AOT plan).
 
-    from ..dsp.spectrum import display_decibels, init_state, make_spectrum_step
-    from ..rebin.apply import make_rebin_fn
+    Builds a throwaway :class:`ServingEngine` and runs one silent tick —
+    the exact fused push+spectrum+rebin executable production engines
+    invoke, so the persistent-cache entry is the one that gets hit.
+    """
+    from ..runtime.serving import ServingEngine
 
-    step = jax.jit(make_spectrum_step(cfg))
-    rebin = jax.jit(make_rebin_fn(cfg, apply_pixel_map=False))
-    state = init_state(cfg, num_streams)
-    C = max(cfg.capture_channels, 1)
-    x = jnp.zeros((num_streams, C, cfg.fft_size), jnp.float32)
-    state = step(x, state, jnp.float32(1 / cfg.fps),
-                 jnp.ones(num_streams, bool),
-                 jnp.zeros(num_streams, jnp.float32))
-    jax.block_until_ready(rebin(display_decibels(cfg, state)))
+    eng = ServingEngine(cfg, num_streams)
+    px = eng.tick(now_ns=1)
+    jax.block_until_ready(px)

@@ -137,14 +137,18 @@ def main() -> int:
         now += hop * NSC // SR
         px = eng.tick(now_ns=now)
     jax.block_until_ready(px)
-    t1 = time.perf_counter()
     reps2 = 10
+    lat = []
+    t1 = time.perf_counter()
     for k in range(reps2):
+        t2 = time.perf_counter()
         eng.feed_batch(pkt, now, now_ns=now)
         now += hop * NSC // SR
         px = eng.tick(now_ns=now)
-    jax.block_until_ready(px)
+        jax.block_until_ready(px)   # buffer->spectrum completion
+        lat.append(time.perf_counter() - t2)
     serving_fps = S * reps2 / (time.perf_counter() - t1)
+    p99 = float(np.percentile(np.asarray(lat), 99)) * 1e3
 
     print(json.dumps({
         "metric": f"{N}pt_spectrum_frames_per_sec_per_chip",
@@ -157,7 +161,8 @@ def main() -> int:
           f"elapsed={elapsed:.3f}s "
           f"({elapsed / (args.reps * T) * 1e3:.2f} ms/tick); "
           f"tunnel-limited per-tick serving (incl. H2D over relay): "
-          f"{serving_fps:,.0f} frames/s; backend={jax.default_backend()}",
+          f"{serving_fps:,.0f} frames/s, p99 buffer->spectrum latency "
+          f"{p99:.1f} ms; backend={jax.default_backend()}",
           file=sys.stderr)
     return 0
 

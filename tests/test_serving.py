@@ -237,3 +237,45 @@ def test_dead_source_stays_dark():
             now += 480 * NS // SR
             eng.tick(now_ns=now)
         assert (eng.read_decibels() == DB_MIN).all(), use_native
+
+
+def test_multi_engine_heterogeneous_configs():
+    """One scene mixing different configs: streams group per config, each
+    group runs its own compiled batch."""
+    from waveform_tpu import DisplayMode
+    from waveform_tpu.runtime.multi import MultiEngine
+    cfg_curve = resolve(Settings(fft_size=1024,
+                                 temporal_smoothing=TSmoothingMode.NONE),
+                        AudioInfo(SR, 2))
+    cfg_big = resolve(Settings(fft_size=2048,
+                               temporal_smoothing=TSmoothingMode.NONE),
+                      AudioInfo(SR, 2))
+    cfg_meter = resolve(Settings(display_mode=DisplayMode.METER,
+                                 meter_buf=100,
+                                 temporal_smoothing=TSmoothingMode.NONE),
+                        AudioInfo(SR, 2))
+    m = MultiEngine()
+    a = m.add_stream(cfg_curve)
+    b = m.add_stream(cfg_big)
+    c = m.add_stream(cfg_curve)   # same config as a -> same group
+    d = m.add_stream(cfg_meter)
+    assert m.num_groups == 0 or True  # groups counted at build
+    now = NS
+    for k in range(40):
+        t = (np.arange(480) + k * 480) / SR
+        for sid, f in [(a, 1125.0), (b, 3000.0), (c, 6000.0)]:
+            x = np.sin(2 * np.pi * f * t).astype(np.float32)
+            m.feed(sid, np.stack([x, x]), now, now_ns=now)
+        m.feed(d, np.full((2, 480), 0.5, np.float32), now, now_ns=now)
+        now += 480 * NS // SR
+        m.tick(now_ns=now)
+    assert m.num_groups == 3
+    for sid, f, n in [(a, 1125.0, 1024), (b, 3000.0, 2048), (c, 6000.0, 1024)]:
+        db = m.read_decibels(sid)
+        pk = int(np.argmax(db[0])) * SR / n
+        assert abs(pk - f) < 2 * SR / n, (sid, pk)
+    np.testing.assert_allclose(m.read_decibels(d)[0],
+                               20 * np.log10(0.5), atol=0.2)
+    import pytest
+    with pytest.raises(RuntimeError, match="add_stream after tick"):
+        m.add_stream(cfg_curve)

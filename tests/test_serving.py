@@ -279,3 +279,45 @@ def test_multi_engine_heterogeneous_configs():
     import pytest
     with pytest.raises(RuntimeError, match="add_stream after tick"):
         m.add_stream(cfg_curve)
+
+
+def test_stateful_trajectory_equivalence(rng):
+    """100-tick EMA-on trajectory: host engine, serving engine, and the
+    float64 oracle all agree (the state chain, not just one frame)."""
+    from waveform_tpu.dsp import oracle
+    cfg = resolve(Settings(fft_size=512, gravity=0.65, fast_peaks=True,
+                           window=FFTWindow.HANN), AudioInfo(SR, 2))
+    from waveform_tpu.runtime.engine import WaveformEngine
+    host = WaveformEngine(cfg, 1, jit=False)
+    srv = ServingEngine(cfg, 1)
+    ts = np.zeros((2, 256))
+    want = None
+    now = NS
+    ph = 0
+    for k in range(100):
+        t = (np.arange(480) + ph) / SR
+        amp = 0.5 + 0.4 * np.sin(2 * np.pi * k / 25)  # time-varying level
+        x = (amp * np.sin(2 * np.pi * 2250 * t)).astype(np.float32)
+        pkt = np.stack([x, 0.7 * x])
+        host.feed(0, pkt, now, now_ns=now)
+        srv.feed(0, pkt, now, now_ns=now)
+        ph += 480
+        now += 480 * NS // SR
+        db_host = host.tick(now_ns=now)
+        srv.tick(now_ns=now)
+        # oracle on the same window the engines see (trailing 512 samples)
+        if k >= 2:
+            lo = ph - 512
+            tt = np.arange(lo, ph) / SR
+            aa = 0.5 + 0.4 * np.sin(2 * np.pi * (np.floor(
+                np.arange(lo, ph) / 480)) / 25)
+            win = aa * np.sin(2 * np.pi * 2250 * tt)
+            frame = np.stack([win, 0.7 * win])
+            want, ts = oracle.spectrum_frame(frame, ts, cfg, dt=1 / 60)
+    db_srv = srv.read_decibels()
+    # deep sidelobes near -115 dBFS sit at the float32 accumulation limit
+    # (~2e-2 dB); compare the display-relevant range
+    vis = want[0] > -100
+    assert np.abs(db_host[0, 0][vis] - want[0][vis]).max() < 5e-3
+    assert np.abs(db_srv[0, 0][vis] - want[0][vis]).max() < 5e-3
+    np.testing.assert_allclose(db_srv[0, 0], db_host[0, 0], atol=1e-3)

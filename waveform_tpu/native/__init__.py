@@ -28,14 +28,17 @@ def build_library(force: bool = False) -> str | None:
     if (not force and os.path.exists(_LIB)
             and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC)):
         return _LIB
-    cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-           "-o", _LIB, _SRC, "-lpthread"]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        return _LIB
-    except (subprocess.CalledProcessError, subprocess.TimeoutExpired,
-            FileNotFoundError):
-        return None
+    base = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+            "-o", _LIB, _SRC, "-lpthread"]
+    for extra in (["-march=native"], []):  # fall back on exotic toolchains
+        try:
+            subprocess.run(base[:2] + extra + base[2:], check=True,
+                           capture_output=True, timeout=120)
+            return _LIB
+        except (subprocess.CalledProcessError, subprocess.TimeoutExpired,
+                FileNotFoundError):
+            continue
+    return None
 
 
 def load_library():

@@ -296,3 +296,48 @@ def test_fault_injection_stale_timestamps():
     assert tick.valid.all()
     # window is the ramp tail (latest audio), not zeros
     assert tick.frame[0, -1] == ramp[-1]
+
+
+def test_batched_waveform_matches_per_stream(rng):
+    """BatchedWaveformScroller (shared sync) == S independent
+    WaveformScrollers fed identical audio."""
+    from waveform_tpu.runtime.waveform_host import (
+        BatchedWaveformScroller,
+        WaveformScroller,
+    )
+    S = 3
+    cfg = cfg_for(display_mode=DisplayMode.WAVEFORM, width=320, meter_buf=150,
+                  temporal_smoothing=TSmoothingMode.NONE)
+    batched = BatchedWaveformScroller(cfg, S)
+    singles = [WaveformScroller(cfg) for _ in range(S)]
+    srcs = [StreamSource(cfg) for _ in range(S)]
+    now = NS
+    for k in range(40):
+        t = (np.arange(480) + k * 480) / SR
+        pkt = np.stack([(0.1 * (s + 1) * np.sin(2 * np.pi * 440 * t))
+                        .astype(np.float32) for s in range(S)])   # [S, n]
+        data = np.stack([pkt, pkt], axis=1)                       # [S, C, n]
+        batched.feed_batch(data, now, now_ns=now)
+        for s in range(S):
+            srcs[s].capture_audio(data[s], now, now_ns=now)
+        now += 480 * NS // SR
+        out_b = batched.tick(now)
+        outs = [singles[s].tick(srcs[s], now, 1 / 60) for s in range(S)]
+    for s in range(S):
+        np.testing.assert_allclose(out_b[s], outs[s], atol=1e-5)
+    assert not batched.last_silent.any()
+
+
+def test_batched_waveform_timeout():
+    from waveform_tpu.runtime.waveform_host import BatchedWaveformScroller
+    cfg = cfg_for(display_mode=DisplayMode.WAVEFORM, width=160, meter_buf=100)
+    b = BatchedWaveformScroller(cfg, 2)
+    now = NS
+    for k in range(20):
+        b.feed_batch(np.full((2, 2, 480), 0.5, np.float32), now, now_ns=now)
+        now += 480 * NS // SR
+        out = b.tick(now)
+    assert (out > DB_MIN).any()
+    out = b.tick(now + 600_000_000)
+    assert (out == DB_MIN).all()
+    assert b.last_silent.all()

@@ -142,3 +142,151 @@ class WaveformScroller:
 def ts_to_frames(sr: int, ns: np.ndarray) -> np.ndarray:
     """Vectorized ns→frames (floor), matching ns_to_audio_frames."""
     return (ns.astype(np.int64) * sr) // 1_000_000_000
+
+
+class BatchedWaveformScroller:
+    """Vectorized oscilloscope for S streams sharing one sync state.
+
+    The fan-out case (one timestamp source, S consumers — the analog of the
+    reference's output-bus capture): consume/reserve/counts are identical
+    across streams, so the resample, scroll, silence scan and fresh-tail dB
+    conversion all vectorize over [S, C, ·] arrays.  Per-stream Python work
+    drops from O(S) to O(1) per tick.
+
+    Streams with independent sync states keep :class:`WaveformScroller`.
+    """
+
+    def __init__(self, cfg: ResolvedConfig, num_streams: int):
+        if cfg.normalize_volume:
+            raise NotImplementedError(
+                "volume normalization on the batched waveform path is not "
+                "wired up; use per-stream WaveformEngine")
+        self.cfg = cfg
+        self.S = num_streams
+        C = max(cfg.capture_channels, 1)
+        self.C = C
+        O = max(cfg.output_channels, C)
+        self.buf = np.full((num_streams, O, cfg.fft_size), DB_MIN, np.float32)
+        self.last_silent = np.zeros(num_streams, bool)
+        self.waveform_ts = 0
+        # shared pending queue [S, C, n] chunks + sync stamps;
+        # startup silence prefill like the reference (src/source.cpp:1243-48)
+        self._chunks: list[np.ndarray] = [
+            np.zeros((num_streams, C, cfg.fft_size), np.float32)]
+        self._queued = cfg.fft_size
+        self.capture_ts = 0
+        self.audio_ts = 0
+        self.show = True
+        self.input_rms = np.zeros(num_streams, np.float32)
+
+    # -- feeding (shared timestamps) -----------------------------------
+    def feed_batch(self, data: np.ndarray, timestamp_ns: int,
+                   now_ns: int) -> None:
+        cfg = self.cfg
+        frames = data.shape[-1]
+        if frames == 0 or cfg.capture_channels == 0:
+            return
+        self.capture_ts = now_ns
+        audio_len = audio_frames_to_ns(cfg.audio.samples_per_sec, frames)
+        from ..core.config import MAX_TS_DELTA_NS
+        self.audio_ts = (now_ns if abs(timestamp_ns - now_ns) > MAX_TS_DELTA_NS
+                         else timestamp_ns + audio_len)
+        self._chunks.append(np.asarray(
+            data[:, cfg.channel_base:cfg.channel_base + self.C], np.float32))
+        self._queued += frames
+        # bound the queue like capture_audio's trim (waveform bufsz)
+        dtaudio = self._sync(now_ns)
+        reserve = (ns_to_audio_frames(cfg.audio.samples_per_sec, dtaudio)
+                   if dtaudio > 0 else 0)
+        max_q = reserve + cfg.waveform_samples
+        while self._queued > max_q and self._chunks:
+            drop = self._queued - max_q
+            head = self._chunks[0]
+            if head.shape[-1] <= drop:
+                self._queued -= head.shape[-1]
+                self._chunks.pop(0)
+            else:
+                self._chunks[0] = head[..., drop:]
+                self._queued -= drop
+                break
+
+    def _sync(self, ts: int) -> int:
+        from ..core.config import MAX_TS_DELTA_NS
+        audio_ts = self.audio_ts + self.cfg.ts_offset_ns
+        delta = min(abs(audio_ts - ts), MAX_TS_DELTA_NS)
+        return -delta if audio_ts < ts else delta
+
+    # -- tick -----------------------------------------------------------
+    def tick(self, now_ns: int) -> np.ndarray:
+        cfg = self.cfg
+        outsz = cfg.fft_size
+        C = self.C
+        sr = cfg.audio.samples_per_sec
+
+        if (not self.show) or (now_ns - self.capture_ts) > CAPTURE_TIMEOUT_NS:
+            fresh = ~self.last_silent
+            self.buf[fresh, :2 if cfg.stereo else 1] = DB_MIN
+            self.last_silent[:] = True
+            return self.display
+
+        dtaudio = self._sync(now_ns)
+        reserve = ns_to_audio_frames(sr, dtaudio) if dtaudio > 0 else 0
+        if self._queued <= reserve:
+            return self.display
+
+        total = self._queued
+        consume = total - reserve
+        start_ts = self.audio_ts - audio_frames_to_ns(sr, total)
+        stop_ts = self.audio_ts - audio_frames_to_ns(sr, reserve)
+        if start_ts >= self.audio_ts or stop_ts > self.audio_ts:
+            return self.display
+        step_ns = (cfg.meter_ms * 1_000_000) // outsz
+        if self.waveform_ts < start_ts:
+            self.waveform_ts = start_ts
+        if (self.waveform_ts > stop_ts
+                and (self.waveform_ts - stop_ts) > step_ns):
+            self.waveform_ts = start_ts
+
+        temp = np.concatenate(self._chunks, axis=-1)       # [S, C, total]
+        keep = temp[..., consume:]
+        self._chunks = [keep] if keep.shape[-1] else []
+        self._queued = reserve
+
+        ts = self.waveform_ts + np.arange(outsz, dtype=np.int64) * step_ns
+        ok = (ts < stop_ts) & (ts >= self.waveform_ts)
+        n = int(np.argmin(ok)) if not ok.all() else outsz
+        if n > 0:
+            idx = (ts_to_frames(sr, self.audio_ts - ts[:n])
+                   .clip(reserve + 1, total))
+            new = temp[..., total - idx]                   # [S, C, n]
+            self.buf[:, :C] = np.concatenate(
+                [self.buf[:, :C, n:], new], axis=-1)
+        self.waveform_ts += n * step_ns
+
+        silent = ~(self.buf[:, :C] != 0.0).any(axis=(1, 2))
+        self.last_silent = silent
+        self.buf[silent, :2 if cfg.stereo else 1] = DB_MIN
+
+        live = ~silent
+        if live.any() and n > 0:
+            k = outsz - n
+            if cfg.output_channels > C:
+                self.buf[live, 1] = self.buf[live, 0]
+            D = 2 if cfg.stereo else 1
+            tails = self.buf[live][:, :, k:]               # copy
+            if cfg.stereo:
+                conv = _dbfs(np.abs(tails[:, :2]))
+            elif C > 1:
+                conv = _dbfs((np.abs(tails[:, 0])
+                              + np.abs(tails[:, 1])) * 0.5)[:, None]
+            else:
+                conv = _dbfs(np.abs(tails[:, 0]))[:, None]
+            # write back through one advanced-index assignment
+            buf_live = self.buf[live]
+            buf_live[:, :D, k:] = conv
+            self.buf[live] = buf_live
+        return self.display
+
+    @property
+    def display(self) -> np.ndarray:
+        return self.buf[:, :self.cfg.display_channels]

@@ -11,7 +11,7 @@ visibility logic against a :class:`Settings` instance.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from .config import Settings
 from .enums import (

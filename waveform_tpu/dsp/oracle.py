@@ -23,7 +23,7 @@ import math
 import numpy as np
 
 from ..core.config import DB_MIN, ResolvedConfig
-from ..core.enums import DisplayMode, FFTWindow, FilterMode, InterpMode, TSmoothingMode
+from ..core.enums import DisplayMode, InterpMode, TSmoothingMode
 from .windows import window_coefficients, window_sum
 
 # Reference tuning constant for time-varying EMA (src/source.hpp:306).

@@ -13,7 +13,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.config import ResolvedConfig
-from ..core.enums import DisplayMode, FilterMode, InterpMode
+from ..core.enums import FilterMode
 from .filter import build_gauss_tables
 from .interp import build_interp_tables, mirror_indices
 

@@ -16,7 +16,6 @@ function as constants, exactly as the reference precomputes them in
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
 
 import numpy as np

@@ -16,7 +16,7 @@ One :class:`StreamSource` = one audio stream.  The batched engine
 from __future__ import annotations
 
 import threading
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

@@ -16,7 +16,6 @@ from __future__ import annotations
 import os
 
 import jax
-import numpy as np
 
 
 def enable(cache_dir: str | None = None) -> str:

@@ -1,0 +1,253 @@
+"""Multi-device sharding tests — the analog of FFTW's ``check.pl --mpi``.
+
+FFTW re-runs its whole verifier suite under localhost MPI ranks
+(/root/reference/deps/fftw-3.3.11/tests/check.pl:24-39); here the same idea
+runs on the conftest-forced 8-virtual-CPU-device mesh: every test constructs
+a real ``jax.sharding.Mesh`` and asserts the sharded pipeline is bit-for-bit
+semantics-preserving vs the single-device jit of the identical function.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from waveform_tpu import AudioInfo, Settings, resolve
+from waveform_tpu.core.enums import FFTWindow, InterpMode
+from waveform_tpu.dsp.devring import init_ring, push
+from waveform_tpu.dsp.meter import init_meter_state, make_meter_step
+from waveform_tpu.dsp.spectrum import (
+    display_decibels,
+    init_state,
+    make_spectrum_step,
+)
+from waveform_tpu.parallel.mesh import (
+    PIXEL_AXIS,
+    STREAM_AXIS,
+    make_mesh,
+    pad_stream_dim,
+    padded_streams,
+    pixel_constraint,
+    replicated,
+    shard_state,
+    stream_sharding,
+)
+from waveform_tpu.rebin.apply import make_rebin_fn
+
+
+def _cfg(fft_size=256, width=128, **kw):
+    return resolve(
+        Settings(fft_size=fft_size, width=width, window=FFTWindow.HANN,
+                 interp_mode=InterpMode.LANCZOS, **kw),
+        AudioInfo(48000, 2))
+
+
+def _full_step_fns(cfg):
+    step = make_spectrum_step(cfg)
+    rebin = make_rebin_fn(cfg, apply_pixel_map=False)
+
+    def full(samples, state, dt, active, rms):
+        new = step(samples, state, dt, active, rms)
+        return rebin(display_decibels(cfg, new)), new
+
+    return full
+
+
+def _inputs(rng, cfg, S, scale=0.5):
+    samples = (scale * rng.standard_normal(
+        (S, 2, cfg.fft_size))).astype(np.float32)
+    active = np.ones(S, bool)
+    rms = np.zeros(S, np.float32)
+    return samples, active, rms
+
+
+def _run_sharded(mesh, cfg, full, samples, state, active, rms, ticks=1):
+    s_sh = stream_sharding(mesh)
+    r_sh = replicated(mesh)
+    st_sh = jax.tree.map(lambda _: s_sh, state)
+
+    def constrained(samples, state, dt, active, rms):
+        px, new = full(samples, state, dt, active, rms)
+        return pixel_constraint(mesh, px), new
+
+    jitted = jax.jit(
+        constrained,
+        in_shardings=(s_sh, st_sh, r_sh, s_sh, s_sh),
+        out_shardings=(NamedSharding(mesh, P(STREAM_AXIS, None, PIXEL_AXIS)),
+                       st_sh))
+    state = shard_state(mesh, state)
+    dev = lambda x: jax.device_put(x, s_sh)  # noqa: E731
+    px = None
+    for t in range(ticks):
+        px, state = jitted(dev(samples if t == 0 else samples[:, ::-1]),
+                           state, jnp.float32(1 / 60), dev(active), dev(rms))
+    return np.asarray(px), state
+
+
+def _run_single(cfg, full, samples, state, active, rms, ticks=1):
+    jitted = jax.jit(full)
+    px = None
+    for t in range(ticks):
+        px, state = jitted(jnp.asarray(samples if t == 0 else samples[:, ::-1]),
+                           state, jnp.float32(1 / 60), jnp.asarray(active),
+                           jnp.asarray(rms))
+    return np.asarray(px), state
+
+
+@pytest.mark.parametrize("pixel_parallel", [1, 2],
+                         ids=["dp8", "dp4xtp2"])
+def test_full_step_matches_single_device(rng, pixel_parallel):
+    """Sharded spectrum+rebin over DP-only and DP×TP meshes is semantics-
+    preserving vs the single-device jit (the check.pl --mpi property)."""
+    mesh = make_mesh(pixel_parallel=pixel_parallel)
+    cfg = _cfg()
+    full = _full_step_fns(cfg)
+    S = 16
+    samples, active, rms = _inputs(rng, cfg, S)
+    state = init_state(cfg, S)
+
+    want, want_state = _run_single(cfg, full, samples, state, active, rms)
+    got, got_state = _run_sharded(mesh, cfg, full, samples, state, active, rms)
+
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_state.tsmooth),
+                               np.asarray(want_state.tsmooth),
+                               rtol=0, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(got_state.last_silent),
+                                  np.asarray(want_state.last_silent))
+
+
+def test_multi_tick_state_threading_matches(rng):
+    """EMA state chained through 4 sharded ticks stays equivalent — sharding
+    must not perturb the carried SpectrumState."""
+    mesh = make_mesh(pixel_parallel=2)
+    cfg = _cfg()
+    full = _full_step_fns(cfg)
+    S = 8
+    samples, active, rms = _inputs(rng, cfg, S)
+    state = init_state(cfg, S)
+
+    want, want_state = _run_single(cfg, full, samples, state, active, rms,
+                                   ticks=4)
+    got, got_state = _run_sharded(mesh, cfg, full, samples, state, active,
+                                  rms, ticks=4)
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_state.decibels),
+                               np.asarray(want_state.decibels),
+                               rtol=0, atol=1e-4)
+
+
+def test_shard_state_placement_and_roundtrip():
+    """shard_state puts every pytree leaf on the stream sharding, and the
+    values survive the placement bit-for-bit."""
+    mesh = make_mesh()
+    cfg = _cfg()
+    state = init_state(cfg, 16)
+    sharded = shard_state(mesh, state)
+    want_sh = stream_sharding(mesh)
+    for leaf, orig in zip(jax.tree.leaves(sharded), jax.tree.leaves(state)):
+        assert leaf.sharding.is_equivalent_to(want_sh, leaf.ndim), \
+            f"leaf {leaf.shape} not stream-sharded: {leaf.sharding}"
+        np.testing.assert_array_equal(np.asarray(leaf), np.asarray(orig))
+
+
+def test_pixel_constraint_output_sharding(rng):
+    """The rebin output really lands sharded over (stream, pixel): each
+    device holds a [S/4, 1, P/2] block, proving the TP axis is live."""
+    mesh = make_mesh(pixel_parallel=2)
+    cfg = _cfg()
+    full = _full_step_fns(cfg)
+    S = 8
+    samples, active, rms = _inputs(rng, cfg, S)
+    state = init_state(cfg, S)
+    px, _ = _run_sharded(mesh, cfg, full, samples, state, active, rms)
+    # re-run to grab the device buffers (not just the gathered host copy)
+    s_sh = stream_sharding(mesh)
+
+    def constrained(samples):
+        st = shard_state(mesh, init_state(cfg, S))
+        p, _ = full(samples, st, jnp.float32(1 / 60),
+                    jnp.ones(S, bool), jnp.zeros(S, np.float32))
+        return pixel_constraint(mesh, p)
+
+    out = jax.jit(constrained, in_shardings=s_sh,
+                  out_shardings=NamedSharding(
+                      mesh, P(STREAM_AXIS, None, PIXEL_AXIS)))(
+        jax.device_put(samples, s_sh))
+    W = cfg.width
+    shard_shapes = {s.data.shape for s in out.addressable_shards}
+    assert shard_shapes == {(S // 4, 1, W // 2)}, shard_shapes
+
+
+def test_uneven_stream_count_pads_and_matches(rng):
+    """S=5 streams on an 8-wide stream axis: padded_streams rounds up, the
+    padding streams stay inert, the first 5 rows match single-device."""
+    mesh = make_mesh()
+    cfg = _cfg()
+    full = _full_step_fns(cfg)
+    S = 5
+    S_pad = padded_streams(mesh, S)
+    assert S_pad == 8
+    samples, active, rms = _inputs(rng, cfg, S)
+    p_samples = pad_stream_dim(samples, S_pad)
+    p_active = pad_stream_dim(active, S_pad)  # pads False → inactive
+    p_rms = pad_stream_dim(rms, S_pad)
+
+    want, _ = _run_single(cfg, full, samples, init_state(cfg, S), active, rms)
+    got, got_state = _run_sharded(mesh, cfg, full, p_samples,
+                                  init_state(cfg, S_pad), p_active, p_rms)
+    np.testing.assert_allclose(got[:S], want, rtol=0, atol=1e-5)
+    # inactive padding streams latch silent and stay at the initial state
+    assert np.asarray(got_state.last_silent)[S:].all()
+
+
+def test_devring_push_sharded_matches(rng):
+    """The device ring advance (vmapped dynamic slice) shards cleanly over
+    streams with per-stream counts."""
+    mesh = make_mesh()
+    S, C, L, H = 16, 2, 64, 16
+    ring = init_ring(S, C, L)
+    new = rng.standard_normal((S, C, H)).astype(np.float32)
+    counts = rng.integers(0, H + 1, S).astype(np.int32)
+
+    want = np.asarray(jax.jit(push)(ring, jnp.asarray(new),
+                                    jnp.asarray(counts)).buf)
+    s_sh = stream_sharding(mesh)
+    ring_sh = jax.tree.map(lambda x: jax.device_put(x, s_sh), ring)
+    got = np.asarray(jax.jit(push, in_shardings=(
+        jax.tree.map(lambda _: s_sh, ring), s_sh, s_sh))(
+        ring_sh, jax.device_put(new, s_sh),
+        jax.device_put(counts, s_sh)).buf)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_meter_sharded_matches(rng):
+    """MeterState variant: the batched meter step under a DP mesh."""
+    mesh = make_mesh()
+    from waveform_tpu.core.enums import DisplayMode
+    cfg = _cfg(display_mode=DisplayMode.METER)
+    assert cfg.meter_mode
+    step = make_meter_step(cfg)
+    S = 16
+    M = cfg.fft_size
+    window = (0.3 * rng.standard_normal((S, 2, M))).astype(np.float32)
+    fresh = np.ones(S, bool)
+    show = np.ones(S, bool)
+    state = init_meter_state(cfg, S)
+
+    want = jax.jit(step)(jnp.asarray(window), state, jnp.float32(1 / 60),
+                         jnp.asarray(fresh), jnp.asarray(show))
+
+    s_sh = stream_sharding(mesh)
+    r_sh = replicated(mesh)
+    st_sh = jax.tree.map(lambda _: s_sh, state)
+    got = jax.jit(step, in_shardings=(s_sh, st_sh, r_sh, s_sh, s_sh),
+                  out_shardings=st_sh)(
+        jax.device_put(window, s_sh), shard_state(mesh, state),
+        jnp.float32(1 / 60), jax.device_put(fresh, s_sh),
+        jax.device_put(show, s_sh))
+    np.testing.assert_allclose(np.asarray(got.meter_val),
+                               np.asarray(want.meter_val), rtol=0, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(got.last_silent),
+                                  np.asarray(want.last_silent))

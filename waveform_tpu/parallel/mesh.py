@@ -59,3 +59,26 @@ def pixel_constraint(mesh: Mesh, x):
     """Constrain a [..., P]-shaped rebin output to (stream, ..., pixel)."""
     spec = [STREAM_AXIS] + [None] * (x.ndim - 2) + [PIXEL_AXIS]
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(*spec)))
+
+
+def stream_axis_size(mesh: Mesh) -> int:
+    return mesh.shape[STREAM_AXIS]
+
+
+def padded_streams(mesh: Mesh, num_streams: int) -> int:
+    """Smallest stream count >= num_streams divisible across the mesh.
+
+    XLA shardings require even splits; uneven user stream counts round up
+    with inactive padding streams — the analog of FFTW-MPI's 1-D block
+    distribution where the last rank holds a partial block
+    (/root/reference/deps/fftw-3.3.11/mpi/block.c)."""
+    n = stream_axis_size(mesh)
+    return -(-num_streams // n) * n
+
+
+def pad_stream_dim(x: np.ndarray, total: int) -> np.ndarray:
+    """Zero-pad a host [S, ...] array to ``total`` streams along axis 0."""
+    if x.shape[0] == total:
+        return x
+    pad = [(0, total - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
+    return np.pad(x, pad)

@@ -251,3 +251,100 @@ def test_meter_sharded_matches(rng):
                                np.asarray(want.meter_val), rtol=0, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(got.last_silent),
                                   np.asarray(want.last_silent))
+
+
+# ---------------------------------------------------------------------------
+# ShardedServingEngine: the FFTW-MPI-engine analog, end-to-end under pytest
+# ---------------------------------------------------------------------------
+
+from waveform_tpu.parallel import ShardedServingEngine  # noqa: E402
+from waveform_tpu.runtime.serving import ServingEngine  # noqa: E402
+
+NSC = 1_000_000_000
+
+
+def _feed_and_tick(eng, rng, S, cfg, ticks=4):
+    sr = cfg.audio.samples_per_sec
+    hop = int(sr / cfg.fps)
+    now = NSC
+    outs = []
+    for t in range(ticks):
+        pkt = (0.4 * rng.standard_normal((S, 2, hop))).astype(np.float32)
+        eng.feed_batch(pkt, now, now_ns=now)
+        now += hop * NSC // sr
+        eng.tick(now_ns=now)
+        outs.append(eng.read_pixels())
+    return outs
+
+
+@pytest.mark.parametrize("pixel_parallel", [1, 2], ids=["dp8", "dp4xtp2"])
+def test_sharded_serving_matches_single_device(pixel_parallel):
+    """Full serving path (feed_batch → sync → device ring → spectrum →
+    rebin) over the mesh equals the single-device engine tick-for-tick."""
+    cfg = _cfg()
+    S = 16
+    r1, r2 = (np.random.default_rng(7) for _ in range(2))
+    ref = ServingEngine(cfg, S, use_native=False)
+    sh = ShardedServingEngine(cfg, S, pixel_parallel=pixel_parallel,
+                              use_native=False)
+    want = _feed_and_tick(ref, r1, S, cfg)
+    got = _feed_and_tick(sh, r2, S, cfg)
+    for w, g in zip(want, got):
+        np.testing.assert_allclose(g, w, rtol=0, atol=1e-4)
+
+
+def test_sharded_serving_uneven_streams_pad_trim():
+    """user_streams=5 rounds up to 8 internally; outputs trim back to 5 and
+    the padding never leaks."""
+    cfg = _cfg()
+    S = 5
+    rng1, rng2 = (np.random.default_rng(3) for _ in range(2))
+    ref = ServingEngine(cfg, S, use_native=False)
+    sh = ShardedServingEngine(cfg, S, use_native=False)
+    assert sh.S == 8 and sh.user_streams == 5
+    want = _feed_and_tick(ref, rng1, S, cfg)
+    got = _feed_and_tick(sh, rng2, S, cfg)
+    assert got[-1].shape[0] == 5
+    for w, g in zip(want, got):
+        np.testing.assert_allclose(g, w, rtol=0, atol=1e-4)
+    assert sh.last_silent.shape == (5,)
+
+
+def test_sharded_serving_pixels_stay_sharded():
+    """The on-device output is genuinely distributed: with a 4×2 mesh each
+    device holds one (stream-block, pixel-half) tile."""
+    cfg = _cfg()
+    S = 8
+    sh = ShardedServingEngine(cfg, S, pixel_parallel=2, use_native=False)
+    _feed_and_tick(sh, np.random.default_rng(1), S, cfg, ticks=1)
+    px = sh.pixels_sharded
+    shapes = {s.data.shape for s in px.addressable_shards}
+    assert shapes == {(S // 4, 1, cfg.width // 2)}, shapes
+    assert len(px.sharding.device_set) == 8
+
+
+def test_sharded_tick_many_bulk():
+    """Bulk scan path over the mesh: T ticks in one dispatch, sharded."""
+    cfg = _cfg()
+    S, T = 16, 6
+    rng1, rng2 = (np.random.default_rng(11) for _ in range(2))
+    hop = int(cfg.audio.samples_per_sec / cfg.fps)
+    audio = (0.4 * rng1.standard_normal((T, S, 2, hop))).astype(np.float32)
+    ref = ServingEngine(cfg, S, use_native=False)
+    sh = ShardedServingEngine(cfg, S, use_native=False)
+    want = np.asarray(ref.tick_many(audio))
+    got = np.asarray(sh.tick_many(
+        (0.4 * rng2.standard_normal((T, S, 2, hop))).astype(np.float32)))
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-4)
+
+
+def test_sharded_serving_normalize_volume():
+    """Volume normalization's device-resident RMS ring shards too."""
+    cfg = _cfg(normalize_volume=True)
+    S = 8
+    r1, r2 = (np.random.default_rng(5) for _ in range(2))
+    ref = ServingEngine(cfg, S, use_native=False)
+    sh = ShardedServingEngine(cfg, S, use_native=False)
+    want = _feed_and_tick(ref, r1, S, cfg)
+    got = _feed_and_tick(sh, r2, S, cfg)
+    np.testing.assert_allclose(got[-1], want[-1], rtol=0, atol=1e-4)

@@ -1,0 +1,146 @@
+"""Mesh-sharded serving engine: multi-chip batched spectrum serving.
+
+The TPU-native answer to FFTW's MPI engine — where FFTW distributes one
+problem over ranks with 1-D block distribution and Alltoall transposes
+(/root/reference/deps/fftw-3.3.11/mpi/block.c, mpi/api.c,
+mpi/transpose-alltoall.c), this engine distributes S concurrent audio
+streams over a ``jax.sharding.Mesh``:
+
+* **stream axis** — device rings, EMA state, and every per-stream input
+  shard data-parallel; no collectives on the hot path (the analog of
+  FFTW's block distribution, with uneven counts rounded up to inert
+  padding streams like MPI's partial last block).
+* **pixel axis** — the rebin output carries a (stream, ·, pixel) sharding
+  constraint so the gather+einsum resample stays tensor-parallel; XLA
+  inserts the minimal collective, the analog of the distributed transpose.
+
+All host bookkeeping (packet queues, A/V sync, the native C++ assembler)
+is inherited unchanged from :class:`~waveform_tpu.runtime.serving.ServingEngine`;
+only placement and jit shardings differ, plus donated sharded state so each
+tick updates rings/EMA in place across the mesh.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.config import ResolvedConfig
+from ..runtime.serving import ServingEngine
+from .mesh import (
+    PIXEL_AXIS,
+    STREAM_AXIS,
+    make_mesh,
+    pad_stream_dim,
+    padded_streams,
+    pixel_constraint,
+    replicated,
+    shard_state,
+    stream_sharding,
+)
+
+
+class ShardedServingEngine(ServingEngine):
+    """ServingEngine over a device mesh (streams DP × rebin pixels TP).
+
+    ``num_streams`` is the user-visible count; internally it rounds up to a
+    multiple of the mesh's stream-axis size with inactive padding streams.
+    Outputs from :meth:`read_pixels`/:meth:`read_decibels` are trimmed back
+    to ``num_streams`` rows.
+    """
+
+    def __init__(self, cfg: ResolvedConfig, num_streams: int,
+                 mesh: Mesh | None = None, pixel_parallel: int = 1, **kw):
+        self.mesh = make_mesh(pixel_parallel=pixel_parallel) \
+            if mesh is None else mesh
+        self.user_streams = num_streams
+        self._s_sh = stream_sharding(self.mesh)
+        self._r_sh = replicated(self.mesh)
+        self._scan_sh = NamedSharding(self.mesh, P(None, STREAM_AXIS))
+        super().__init__(cfg, padded_streams(self.mesh, num_streams), **kw)
+
+    # -- placement hooks -------------------------------------------------
+
+    def _place_buffers(self) -> None:
+        self.ring = shard_state(self.mesh, self.ring)
+        self.state = shard_state(self.mesh, self.state)
+        if self.rms_ring is not None:
+            self.rms_ring = shard_state(self.mesh, self.rms_ring)
+
+    def _prep(self, x):
+        return jax.device_put(np.asarray(x), self._s_sh)
+
+    def _prep_scan(self, x):
+        return jax.device_put(np.asarray(x), self._scan_sh)
+
+    def _constrain_pixels(self, pixels):
+        return pixel_constraint(self.mesh, pixels)
+
+    def _jit_tick(self, fused_tick):
+        s, r = self._s_sh, self._r_sh
+        px_sh = NamedSharding(self.mesh, P(STREAM_AXIS, None, PIXEL_AXIS))
+        # prefix pytrees: one sharding covers every leaf of ring/state
+        return jax.jit(
+            fused_tick, donate_argnums=(2, 3, 7),
+            in_shardings=(s, s, s, s, r, s, s, s, s),
+            out_shardings=(px_sh, s, s, s))
+
+    def _jit_scan(self, scan_ticks):
+        s, r, t = self._s_sh, self._r_sh, self._scan_sh
+        px_sh = NamedSharding(self.mesh, P(None, STREAM_AXIS, None,
+                                           PIXEL_AXIS))
+        return jax.jit(
+            scan_ticks, donate_argnums=(2, 3, 7),
+            in_shardings=(t, t, s, s, r, t, s, s),
+            out_shardings=(px_sh, s, s, s))
+
+    # -- user-facing padding/trimming ------------------------------------
+
+    def feed_batch(self, data: np.ndarray, timestamp_ns: int,
+                   now_ns: int | None = None) -> None:
+        if data.shape[0] == self.user_streams and self.S != self.user_streams:
+            data = pad_stream_dim(np.asarray(data, np.float32), self.S)
+        super().feed_batch(data, timestamp_ns, now_ns)
+
+    def tick_many(self, new_samples, counts=None, active=None,
+                  dt: float | None = None):
+        new_samples = np.asarray(new_samples, np.float32)
+        if (new_samples.shape[1] == self.user_streams
+                and self.S != self.user_streams):
+            T = new_samples.shape[0]
+            new_samples = np.concatenate(
+                [new_samples, np.zeros(
+                    (T, self.S - self.user_streams) + new_samples.shape[2:],
+                    np.float32)], axis=1)
+            if counts is not None:
+                counts = np.concatenate(
+                    [np.asarray(counts),
+                     np.zeros((T, self.S - self.user_streams), np.int32)],
+                    axis=1)
+            if active is not None:
+                active = np.concatenate(
+                    [np.asarray(active),
+                     np.zeros((T, self.S - self.user_streams), bool)], axis=1)
+            elif self.S != self.user_streams:
+                active = np.concatenate(
+                    [np.ones((T, self.user_streams), bool),
+                     np.zeros((T, self.S - self.user_streams), bool)], axis=1)
+        return super().tick_many(new_samples, counts, active, dt)
+
+    def read_pixels(self) -> np.ndarray:
+        return np.asarray(self._last_pixels)[:self.user_streams]
+
+    def read_decibels(self) -> np.ndarray:
+        return super().read_decibels()[:self.user_streams]
+
+    @property
+    def last_silent(self) -> np.ndarray:
+        return np.asarray(self.state.last_silent)[:self.user_streams]
+
+    @property
+    def pixels_sharded(self):
+        """The untrimmed on-device sharded pixels (for device-side
+        consumers composing across the mesh)."""
+        return self._last_pixels

@@ -121,10 +121,10 @@ class ServingEngine:
                 rms = jnp.sqrt(jnp.sum(rms_ring.buf[:, 0], axis=-1)
                                / rms_size)
             state = step(ring.buf, state, dt, active, rms)
-            pixels = rebin(display_decibels(cfg, state))
+            pixels = self._constrain_pixels(rebin(display_decibels(cfg, state)))
             return pixels, ring, state, rms_ring
 
-        self._tick = jax.jit(fused_tick, donate_argnums=(2, 3, 7))
+        self._tick = self._jit_tick(fused_tick)
 
         def scan_ticks(new_T, counts_T, ring, state, dt, active_T, rms,
                        rms_ring=None):
@@ -143,13 +143,40 @@ class ServingEngine:
                                  / rms_size)
                 state = step(ring.buf, state, dt, active, r)
                 return ((ring, state, rms_ring),
-                        rebin(display_decibels(cfg, state)))
+                        self._constrain_pixels(
+                            rebin(display_decibels(cfg, state))))
             (ring, state, rms_ring), pxs = jax.lax.scan(
                 body, (ring, state, rms_ring), (new_T, counts_T, active_T))
             return pxs, ring, state, rms_ring
 
-        self._scan_ticks = jax.jit(scan_ticks, donate_argnums=(2, 3, 7))
+        self._scan_ticks = self._jit_scan(scan_ticks)
         self._last_pixels = None
+        self._place_buffers()
+
+    # -- hooks the sharded engine overrides (parallel/sharded_serving.py) --
+
+    def _jit_tick(self, fused_tick):
+        return jax.jit(fused_tick, donate_argnums=(2, 3, 7))
+
+    def _jit_scan(self, scan_ticks):
+        return jax.jit(scan_ticks, donate_argnums=(2, 3, 7))
+
+    def _place_buffers(self) -> None:
+        """Final placement of ring/state after construction (no-op single
+        device; the sharded engine device_puts them across the mesh)."""
+
+    def _prep(self, x):
+        """Host input → device array (sharded engine: mesh placement)."""
+        return jnp.asarray(x)
+
+    def _prep_scan(self, x):
+        """Like :meth:`_prep` for [T, S, ...] bulk inputs (stream axis 1)."""
+        return jnp.asarray(x)
+
+    def _constrain_pixels(self, pixels):
+        """Traced-side output-sharding hook (sharded engine: stream × pixel
+        constraint so XLA keeps the rebin stage tensor-parallel)."""
+        return pixels
 
     # ------------------------------------------------------------------
 
@@ -312,9 +339,9 @@ class ServingEngine:
                     now_ns, self.H, out=self._push_buf)
                 rms_sq = self._rms_buf
             pixels, self.ring, self.state, self.rms_ring = self._tick(
-                jnp.asarray(new), jnp.asarray(counts), self.ring,
-                self.state, jnp.float32(dt), jnp.asarray(active),
-                jnp.asarray(rms), self.rms_ring, jnp.asarray(rms_sq))
+                self._prep(new), self._prep(counts), self.ring,
+                self.state, jnp.float32(dt), self._prep(active),
+                self._prep(rms), self.rms_ring, self._prep(rms_sq))
             self._last_pixels = pixels
             return pixels
 
@@ -324,9 +351,9 @@ class ServingEngine:
                 np.square(np.max(np.abs(self._push_buf), axis=1),
                           out=self._rms_buf)
             pixels, self.ring, self.state, self.rms_ring = self._tick(
-                jnp.asarray(self._push_buf), jnp.asarray(counts), self.ring,
-                self.state, jnp.float32(dt), jnp.asarray(active),
-                jnp.asarray(rms), self.rms_ring, jnp.asarray(self._rms_buf))
+                self._prep(self._push_buf), self._prep(counts), self.ring,
+                self.state, jnp.float32(dt), self._prep(active),
+                self._prep(rms), self.rms_ring, self._prep(self._rms_buf))
             self._last_pixels = pixels
             return pixels
 
@@ -362,9 +389,9 @@ class ServingEngine:
                 got += use
 
         pixels, self.ring, self.state, self.rms_ring = self._tick(
-            jnp.asarray(self._push_buf), jnp.asarray(counts), self.ring,
-            self.state, jnp.float32(dt), jnp.asarray(active),
-            jnp.asarray(rms), self.rms_ring, jnp.asarray(self._rms_buf))
+            self._prep(self._push_buf), self._prep(counts), self.ring,
+            self.state, jnp.float32(dt), self._prep(active),
+            self._prep(rms), self.rms_ring, self._prep(self._rms_buf))
         self._last_pixels = pixels
         return pixels
 
@@ -385,11 +412,12 @@ class ServingEngine:
         if active is None:
             active = jnp.ones((T, S), bool)
         dt = (1.0 / self.cfg.fps) if dt is None else dt
-        rms = jnp.zeros(S, jnp.float32)
+        rms = self._prep(np.zeros(S, np.float32))
         pxs, self.ring, self.state, self.rms_ring = self._scan_ticks(
-            jnp.asarray(new_samples, jnp.float32), jnp.asarray(counts),
-            self.ring, self.state, jnp.float32(dt), jnp.asarray(active), rms,
-            self.rms_ring)
+            self._prep_scan(np.asarray(new_samples, np.float32)),
+            self._prep_scan(np.asarray(counts)),
+            self.ring, self.state, jnp.float32(dt),
+            self._prep_scan(np.asarray(active)), rms, self.rms_ring)
         self._last_pixels = pxs[-1]
         return pxs
 

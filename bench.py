@@ -20,8 +20,10 @@ inputs generated in-process, transform throughput measured):
   each tick, state threaded through the scan).
 
 An accuracy gate runs first (FFTW-style verify-before-benchmark): max |dB
-err| vs the float64 oracle must stay < 1e-2 above the -120 dBFS render
-floor or no throughput is reported.
+err| vs the float64 oracle must stay < 1e-4 above the -120 dBFS render
+floor or no throughput is reported — the BASELINE.json north-star bound,
+met by the digit-sliced exact-accumulation FFT (kernels/exactfft.py,
+~2e-6 dB measured on v5e) which is also the fastest backend at N=4096.
 
 Target: ≥10,000 frames/s/chip (BASELINE.json); vs_baseline = value / 10000.
 
@@ -111,7 +113,7 @@ def main() -> int:
     got = np.asarray(display_decibels(acc_cfg, st2))[0]
     vis = want > -120.0
     max_err = float(np.abs(got[vis] - want[vis]).max())
-    if max_err > 1e-2:
+    if max_err > 1e-4:
         print(json.dumps({"metric": "accuracy_gate_failed",
                           "value": max_err, "unit": "dB", "vs_baseline": 0.0}))
         return 1

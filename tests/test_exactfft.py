@@ -1,0 +1,120 @@
+"""Accuracy certification of the digit-sliced exact FFT.
+
+The analog of FFTW's accuracy_test against its arbitrary-precision mp FFT
+(/root/reference/deps/fftw-3.3.11/libbench2/verify-lib.c:464-477): every
+check here compares per-bin against float64 numpy, at the strict per-bin
+dB metric the BASELINE <1e-4 target uses — including deep Rayleigh nulls,
+where plain f32 GEMM/XLA FFTs fail by 10-100x.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from waveform_tpu import AudioInfo, Settings, resolve
+from waveform_tpu.core.enums import FFTWindow, TSmoothingMode
+from waveform_tpu.dsp import oracle
+from waveform_tpu.dsp.spectrum import (
+    display_decibels,
+    init_state,
+    make_spectrum_step,
+)
+from waveform_tpu.kernels import exactfft
+
+
+def _db_err(got, want):
+    return 20 * np.abs(np.log10(np.maximum(got, 1e-300)
+                                / np.maximum(want, 1e-300)))
+
+
+@pytest.mark.parametrize("n", [128, 1024, 4096, 16384])
+def test_noise_per_bin_db_error(rng, n):
+    """Max per-bin dB error vs float64 stays < 1e-5 on dense noise."""
+    x = (0.5 * rng.standard_normal((2, 2, n))).astype(np.float32)
+    want = np.abs(np.fft.fft(x.astype(np.float64), axis=-1)[..., :n // 2])
+    got = np.asarray(jax.jit(
+        lambda a: exactfft.rfft_mag_exact(a, n // 2))(x))
+    assert _db_err(got, want).max() < 1e-5
+
+
+def test_impulse_and_linearity(rng):
+    """FFTW-style property checks on the exact path."""
+    n = 512
+    imp = np.zeros((1, 2, n), np.float32)
+    imp[0, :, 3] = 1.0
+    got = np.asarray(jax.jit(
+        lambda a: exactfft.rfft_mag_exact(a, n // 2))(imp))
+    np.testing.assert_allclose(got, 1.0, rtol=1e-6)
+
+    x = rng.standard_normal((1, 2, n)).astype(np.float32)
+    y = rng.standard_normal((1, 2, n)).astype(np.float32)
+    f = jax.jit(lambda a: exactfft.rfft_mag_exact(a, n // 2))
+    lhs = np.asarray(f(2.0 * x + 3.0 * y))
+    want = np.abs(np.fft.fft((2.0 * x + 3.0 * y).astype(np.float64),
+                             axis=-1)[..., :n // 2])
+    assert _db_err(lhs, want).max() < 1e-5
+
+
+def test_odd_channel_count(rng):
+    """C=3 pairs two channels and runs the last solo — all exact."""
+    n = 1024
+    x = (0.3 * rng.standard_normal((2, 3, n))).astype(np.float32)
+    want = np.abs(np.fft.fft(x.astype(np.float64), axis=-1)[..., :n // 2])
+    got = np.asarray(jax.jit(
+        lambda a: exactfft.rfft_mag_exact(a, n // 2))(x))
+    assert _db_err(got, want).max() < 1e-5
+
+
+def test_df32_windowing(rng):
+    """The double-float Hann multiply keeps window error out of the nulls."""
+    n = 4096
+    w64 = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(n) / n)
+    w_hi = w64.astype(np.float32)
+    w_lo = (w64 - w_hi.astype(np.float64)).astype(np.float32)
+    x = (0.5 * rng.standard_normal((1, 2, n))).astype(np.float32)
+    want = np.abs(np.fft.fft(x.astype(np.float64) * w64,
+                             axis=-1)[..., :n // 2])
+    got = np.asarray(jax.jit(lambda a: exactfft.rfft_mag_exact(
+        a, n // 2, window=(jnp.asarray(w_hi), jnp.asarray(w_lo))))(x))
+    assert _db_err(got, want).max() < 1e-5
+
+
+def test_full_pipeline_meets_north_star(rng):
+    """make_spectrum_step(fft_backend='exact') vs the float64 oracle on
+    visible bins: the BASELINE <1e-4 dB target with 10x margin."""
+    n = 4096
+    sr = 48000
+    cfg = resolve(Settings(fft_size=n, window=FFTWindow.HANN,
+                           temporal_smoothing=TSmoothingMode.NONE),
+                  AudioInfo(sr, 2))
+    x = (0.5 * rng.standard_normal((2, n))).astype(np.float64)
+    want, _ = oracle.spectrum_frame(x, None, cfg, dt=1 / 60)
+
+    step = jax.jit(make_spectrum_step(cfg, fft_backend="exact"))
+    st = step(jnp.asarray(x[None], jnp.float32), init_state(cfg, 1),
+              jnp.float32(1 / 60), jnp.ones(1, bool),
+              jnp.zeros(1, jnp.float32))
+    got = np.asarray(display_decibels(cfg, st))[0]
+    vis = want > -120.0
+    assert vis.any()
+    assert np.abs(got[vis] - want[vis]).max() < 1e-5
+
+
+def test_digit_roundtrip_exactness(rng):
+    """Slicing + digit weights reconstruct the df32 value to ~2^-34."""
+    x64 = rng.uniform(-1000, 1000, 4096)
+    hi = x64.astype(np.float32)
+    lo = (x64 - hi.astype(np.float64)).astype(np.float32)
+
+    def f(hi, lo):
+        s = exactfft._pow2_scale(hi)
+        digits = exactfft._slice_df(hi, lo, 1.0 / s)
+        return s, digits
+
+    s, digits = jax.jit(f)(jnp.asarray(hi), jnp.asarray(lo))
+    # reconstruct in float64 on host: only slicing error remains (~2^-34)
+    recon = sum(np.asarray(d).astype(np.float64) * exactfft._digit_weight(k)
+                for k, d in enumerate(digits)) * float(s)
+    err = np.abs(recon - x64)
+    assert err.max() < float(s) * 2.0 ** -33

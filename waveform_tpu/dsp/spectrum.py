@@ -59,10 +59,45 @@ def display_decibels(cfg: ResolvedConfig, state: SpectrumState) -> jnp.ndarray:
     return state.decibels[:, :cfg.display_channels]
 
 
+# df32 splits of 20*log10(2) and 20/ln(10): the exponent term can reach
+# ±128 * 6.02 dB, so a plain f32 constant alone injects up to 4.6e-5 dB
+_C_E = np.float64(20.0 * np.log10(2.0))
+_C_E_HI = np.float32(_C_E)
+_C_E_LO = np.float32(_C_E - np.float64(_C_E_HI))
+_C_M = np.float64(20.0 / np.log(10.0))
+_C_M_HI = np.float32(_C_M)
+_C_M_LO = np.float32(_C_M - np.float64(_C_M_HI))
+
+
+def _db_from_positive(mag: jnp.ndarray) -> jnp.ndarray:
+    """20·log10(mag) to ~1e-6 dB absolute for mag > 0.
+
+    XLA:TPU's f32 ``log10`` is ~1e-3 dB off (measured on v5e) — far above
+    the <1e-4 dB north star — so the decibel conversion owns its own
+    numerics: exact frexp range reduction, an atanh-series ln on
+    [sqrt(.5), sqrt(2)) (|z| <= 0.1716, truncation < 1e-8), and a
+    double-float constant recombination.
+    """
+    from ..kernels.exactfft import two_prod, two_sum
+    f, e = jnp.frexp(mag)                      # mag = f * 2^e, f in [.5, 1)
+    small = f < jnp.float32(0.7071067811865476)
+    f = jnp.where(small, f * 2.0, f)
+    e = (e - small.astype(e.dtype)).astype(jnp.float32)
+    z = (f - 1.0) / (f + 1.0)                  # f-1 exact by Sterbenz
+    w = z * z
+    poly = 1.0 + w * (jnp.float32(1 / 3) + w * (jnp.float32(1 / 5)
+                      + w * (jnp.float32(1 / 7) + w * jnp.float32(1 / 9))))
+    lnf = 2.0 * z * poly
+    p, pe = two_prod(e, jnp.float32(_C_E_HI))
+    q, qe = two_prod(lnf, jnp.float32(_C_M_HI))
+    hi, err = two_sum(p, q)
+    return hi + (err + pe + qe + e * _C_E_LO + lnf * _C_M_LO)
+
+
 def dbfs(mag: jnp.ndarray) -> jnp.ndarray:
     """20·log10(mag) with DB_MIN for mag<=0 (src/source.hpp:293-299)."""
     safe = jnp.where(mag > 0.0, mag, 1.0)
-    return jnp.where(mag > 0.0, 20.0 * jnp.log10(safe), DB_MIN)
+    return jnp.where(mag > 0.0, _db_from_positive(safe), DB_MIN)
 
 
 def gravity_coefficient(cfg: ResolvedConfig, dt: jnp.ndarray) -> jnp.ndarray:
@@ -80,13 +115,43 @@ def _magnitude_pipeline(cfg: ResolvedConfig, samples: jnp.ndarray,
                         rfft_fn, fft_backend: str = "auto") -> jnp.ndarray:
     """window → rFFT → |z|·2/Σw → slope (src/source_generic.cpp:97-122).
 
-    ``fft_backend``: "matmul" runs the GEMM-native 4-step FFT
-    (kernels/matfft.py, faster than the XLA FFT custom call on v5e at
-    N=4096 with 1.4e-5 relative magnitude error at the "highest" matmul
-    precision default); "xla" uses jnp.fft.rfft; "auto" picks matmul on
-    TPU, xla elsewhere.  An explicit ``rfft_fn`` overrides.
+    ``fft_backend``: "exact" runs the digit-sliced integer-GEMM FFT
+    (kernels/exactfft.py — exact products and accumulation on the MXU,
+    ~1e-6 dB per-bin error vs the float64 oracle, the FFTW
+    accuracy-vs-mp-reference analog); "matmul" the plain GEMM-native
+    4-step FFT at "highest" matmul precision (~1e-4..1e-3 dB at deep
+    Rayleigh nulls); "xla" jnp.fft.rfft; "auto" picks exact on TPU (the
+    north-star <1e-4 dB target binds there), xla elsewhere.  An explicit
+    ``rfft_fn`` overrides.
     """
     nbins = cfg.fft_size // 2
+    if fft_backend == "auto":
+        import os
+        fft_backend = os.environ.get(
+            "WAVEFORM_TPU_FFT_BACKEND",
+            "exact" if jax.default_backend() == "tpu" else "xla")
+
+    if rfft_fn is None and fft_backend == "exact":
+        # the window multiply itself costs ~3e-4 dB at deep nulls in f32,
+        # so the exact path applies it in double-float inside the kernel
+        from ..kernels.exactfft import rfft_mag_exact
+        window = None
+        if cfg.window != FFTWindow.NONE:
+            w64 = window_coefficients(cfg.window, cfg.fft_size,
+                                      cfg.sine_exponent, dtype=np.float64)
+            w_hi = w64.astype(np.float32)
+            w_lo = (w64 - w_hi.astype(np.float64)).astype(np.float32)
+            window = (jnp.asarray(w_hi), jnp.asarray(w_lo))
+        mag = rfft_mag_exact(samples, nbins, window=window)
+        mag_coeff = 2.0 / window_sum(cfg.window, cfg.fft_size,
+                                     cfg.sine_exponent)
+        mag = mag * jnp.float32(mag_coeff)
+        if cfg.slope > 0.0:
+            mods = jnp.asarray(
+                slope_modifiers(nbins, cfg.slope).astype(np.float32))
+            mag = mag * mods
+        return mag
+
     x = samples
     if cfg.window != FFTWindow.NONE:
         coeffs = jnp.asarray(
@@ -99,9 +164,6 @@ def _magnitude_pipeline(cfg: ResolvedConfig, samples: jnp.ndarray,
         z = rfft_fn(x)[..., :nbins]  # drop Nyquist, as the reference does
         mag = jnp.abs(z).astype(jnp.float32)
     else:
-        if fft_backend == "auto":
-            fft_backend = ("matmul" if jax.default_backend() == "tpu"
-                           else "xla")
         if fft_backend == "matmul":
             from ..kernels.matfft import rfft_mag
             mag = rfft_mag(x, nbins)
@@ -109,7 +171,7 @@ def _magnitude_pipeline(cfg: ResolvedConfig, samples: jnp.ndarray,
             mag = jnp.abs(jnp.fft.rfft(x))[..., :nbins].astype(jnp.float32)
         else:
             raise ValueError(f"unknown fft_backend {fft_backend!r}; "
-                             "expected 'auto', 'matmul', or 'xla'")
+                             "expected 'auto', 'exact', 'matmul', or 'xla'")
 
     mag = mag * jnp.float32(mag_coeff)
     if cfg.slope > 0.0:

@@ -27,6 +27,7 @@
 #include <cstdint>
 #include <cstring>
 #include <mutex>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -161,7 +162,19 @@ void wf_destroy(Engine* e) { delete e; }
 int wf_feed(Engine* e, int stream, const float* data, int frames,
             long long timestamp_ns, long long now_ns, int muted) {
   Stream& s = e->streams[stream];
-  if (!s.mtx.try_lock_for(std::chrono::milliseconds(10))) return 0;
+  // Bounded backpressure: drop the packet only after genuinely waiting out
+  // the 10 ms budget (src/source.cpp:1822-1823).  try_lock_for alone is NOT
+  // enough — the standard allows it to fail spuriously with no contention,
+  // which intermittently dropped packets and desynced the ring.
+  if (!s.mtx.try_lock()) {
+    auto deadline =
+        std::chrono::steady_clock::now() + std::chrono::milliseconds(10);
+    for (;;) {
+      if (s.mtx.try_lock()) break;
+      if (std::chrono::steady_clock::now() >= deadline) return 0;
+      std::this_thread::yield();
+    }
+  }
   std::lock_guard<std::timed_mutex> lk(s.mtx, std::adopt_lock);
   if (frames <= 0) return 1;
 

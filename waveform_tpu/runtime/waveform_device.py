@@ -1,0 +1,344 @@
+"""Device-resident batched waveform (oscilloscope) engine.
+
+The reference's waveform tick is per-source, host-sequential
+(/root/reference/src/source_generic.cpp:271-390): pop-to-sync, per-pixel
+timestamp resample, ``std::rotate`` scroll, fresh-tail dBFS.  The host-NumPy
+ports (``WaveformScroller`` per stream, ``BatchedWaveformScroller`` for
+shared-sync fans) keep that structure; this engine is the TPU-native
+redesign for S streams with **independent sync states**:
+
+* samples live in a device ring ``[S, C, L]`` (dsp/devring.py); the host
+  pushes only new arrivals per tick,
+* the per-pixel resample becomes one batched gather keyed on host-computed
+  per-stream index rows (timestamp math stays host-side int64 — TPU ints
+  are 32-bit and ns timestamps don't fit),
+* the scroll is the same concat + vmapped dynamic-slice pattern as the
+  ring advance, shifted per stream by its own fresh-pixel count,
+* fresh-tail |x|→dBFS conversion, mono fold, silence latch and volume
+  normalization (device-resident synced RMS ring, like ServingEngine) are
+  masked elementwise ops — one jitted step for the whole fleet.
+"""
+
+from __future__ import annotations
+
+import time
+from collections import deque
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import (
+    CAPTURE_TIMEOUT_NS,
+    DB_MIN,
+    MAX_TS_DELTA_NS,
+    ResolvedConfig,
+)
+from ..core.ring import audio_frames_to_ns, ns_to_audio_frames
+from ..dsp.devring import DeviceRing, init_ring, push
+from ..dsp.spectrum import dbfs
+
+
+class _WfStream:
+    __slots__ = ("chunks", "rms_chunks", "queued", "capture_ts", "audio_ts",
+                 "waveform_ts", "total", "show")
+
+    def __init__(self):
+        self.chunks: deque[np.ndarray] = deque()
+        self.rms_chunks: deque[np.ndarray] = deque()
+        self.queued = 0
+        self.capture_ts = 0
+        self.audio_ts = 0
+        self.waveform_ts = 0
+        self.total = 0      # the reference ring's post-trim size
+        self.show = True
+
+
+def _ts_to_frames(sr: int, ns: np.ndarray) -> np.ndarray:
+    return (ns.astype(np.int64) * sr) // 1_000_000_000
+
+
+class DeviceWaveformEngine:
+    """Batched oscilloscope serving for S independently-synced streams."""
+
+    def __init__(self, cfg: ResolvedConfig, num_streams: int,
+                 hop_budget: int | None = None):
+        if cfg.display_mode.value != "waveform":
+            raise ValueError("DeviceWaveformEngine needs waveform mode")
+        self.cfg = cfg
+        self.S = num_streams
+        C = max(cfg.capture_channels, 1)
+        self.C = C
+        self.W = cfg.fft_size  # display width in pixels (src/source.cpp:1140)
+        sr = cfg.audio.samples_per_sec
+        self.H = hop_budget or (2 * int(sr / cfg.fps) + 16)
+        # ring must hold the largest reference ring: waveform window + the
+        # worst sync reserve (user ts offset) + one hop of slack
+        reserve_cap = max(cfg.ts_offset_ns, 0) * sr // 1_000_000_000
+        self.L = int(cfg.waveform_samples + reserve_cap + self.H)
+        self.step_ns = (cfg.meter_ms * 1_000_000) // self.W
+
+        self._streams = [_WfStream() for _ in range(num_streams)]
+        # startup prefill: fft_size (= width) silent samples, exactly like
+        # StreamSource (src/source.cpp:1243-1248; runtime/source.py:76-80)
+        for p in self._streams:
+            p.chunks.append(np.zeros((C, cfg.fft_size), np.float32))
+            p.queued = cfg.fft_size
+            if cfg.normalize_volume:
+                p.rms_chunks.append(np.zeros(cfg.fft_size, np.float32))
+
+        self.ring = init_ring(num_streams, C, self.L)
+        O = max(cfg.output_channels, C)
+        self.O = O
+        self.buf = jnp.full((num_streams, O, self.W), DB_MIN, jnp.float32)
+        self.latch = jnp.zeros((num_streams,), bool)
+        self._normalize = cfg.normalize_volume
+        if self._normalize:
+            self.rms_ring = init_ring(num_streams, 1, cfg.input_rms_size)
+        else:
+            self.rms_ring = None
+
+        self._push_buf = np.zeros((num_streams, C, self.H), np.float32)
+        self._rms_buf = np.zeros((num_streams, self.H), np.float32)
+        self._step = jax.jit(self._make_step(), donate_argnums=(0, 1, 2, 9))
+
+    # ------------------------------------------------------------------
+
+    def _make_step(self):
+        cfg = self.cfg
+        C, O, W, L = self.C, self.O, self.W, self.L
+        D = 2 if cfg.stereo else 1
+        stereo = cfg.stereo
+        normalize = self._normalize
+        rms_size = cfg.input_rms_size if self._normalize else 1
+
+        def step(ring: DeviceRing, buf, latch, new, counts, idx, n, run,
+                 timeout, rms_ring: DeviceRing | None = None, rms_sq=None):
+            ring = push(ring, new, counts)
+            input_rms = jnp.zeros((new.shape[0],), jnp.float32)
+            if normalize and rms_ring is not None:
+                rms_ring = push(rms_ring, rms_sq[:, None, :], counts)
+                input_rms = jnp.sqrt(
+                    jnp.sum(rms_ring.buf[:, 0], axis=-1) / rms_size)
+
+            # batched resample gather: sample ``idx`` frames from the end
+            gpos = jnp.clip(L - idx, 0, L - 1)                 # [S, W]
+            gathered = jnp.take_along_axis(
+                ring.buf, jnp.broadcast_to(gpos[:, None, :],
+                                           ring.buf.shape[:2] + (W,)),
+                axis=-1)                                        # [S, C, W]
+
+            # scroll by n fresh pixels: (buf ++ new_pixels)[n : n+W]
+            ext = jnp.concatenate([buf[:, :C], gathered], axis=-1)
+
+            def shift(row, k):
+                return jax.lax.dynamic_slice_in_dim(row, k, W, axis=-1)
+
+            scrolled = jax.vmap(shift)(ext, n)
+            run_b = run[:, None, None]
+            bufC = jnp.where(run_b, scrolled, buf[:, :C])
+
+            # silence latch on the post-scroll mixed raw/dB buffer — the
+            # exact WaveformScroller semantics (waveform_host.py:104-115)
+            nonzero = jnp.any(bufC != 0.0, axis=-1)             # [S, C]
+            silent = ~jnp.any(nonzero, axis=-1)                 # [S]
+            new_latch = jnp.where(run, silent, latch)
+
+            out = buf.at[:, :C].set(bufC)
+            if O > C:
+                out = out.at[:, 1].set(
+                    jnp.where(run_b[:, 0], bufC[:, 0], out[:, 1]))
+
+            # fresh-tail dB conversion with fold (src_generic.cpp:366-381)
+            pos = jnp.arange(W)[None, :]
+            fresh = (pos >= (W - n)[:, None]) & run[:, None] \
+                & ~new_latch[:, None]                           # [S, W]
+            if stereo:
+                conv = dbfs(jnp.abs(out[:, :D]))
+            elif C > 1:
+                conv = dbfs((jnp.abs(out[:, 0])
+                             + jnp.abs(out[:, 1])) * 0.5)[:, None]
+            else:
+                conv = dbfs(jnp.abs(out[:, 0]))[:, None]
+            if normalize:
+                comp = jnp.minimum(cfg.volume_target - dbfs(input_rms),
+                                   cfg.max_gain)
+                conv = conv + comp[:, None, None]
+            out = out.at[:, :D].set(
+                jnp.where(fresh[:, None, :], conv, out[:, :D]))
+
+            # silence fill + timeout fill (DB_MIN once unless latched)
+            fill = (run & new_latch) | (timeout & ~latch)
+            out = out.at[:, :D].set(
+                jnp.where(fill[:, None, None], DB_MIN, out[:, :D]))
+            new_latch = jnp.where(timeout, True, new_latch)
+
+            return ring, out, new_latch, rms_ring
+
+        return step
+
+    # ------------------------------------------------------------------
+
+    def feed(self, stream: int, data: np.ndarray | None, timestamp_ns: int,
+             now_ns: int | None = None, muted: bool = False) -> None:
+        now_ns = time.monotonic_ns() if now_ns is None else now_ns
+        cfg = self.cfg
+        frames = 0 if data is None else data.shape[-1]
+        if frames == 0 or cfg.capture_channels == 0:
+            return
+        p = self._streams[stream]
+        p.capture_ts = now_ns
+        audio_len = audio_frames_to_ns(cfg.audio.samples_per_sec, frames)
+        if abs(timestamp_ns - now_ns) > MAX_TS_DELTA_NS:
+            p.audio_ts = now_ns
+        else:
+            p.audio_ts = timestamp_ns + audio_len
+
+        raw = None
+        if data is not None:
+            raw = np.asarray(
+                data[cfg.channel_base:cfg.channel_base + self.C], np.float32)
+            if raw.shape[0] < self.C:
+                raw = np.vstack([raw, np.zeros(
+                    (self.C - raw.shape[0], frames), np.float32)])
+        if self._normalize:
+            sq = (np.zeros(frames, np.float32) if raw is None
+                  else np.max(np.abs(raw), axis=0).astype(np.float32) ** 2)
+            p.rms_chunks.append(sq)
+        if (muted and not cfg.settings.ignore_mute) or raw is None:
+            chunk = np.zeros((self.C, frames), np.float32)
+        else:
+            chunk = raw
+        p.chunks.append(chunk)
+        p.queued += frames
+        # NOTE: the reference's capture-side drop-oldest trim
+        # (src/source.cpp:1883-1886) is implicit here — the device ring
+        # keeps the newest L samples and the tick caps the gather depth
+        # (``total``) at the reference's max ring size, so over-old samples
+        # simply fall out of reach.  Dropping queued-but-unpushed samples
+        # would instead punch a discontinuity into the device ring.  A
+        # sanity bound protects against a runaway feeder:
+        max_q = self.L
+        while p.queued > max_q and p.chunks:
+            drop = p.queued - max_q
+            head = p.chunks[0]
+            if head.shape[-1] <= drop:
+                p.queued -= head.shape[-1]
+                p.chunks.popleft()
+                if p.rms_chunks:
+                    p.rms_chunks.popleft()
+            else:
+                p.chunks[0] = head[:, drop:]
+                if p.rms_chunks:
+                    p.rms_chunks[0] = p.rms_chunks[0][drop:]
+                p.queued -= drop
+                break
+
+    def _audio_sync(self, p: _WfStream, ts: int) -> int:
+        audio_ts = p.audio_ts + self.cfg.ts_offset_ns
+        delta = min(abs(audio_ts - ts), MAX_TS_DELTA_NS)
+        return -delta if audio_ts < ts else delta
+
+    def set_show(self, stream: int, show: bool) -> None:
+        self._streams[stream].show = show
+
+    # ------------------------------------------------------------------
+
+    def tick(self, now_ns: int | None = None):
+        """One batched frame; returns on-device display [S, D, W]."""
+        now_ns = time.monotonic_ns() if now_ns is None else now_ns
+        cfg = self.cfg
+        S, C, W = self.S, self.C, self.W
+        sr = cfg.audio.samples_per_sec
+
+        counts = np.zeros(S, np.int32)
+        n = np.zeros(S, np.int32)
+        run = np.zeros(S, bool)
+        timeout = np.zeros(S, bool)
+        idx = np.full((S, W), 1, np.int64)
+        self._push_buf[:] = 0.0
+        if self._normalize:
+            self._rms_buf[:] = 0.0
+
+        pix = np.arange(W, dtype=np.int64) * self.step_ns
+
+        for i, p in enumerate(self._streams):
+            if (not p.show) or (now_ns - p.capture_ts) > CAPTURE_TIMEOUT_NS:
+                timeout[i] = True
+                continue
+            # consume up to the hop budget; any backlog stays queued and the
+            # effective "newest sample" timestamp excludes it, so the gather
+            # only references samples that are really in the device ring
+            take = min(p.queued, self.H)
+            leftover = p.queued - take
+            audio_eff = p.audio_ts - audio_frames_to_ns(sr, leftover)
+            dtaudio = min(abs(audio_eff + cfg.ts_offset_ns - now_ns),
+                          MAX_TS_DELTA_NS)
+            if audio_eff + cfg.ts_offset_ns < now_ns:
+                dtaudio = -dtaudio
+            reserve = ns_to_audio_frames(sr, dtaudio) if dtaudio > 0 else 0
+            # reference ring size this tick: last tick's reserve + arrivals,
+            # trimmed (feed-side) to reserve + waveform window
+            total = p.total + take
+            max_size = cfg.waveform_samples + reserve
+            total = min(total, max_size, self.L)
+            if total <= reserve:
+                continue
+
+            start_ts = audio_eff - audio_frames_to_ns(sr, total)
+            stop_ts = audio_eff - audio_frames_to_ns(sr, reserve)
+            if start_ts >= audio_eff or stop_ts > audio_eff:
+                continue  # timestamp rollover, give up
+            if p.waveform_ts < start_ts:
+                p.waveform_ts = start_ts
+            if (p.waveform_ts > stop_ts
+                    and (p.waveform_ts - stop_ts) > self.step_ns):
+                p.waveform_ts = start_ts
+
+            # drain queued samples into the device push buffer
+            got = 0
+            while got < take and p.chunks:
+                head = p.chunks[0]
+                m = head.shape[-1]
+                use = min(m, take - got)
+                self._push_buf[i, :, got:got + use] = head[:, :use]
+                if self._normalize and p.rms_chunks:
+                    self._rms_buf[i, got:got + use] = p.rms_chunks[0][:use]
+                    if use == p.rms_chunks[0].shape[-1]:
+                        p.rms_chunks.popleft()
+                    else:
+                        p.rms_chunks[0] = p.rms_chunks[0][use:]
+                if use == m:
+                    p.chunks.popleft()
+                else:
+                    p.chunks[0] = head[:, use:]
+                p.queued -= use
+                got += use
+            counts[i] = take
+
+            ts = p.waveform_ts + pix
+            ok = (ts < stop_ts) & (ts >= p.waveform_ts)
+            ni = int(np.argmin(ok)) if not ok.all() else W
+            n[i] = ni
+            if ni > 0:
+                idx[i, :ni] = _ts_to_frames(sr, audio_eff - ts[:ni]).clip(
+                    reserve + 1, total)
+            run[i] = True
+            p.waveform_ts += ni * self.step_ns
+            p.total = reserve  # consumed down to the sync reserve
+
+        self.ring, self.buf, self.latch, self.rms_ring = self._step(
+            self.ring, self.buf, self.latch,
+            jnp.asarray(self._push_buf), jnp.asarray(counts),
+            jnp.asarray(idx.astype(np.int32)), jnp.asarray(n),
+            jnp.asarray(run), jnp.asarray(timeout), self.rms_ring,
+            jnp.asarray(self._rms_buf))
+        return self.display
+
+    @property
+    def display(self):
+        return self.buf[:, :self.cfg.display_channels]
+
+    @property
+    def last_silent(self) -> np.ndarray:
+        return np.asarray(self.latch)

@@ -157,10 +157,6 @@ class BatchedWaveformScroller:
     """
 
     def __init__(self, cfg: ResolvedConfig, num_streams: int):
-        if cfg.normalize_volume:
-            raise NotImplementedError(
-                "volume normalization on the batched waveform path is not "
-                "wired up; use per-stream WaveformEngine")
         self.cfg = cfg
         self.S = num_streams
         C = max(cfg.capture_channels, 1)
@@ -178,6 +174,16 @@ class BatchedWaveformScroller:
         self.audio_ts = 0
         self.show = True
         self.input_rms = np.zeros(num_streams, np.float32)
+        # volume normalization: vectorized update_input_rms — per-stream 1 s
+        # windows of per-timepoint max-channel squares, drained in sync
+        # (src/source.cpp:810-835), shared positions since sync is shared
+        if cfg.normalize_volume:
+            R = cfg.input_rms_size
+            self._rms_win = np.zeros((num_streams, R), np.float32)
+            self._rms_pos = 0
+            self._rms_sum = np.zeros(num_streams, np.float64)
+            self._rms_q: list[np.ndarray] = []
+            self._rms_queued = 0
 
     # -- feeding (shared timestamps) -----------------------------------
     def feed_batch(self, data: np.ndarray, timestamp_ns: int,
@@ -191,9 +197,14 @@ class BatchedWaveformScroller:
         from ..core.config import MAX_TS_DELTA_NS
         self.audio_ts = (now_ns if abs(timestamp_ns - now_ns) > MAX_TS_DELTA_NS
                          else timestamp_ns + audio_len)
-        self._chunks.append(np.asarray(
-            data[:, cfg.channel_base:cfg.channel_base + self.C], np.float32))
+        cut = np.asarray(
+            data[:, cfg.channel_base:cfg.channel_base + self.C], np.float32)
+        self._chunks.append(cut)
         self._queued += frames
+        if cfg.normalize_volume:
+            self._rms_q.append(
+                np.max(np.abs(cut), axis=1).astype(np.float32) ** 2)
+            self._rms_queued += frames
         # bound the queue like capture_audio's trim (waveform bufsz)
         dtaudio = self._sync(now_ns)
         reserve = (ns_to_audio_frames(cfg.audio.samples_per_sec, dtaudio)
@@ -209,6 +220,54 @@ class BatchedWaveformScroller:
                 self._chunks[0] = head[..., drop:]
                 self._queued -= drop
                 break
+        if cfg.normalize_volume:
+            max_rq = reserve + cfg.input_rms_size
+            while self._rms_queued > max_rq and self._rms_q:
+                drop = self._rms_queued - max_rq
+                head = self._rms_q[0]
+                if head.shape[-1] <= drop:
+                    self._rms_queued -= head.shape[-1]
+                    self._rms_q.pop(0)
+                else:
+                    self._rms_q[0] = head[:, drop:]
+                    self._rms_queued -= drop
+                    break
+
+    def _update_input_rms(self, now_ns: int) -> None:
+        """Vectorized update_input_rms (runtime/source.py:180-200)."""
+        cfg = self.cfg
+        R = cfg.input_rms_size
+        dtaudio = self._sync(now_ns)
+        reserve = (ns_to_audio_frames(cfg.audio.samples_per_sec, dtaudio)
+                   if dtaudio > 0 else 0)
+        if self._rms_queued <= reserve:
+            return
+        consume = self._rms_queued - reserve
+        parts, got = [], 0
+        while got < consume and self._rms_q:
+            head = self._rms_q[0]
+            use = min(head.shape[-1], consume - got)
+            parts.append(head[:, :use])
+            if use == head.shape[-1]:
+                self._rms_q.pop(0)
+            else:
+                self._rms_q[0] = head[:, use:]
+            got += use
+        self._rms_queued -= got
+        newsq = np.concatenate(parts, axis=-1)
+        k = newsq.shape[-1]
+        if k >= R:
+            self._rms_win[:] = newsq[:, -R:]
+            self._rms_sum = self._rms_win.sum(-1, dtype=np.float64)
+            self._rms_pos = 0
+        else:
+            pos = (self._rms_pos + np.arange(k)) % R
+            self._rms_sum += (newsq.sum(-1, dtype=np.float64)
+                              - self._rms_win[:, pos].sum(-1, dtype=np.float64))
+            self._rms_win[:, pos] = newsq
+            self._rms_pos = (self._rms_pos + k) % R
+        self.input_rms = np.sqrt(
+            np.maximum(self._rms_sum, 0.0) / R).astype(np.float32)
 
     def _sync(self, ts: int) -> int:
         from ..core.config import MAX_TS_DELTA_NS
@@ -222,6 +281,8 @@ class BatchedWaveformScroller:
         outsz = cfg.fft_size
         C = self.C
         sr = cfg.audio.samples_per_sec
+        if cfg.normalize_volume:
+            self._update_input_rms(now_ns)
 
         if (not self.show) or (now_ns - self.capture_ts) > CAPTURE_TIMEOUT_NS:
             fresh = ~self.last_silent
@@ -281,6 +342,11 @@ class BatchedWaveformScroller:
                               + np.abs(tails[:, 1])) * 0.5)[:, None]
             else:
                 conv = _dbfs(np.abs(tails[:, 0]))[:, None]
+            if cfg.normalize_volume:
+                comp = np.minimum(
+                    cfg.volume_target - _dbfs(self.input_rms[live]),
+                    cfg.max_gain)
+                conv = conv + comp[:, None, None]
             # write back through one advanced-index assignment
             buf_live = self.buf[live]
             buf_live[:, :D, k:] = conv

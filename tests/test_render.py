@@ -255,3 +255,28 @@ def test_single_channel_end_to_end(rng):
     db = eng.tick(now_ns=now)
     pk = int(np.argmax(db[0, 0])) * SR / cfg.fft_size
     assert abs(pk - 9000) < 2 * SR / cfg.fft_size  # channel 1's tone
+
+
+def test_radial_bilinear_smooth_arcs():
+    """The radial warp samples bilinearly (GPU-sampler semantics behind
+    gradient.effect:43-59): alpha along a mid-ring varies smoothly instead
+    of snapping 0/1 like a nearest-neighbor gather."""
+    cfg = cfg_for(fft_size=256, width=100, height=200, radial_layout=True,
+                  deadzone=10.0, floor=-100, ceiling=0,
+                  interp_mode=InterpMode.POINT)
+    render = make_renderer(cfg)
+    img = np.asarray(render(flat_db(cfg, -5.0)))
+    side = img.shape[0]
+    c = side / 2.0 - 0.5
+    # sample alpha on a dense ring through the lit band
+    theta = np.linspace(0, 2 * np.pi, 4000, endpoint=False)
+    r = cfg.deadzone_px + cfg.height * 0.5
+    ys = np.clip(np.round(c + r * np.cos(theta)).astype(int), 0, side - 1)
+    xs = np.clip(np.round(c + r * np.sin(theta)).astype(int), 0, side - 1)
+    alpha = img[ys, xs, 3]
+    assert (alpha > 0).mean() > 0.9          # the ring is lit
+    # bilinear edges produce fractional alpha somewhere in the image
+    frac = (img[..., 3] > 0.05) & (img[..., 3] < 0.95)
+    assert frac.sum() > 50, "no fractional-alpha pixels: not interpolating"
+    assert len(np.unique(img[..., 3].round(3))) > 4, \
+        "alpha is binary: nearest-neighbor staircase"

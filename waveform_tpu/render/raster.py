@@ -195,7 +195,12 @@ def make_renderer(cfg: ResolvedConfig):
         return img
 
     def _radial_warp(cfg: ResolvedConfig, img: jnp.ndarray) -> jnp.ndarray:
-        """Inverse of VSRadial (gradient.effect:43-59)."""
+        """Inverse of VSRadial (gradient.effect:43-59), sampled bilinearly.
+
+        The GPU sampler behind the reference's radial techniques
+        interpolates (linear filtering on the bound texture); a
+        nearest-neighbor gather leaves staircase arcs, so each output
+        pixel blends the 4 surrounding source texels."""
         dz = cfg.deadzone_px
         R = Hh + dz
         side = int(R * 2)
@@ -212,9 +217,16 @@ def make_renderer(cfg: ResolvedConfig):
         if cfg.invert:
             yg = Hh - yg
         valid = (ang <= arc) & (yg >= 0) & (yg < Hh) & (rho >= dz)
-        xi = jnp.clip(xg.astype(jnp.int32), 0, Ww - 1)
-        yi = jnp.clip(yg.astype(jnp.int32), 0, Hh - 1)
-        out = img[yi, xi]
+
+        x0 = jnp.clip(jnp.floor(xg).astype(jnp.int32), 0, Ww - 1)
+        y0 = jnp.clip(jnp.floor(yg).astype(jnp.int32), 0, Hh - 1)
+        x1 = jnp.minimum(x0 + 1, Ww - 1)
+        y1 = jnp.minimum(y0 + 1, Hh - 1)
+        fx = (jnp.clip(xg, 0.0, Ww - 1.0) - x0)[..., None]
+        fy = (jnp.clip(yg, 0.0, Hh - 1.0) - y0)[..., None]
+        top = img[y0, x0] * (1.0 - fx) + img[y0, x1] * fx
+        bot = img[y1, x0] * (1.0 - fx) + img[y1, x1] * fx
+        out = top * (1.0 - fy) + bot * fy
         return jnp.where(valid[..., None], out, 0.0)
 
     return render

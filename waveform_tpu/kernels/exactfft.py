@@ -39,11 +39,20 @@ FIRST_SHIFT = 6         # digit k has weight 2^-(6 + 7k)
 N_SLICES = 5            # per operand: covers ~2^-34 of the unit scale
 MAX_T = 5               # keep digit pairs with i + j <= MAX_T
 
-# int8 MXU path: products/accumulation exact by construction.  bf16 digits
-# are equally exact (integer values <= 64, partial sums < 2^24 in the f32
-# accumulator) — flip if a backend lowers int8 contractions badly.
-DIGIT_DTYPE = jnp.int8
-ACC_DTYPE = jnp.int32
+# Digit dtype for the MXU passes.  bf16 digits are exact by construction:
+# integer values <= 64 are representable, the MXU multiplies at full
+# precision before accumulating, and every partial sum is an integer
+# < 2^24 — exact in the f32 accumulator.  int8->int32 is equally exact and
+# runs at 2x MXU rate, but costs f32->int8 repacking on the VPU; set
+# WAVEFORM_TPU_DIGIT_DTYPE=int8 to flip.
+import os as _os
+
+if _os.environ.get("WAVEFORM_TPU_DIGIT_DTYPE", "bf16") == "int8":
+    DIGIT_DTYPE = jnp.int8
+    ACC_DTYPE = jnp.int32
+else:
+    DIGIT_DTYPE = jnp.bfloat16
+    ACC_DTYPE = jnp.float32
 
 
 def _digit_weight(k: int) -> float:
@@ -174,15 +183,21 @@ def _digit_gemm(subscripts: str, const_digits, x_digits, scale):
         terms.append((t, s_t))
 
     # combine: v_t = S_t * 2^-(12 + 7t) * scale — exact (integer < 2^24
-    # times a power of two); accumulate into df32 with TwoSum
-    hi = jnp.zeros(terms[0][1].shape, jnp.float32)
-    lo = jnp.zeros_like(hi)
-    for t, s_t in sorted(terms, key=lambda p: -p[0]):  # smallest first
+    # times a power of two).  The terms drop by 2^-7 per t, so the tail
+    # (t >= 1) sums in plain f32 with error ~eps * |v_1| ~ 2^-36 * scale —
+    # below the slice truncation — and a single TwoSum against the leading
+    # term recovers the double-float pair.  (A full TwoSum chain here was
+    # the VPU bottleneck of the whole FFT.)
+    def weighted(t, s_t):
         w = jnp.float32(2.0 ** -(2 * FIRST_SHIFT + DIGIT_BITS * t)) * scale
-        v = s_t.astype(jnp.float32) * w
-        hi, e = two_sum(hi, v)
-        lo = lo + e
-    return two_sum(hi, lo)
+        return s_t.astype(jnp.float32) * w
+
+    terms.sort(key=lambda p: p[0])
+    v0 = weighted(*terms[0])
+    tail = weighted(*terms[-1])
+    for t, s_t in terms[-2:0:-1]:  # smallest first
+        tail = tail + weighted(t, s_t)
+    return two_sum(v0, tail)
 
 
 # ---------------------------------------------------------------------------
@@ -240,7 +255,7 @@ def cfft_exact(re, im):
         im = (im, jnp.zeros_like(im))
     n = re[0].shape[-1]
     n1, n2, f1d, stage2 = _exact_plan(n)
-    f1d = [jnp.asarray(d) for d in f1d]
+    f1d = [jnp.asarray(d).astype(DIGIT_DTYPE) for d in f1d]
 
     shp = re[0].shape[:-1]
     xr = tuple(a.reshape(*shp, n1, n2) for a in re)
@@ -258,7 +273,7 @@ def cfft_exact(re, im):
     if stage2[0] == "folded":
         # twiddle pre-folded into per-k1 stage-2 constants: zero twiddle
         # arithmetic on the hot path
-        g2d = [jnp.asarray(d) for d in stage2[1]]
+        g2d = [jnp.asarray(d).astype(DIGIT_DTYPE) for d in stage2[1]]
         b2_hi = jnp.concatenate([ar[0], ai[0]], axis=-1)   # [..., N1, 2N2]
         b2_lo = jnp.concatenate([ar[1], ai[1]], axis=-1)
         s2 = _pow2_scale(b2_hi)
@@ -266,7 +281,7 @@ def cfft_exact(re, im):
         c2 = _digit_gemm("knm,...kn->...km", g2d, digits2, s2)
     else:
         _, f2d, twr, twi = stage2
-        f2d = [jnp.asarray(d) for d in f2d]
+        f2d = [jnp.asarray(d).astype(DIGIT_DTYPE) for d in f2d]
         twr = (jnp.asarray(twr[0]), jnp.asarray(twr[1]))
         twi = (jnp.asarray(twi[0]), jnp.asarray(twi[1]))
 

@@ -42,15 +42,31 @@ _ZH_CN = {
 }
 
 _ZH_TW = {
-    **_ZH_CN,
     "audio_source": "音訊來源", "audio_sync_offset": "音訊同步偏移",
     "hide_on_silent": "靜音時隱藏", "ignore_mute": "忽略靜音",
     "normalize_volume": "音量正規化", "volume_target": "正規化目標",
+    "max_gain": "最大增益", "display_mode": "顯示樣式",
+    "bar_width": "柱寬", "bar_gap": "柱間距", "step_width": "階梯高度",
+    "step_gap": "階梯間距", "min_bar_height": "最小柱高",
+    "width": "寬度", "height": "高度", "log_scale": "對數頻率軸",
+    "mirror_freq_axis": "鏡像頻率軸", "radial_layout": "環形佈局",
+    "invert_direction": "反轉方向", "deadzone": "中心空區",
+    "radial_arc": "弧度", "radial_rotation": "旋轉", "rounded_caps": "圓角",
+    "rms_mode": "RMS 電平", "meter_buf": "音訊緩衝",
     "channel_mode": "聲道", "channel": "聲道序號",
-    "channel_spacing": "聲道間距", "meter_buf": "音訊緩衝",
-    "window": "窗函數", "temporal_smoothing": "時間平滑",
-    "render_mode": "渲染樣式", "color_base": "基礎顏色",
-    "color_middle": "中間顏色", "color_crest": "峰值顏色",
+    "channel_spacing": "聲道間距", "auto_fft_size": "自動 FFT 大小",
+    "enable_large_fft": "允許大 FFT", "fft_size": "FFT 大小",
+    "window": "窗函數", "sine_exponent": "正弦指數",
+    "temporal_smoothing": "時間平滑", "gravity": "重力",
+    "fast_peaks": "快速峰值", "interp_mode": "插值",
+    "filter_mode": "平滑濾波", "filter_radius": "濾波半徑",
+    "cutoff_low": "低頻截止", "cutoff_high": "高頻截止",
+    "floor": "下限", "ceiling": "上限", "slope": "斜率",
+    "rolloff_q": "滾降頻帶", "rolloff_rate": "滾降速率",
+    "render_mode": "渲染樣式", "pulse_mode": "脈衝跟隨",
+    "color_base": "基礎顏色", "color_middle": "中間顏色",
+    "color_crest": "峰值顏色", "grad_ratio": "漸變比例",
+    "range_middle": "中間閾值", "range_crest": "峰值閾值",
 }
 
 _IT = {
@@ -97,3 +113,12 @@ LOCALES: dict[str, dict[str, str]] = {
 def label(key: str, locale: str = "en-US") -> str:
     table = LOCALES.get(locale, _EN)
     return table.get(key, _EN.get(key, key))
+
+
+def tooltip(key: str, locale: str = "en-US") -> str:
+    """Tooltip text for a property key (en-US authored; the reference's
+    locale ini carries per-language tooltips — non-English falls back to
+    en-US here, mirroring OBS's missing-key fallback)."""
+    from .properties import PROPERTY_MAP
+    p = PROPERTY_MAP.get(key)
+    return p.tooltip if p is not None else ""

@@ -186,6 +186,39 @@ def test_locale_labels():
     assert label("fft_size", "xx-XX") == "FFT size"  # fallback to en-US
 
 
+def test_locale_tables_complete():
+    """Every PROPERTY_MAP key is natively present (no en fallback) in all
+    four tables — the reference ships full per-language ini files
+    (/root/reference/data/locale/)."""
+    from waveform_tpu.core.locale import LOCALES
+    from waveform_tpu.core.properties import PROPERTY_MAP
+    for loc, table in LOCALES.items():
+        missing = set(PROPERTY_MAP) - set(table)
+        assert not missing, f"{loc} missing {sorted(missing)}"
+    # zh-TW is a real traditional-Chinese table, not a zh-CN alias
+    assert LOCALES["zh-TW"]["window"] == "窗函數"
+    assert LOCALES["zh-CN"]["window"] != LOCALES["zh-TW"]["window"]
+
+
+def test_property_tooltips():
+    """The same 20 keys the reference attaches long descriptions to
+    (src/source.cpp:197-441, data/locale/en-US.ini:114-133) carry
+    tooltips, exposed through locale.tooltip()."""
+    from waveform_tpu.core.locale import tooltip
+    from waveform_tpu.core.properties import PROPERTY_MAP
+    expected = {
+        "audio_sync_offset", "ignore_mute", "normalize_volume",
+        "mirror_freq_axis", "deadzone", "radial_arc", "rounded_caps",
+        "channel_mode", "auto_fft_size", "enable_large_fft", "fft_size",
+        "window", "temporal_smoothing", "gravity", "fast_peaks",
+        "interp_mode", "filter_mode", "slope", "rolloff_q", "rolloff_rate",
+    }
+    have = {k for k, p in PROPERTY_MAP.items() if p.tooltip}
+    assert have == expected
+    assert tooltip("gravity")
+    assert tooltip("nonexistent_key") == ""
+
+
 def test_demo_wav_reader(tmp_path):
     import wave
     from waveform_tpu.demo import read_wav

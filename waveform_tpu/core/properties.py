@@ -43,13 +43,20 @@ def _p(*args, **kw) -> Property:
     return Property(*args, **kw)
 
 
-# Ranges mirror the reference sliders (src/source.cpp:176-463).
+# Ranges mirror the reference sliders (src/source.cpp:176-463); tooltips
+# cover the same 20 keys the reference attaches long descriptions to
+# (src/source.cpp:197-441, data/locale/en-US.ini:114-133).
 PROPERTIES: tuple[Property, ...] = (
     _p("audio_source", "text", "Audio source"),
-    _p("audio_sync_offset", "int", "Audio sync offset", -1000, 1000, 10, " ms"),
+    _p("audio_sync_offset", "int", "Audio sync offset", -1000, 1000, 10, " ms",
+       tooltip="Positive values delay the visuals relative to the audio; "
+               "negative values depend on the source buffering ahead."),
     _p("hide_on_silent", "bool", "Hide when silent"),
-    _p("ignore_mute", "bool", "Ignore mute"),
-    _p("normalize_volume", "bool", "Normalize volume"),
+    _p("ignore_mute", "bool", "Ignore mute",
+       tooltip="Keep analyzing audio while the source is muted."),
+    _p("normalize_volume", "bool", "Normalize volume",
+       tooltip="Rescale the graph on the fly to cancel out loudness "
+               "changes in the input."),
     _p("volume_target", "int", "Normalization target", -60, 0, 1, " dBFS"),
     _p("max_gain", "int", "Maximum gain", 0, 45, 1, " dB"),
     _p("display_mode", "enum", "Display style", choices=tuple(DisplayMode)),
@@ -61,37 +68,64 @@ PROPERTIES: tuple[Property, ...] = (
     _p("width", "int", "Width", 32, 3840, 1),
     _p("height", "int", "Height", 32, 2160, 1),
     _p("log_scale", "bool", "Logarithmic frequency axis"),
-    _p("mirror_freq_axis", "bool", "Mirror frequency axis"),
+    _p("mirror_freq_axis", "bool", "Mirror frequency axis",
+       tooltip="Reflect the graph horizontally about its center."),
     _p("radial_layout", "bool", "Radial layout"),
     _p("invert_direction", "bool", "Invert direction"),
-    _p("deadzone", "float", "Dead zone", 0.0, 100.0, 0.1, "%"),
-    _p("radial_arc", "float", "Arc", 0.0, 360.0, 0.1, "°"),
+    _p("deadzone", "float", "Dead zone", 0.0, 100.0, 0.1, "%",
+       tooltip="How much empty space to keep at the center of the radial "
+               "layout."),
+    _p("radial_arc", "float", "Arc", 0.0, 360.0, 0.1, "°",
+       tooltip="Angular span of the radial display, in degrees."),
     _p("radial_rotation", "float", "Rotation", 0.0, 360.0, 0.1, "°"),
-    _p("rounded_caps", "bool", "Rounded caps"),
+    _p("rounded_caps", "bool", "Rounded caps",
+       tooltip="Cap the top and bottom of each bar with a semicircle."),
     _p("rms_mode", "bool", "RMS metering"),
     _p("meter_buf", "int", "Audio buffer", 10, 600000, 10, " ms"),
-    _p("channel_mode", "enum", "Channels", choices=tuple(ChannelMode)),
+    _p("channel_mode", "enum", "Channels", choices=tuple(ChannelMode),
+       tooltip="Draw left/right separately, fold to a mono mix, or pick "
+               "one capture channel."),
     _p("channel", "int", "Channel index", 0, 7, 1),
     _p("channel_spacing", "int", "Channel spacing", 0, 2160, 1),
-    _p("auto_fft_size", "bool", "Automatic FFT size"),
-    _p("enable_large_fft", "bool", "Allow large FFT sizes"),
-    _p("fft_size", "int", "FFT size", 128, 8192, 64),
-    _p("window", "enum", "Window function", choices=tuple(FFTWindow)),
+    _p("auto_fft_size", "bool", "Automatic FFT size",
+       tooltip="Derive the FFT size from the frame rate and sample rate. "
+               "Kept only for old scenes - leave this off."),
+    _p("enable_large_fft", "bool", "Allow large FFT sizes",
+       tooltip="Unlock FFT sizes past 8192; expect noticeably higher "
+               "latency and resource use."),
+    _p("fft_size", "int", "FFT size", 128, 8192, 64,
+       tooltip="Bigger transforms resolve finer frequency detail at the "
+               "cost of compute and latency."),
+    _p("window", "enum", "Window function", choices=tuple(FFTWindow),
+       tooltip="Taper applied to each FFT frame."),
     _p("sine_exponent", "int", "Sine exponent", 1, 16, 1),
     _p("temporal_smoothing", "enum", "Temporal smoothing",
-       choices=tuple(TSmoothingMode)),
-    _p("gravity", "float", "Gravity", 0.0, 1.0, 0.01),
-    _p("fast_peaks", "bool", "Fast peak tracking"),
-    _p("interp_mode", "enum", "Interpolation", choices=tuple(InterpMode)),
-    _p("filter_mode", "enum", "Smoothing filter", choices=tuple(FilterMode)),
+       choices=tuple(TSmoothingMode),
+       tooltip="Average frequency bins over time to calm per-frame "
+               "jitter."),
+    _p("gravity", "float", "Gravity", 0.0, 1.0, 0.01,
+       tooltip="How fast the graph tracks new input; higher values "
+               "linger longer."),
+    _p("fast_peaks", "bool", "Fast peak tracking",
+       tooltip="Let bins jump immediately on rising magnitude - pairs "
+               "well with a slow moving average."),
+    _p("interp_mode", "enum", "Interpolation", choices=tuple(InterpMode),
+       tooltip="How frequency bins are resampled onto display pixels."),
+    _p("filter_mode", "enum", "Smoothing filter", choices=tuple(FilterMode),
+       tooltip="Smooth the curve along the frequency axis."),
     _p("filter_radius", "float", "Filter radius", 0.0, 32.0, 0.01),
     _p("cutoff_low", "int", "Low cutoff", 0, 24000, 1, " Hz"),
     _p("cutoff_high", "int", "High cutoff", 0, 24000, 1, " Hz"),
     _p("floor", "int", "Floor", -120, 0, 1, " dBFS"),
     _p("ceiling", "int", "Ceiling", -120, 0, 1, " dBFS"),
-    _p("slope", "float", "Slope", 0.0, 10.0, 0.01),
-    _p("rolloff_q", "float", "Roll-off band", 0.0, 10.0, 0.01),
-    _p("rolloff_rate", "float", "Roll-off rate", 0.0, 65.0, 0.01),
+    _p("slope", "float", "Slope", 0.0, 10.0, 0.01,
+       tooltip="Tilt the spectrum upward so high frequencies read "
+               "louder."),
+    _p("rolloff_q", "float", "Roll-off band", 0.0, 10.0, 0.01,
+       tooltip="Fade the graph edges starting this many octaves inside "
+               "the cutoff points."),
+    _p("rolloff_rate", "float", "Roll-off rate", 0.0, 65.0, 0.01,
+       tooltip="Edge attenuation strength, in decibels per octave."),
     _p("render_mode", "enum", "Render style", choices=tuple(RenderMode)),
     _p("pulse_mode", "enum", "Pulse tracks", choices=tuple(PulseMode)),
     _p("color_base", "color", "Base color"),

@@ -127,6 +127,29 @@ def main() -> int:
     elapsed = time.perf_counter() - t0
     frames_per_sec = S * T * args.reps / elapsed
 
+    # --- device-only per-tick latency: on-device PRNG audio, no H2D ---
+    # Isolates buffer→spectrum compute+dispatch from transfer cost; the
+    # reference's real-time budget is per-frame (src/source.cpp:1156-1167).
+    def single_tick(k, ring, state, dt, active, rms):
+        new = 0.5 * jax.random.normal(k, (S, 2, hop), jnp.float32)
+        ring = push(ring, new, jnp.full((S,), hop, jnp.int32))
+        state = step(ring.buf, state, dt, active, rms)
+        px = rebin(display_decibels(cfg, state))
+        return px.mean(), ring, state
+
+    single = jax.jit(single_tick, donate_argnums=(1, 2))
+    m, ring, state = single(key, ring, state, dt, active, rms)
+    jax.block_until_ready(m)
+    lat_dev = []
+    for i in range(20):
+        t2 = time.perf_counter()
+        m, ring, state = single(jax.random.fold_in(key, 500 + i), ring,
+                                state, dt, active, rms)
+        jax.block_until_ready(m)
+        lat_dev.append(time.perf_counter() - t2)
+    dev_p50 = float(np.percentile(lat_dev, 50)) * 1e3
+    dev_p99 = float(np.percentile(lat_dev, 99)) * 1e3
+
     # --- secondary: transfer-inclusive serving tick (tunnel-limited) ---
     from waveform_tpu.runtime.serving import ServingEngine
     NSC = 1_000_000_000
@@ -162,6 +185,8 @@ def main() -> int:
           f"S={S} N={N} hop={hop} scan={T} reps={args.reps} "
           f"elapsed={elapsed:.3f}s "
           f"({elapsed / (args.reps * T) * 1e3:.2f} ms/tick); "
+          f"device-only per-tick buffer->spectrum p50 {dev_p50:.1f} ms / "
+          f"p99 {dev_p99:.1f} ms (no H2D); "
           f"tunnel-limited per-tick serving (incl. H2D over relay): "
           f"{serving_fps:,.0f} frames/s, p99 buffer->spectrum latency "
           f"{p99:.1f} ms; backend={jax.default_backend()}",

@@ -281,6 +281,43 @@ def test_multi_engine_heterogeneous_configs():
         m.add_stream(cfg_curve)
 
 
+def test_multi_engine_16_groups():
+    """A 16-source scene, every source a distinct config (the reference
+    compiles nothing but runs one full tick per source instance,
+    src/source.cpp:87-102).  All groups tick together; each stream still
+    resolves its own tone."""
+    from waveform_tpu import FilterMode
+    from waveform_tpu.runtime.multi import MultiEngine
+    m = MultiEngine()
+    sids = []
+    freqs = []
+    for g in range(16):
+        n = (128, 256, 512, 1024)[g % 4]
+        cfg = resolve(Settings(
+            fft_size=n,
+            window=(FFTWindow.HANN, FFTWindow.BLACKMAN)[g % 2],
+            filter_mode=(FilterMode.NONE, FilterMode.GAUSS)[(g // 8) % 2],
+            cutoff_high=17000 - 100 * g,   # every group a distinct config
+            temporal_smoothing=TSmoothingMode.NONE), AudioInfo(SR, 2))
+        f = SR / n * (4 + 2 * g)        # bin-exact per group
+        sids.append(m.add_stream(cfg))
+        freqs.append((f, n))
+    now = NS
+    for k in range(20):
+        t = (np.arange(480) + k * 480) / SR
+        for sid, (f, n) in zip(sids, freqs):
+            x = np.sin(2 * np.pi * f * t).astype(np.float32)
+            m.feed(sid, np.stack([x, x]), now, now_ns=now)
+        now += 480 * NS // SR
+        m.tick(now_ns=now)
+    assert m.num_groups == 16
+    for sid, (f, n) in zip(sids, freqs):
+        db = m.read_decibels(sid)
+        pk = int(np.argmax(db[0])) * SR / n
+        assert abs(pk - f) < 2 * SR / n, (sid, f, pk)
+        assert np.isfinite(db).all()
+
+
 def test_stateful_trajectory_equivalence(rng):
     """100-tick EMA-on trajectory: host engine, serving engine, and the
     float64 oracle all agree (the state chain, not just one frame)."""

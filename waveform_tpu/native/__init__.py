@@ -77,6 +77,9 @@ def load_library():
             ctypes.c_void_p, ctypes.c_longlong, ctypes.c_int,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p]
+        lib.wf_assemble_hop_packed.argtypes = [
+            ctypes.c_void_p, ctypes.c_longlong, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_longlong, ctypes.c_int]
         lib.wf_set_show.argtypes = [ctypes.c_void_p, ctypes.c_int,
                                     ctypes.c_int]
         lib.wf_detach.argtypes = [ctypes.c_void_p, ctypes.c_int]
@@ -177,6 +180,18 @@ class NativeAssembler:
             counts.ctypes.data_as(ctypes.c_void_p),
             active.ctypes.data_as(ctypes.c_void_p))
         return out, rms_out, counts, active.astype(bool)
+
+    def assemble_hop_packed(self, now_ns: int, hop_budget: int,
+                            flat: np.ndarray, with_rms: bool) -> None:
+        """Assemble directly into the packed single-upload buffer
+        (serving.py _in_buf): per-stream row of C*H samples, H raw RMS
+        squares, then counts/active as floats.  ``flat`` must be a
+        C-contiguous [S, row_stride] float32 array."""
+        assert flat.flags.c_contiguous and flat.dtype == np.float32
+        self._lib.wf_assemble_hop_packed(
+            self._h, now_ns, hop_budget,
+            flat.ctypes.data_as(ctypes.c_void_p), flat.shape[1],
+            1 if with_rms else 0)
 
     def set_show(self, stream: int, show: bool) -> None:
         self._lib.wf_set_show(self._h, stream, 1 if show else 0)

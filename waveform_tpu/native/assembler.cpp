@@ -294,6 +294,39 @@ void wf_assemble_hop_rms(Engine* e, long long now_ns, int H, float* out,
   }
 }
 
+// Packed serving-mode assembly for the single-upload tick
+// (runtime/serving.py _in_buf): each stream writes one row of a
+// [S, row_stride] float buffer — C*H samples, H raw RMS squares (when
+// with_rms), then counts and active as floats at C*H+H and C*H+H+1.
+// One lock pass per stream, zero Python-side repacking.
+void wf_assemble_hop_packed(Engine* e, long long now_ns, int H, float* flat,
+                            long long row_stride, int with_rms) {
+  const int C = e->channels;
+  for (int i = 0; i < e->num_streams; ++i) {
+    Stream& s = e->streams[i];
+    std::lock_guard<std::timed_mutex> lk(s.mtx);
+    float* row = flat + (size_t)i * (size_t)row_stride;
+    uint8_t act =
+        (s.show && (now_ns - s.capture_ts) <= kCaptureTimeoutNs) ? 1 : 0;
+    int64_t dtaudio = audio_sync(*e, s, now_ns);
+    int64_t reserve = dtaudio > 0 ? ns_to_frames(e->sample_rate, dtaudio) : 0;
+    int64_t avail = (int64_t)s.rings[0].size() - reserve;
+    int64_t take = std::clamp(avail, (int64_t)0, (int64_t)H);
+    for (int c = 0; c < C; ++c) {
+      float* dst = row + (size_t)c * H;
+      size_t got = s.rings[c].pop(dst, (size_t)take);
+      std::memset(dst + got, 0, ((size_t)H - got) * sizeof(float));
+    }
+    if (with_rms) {
+      float* dst = row + (size_t)C * H;
+      size_t got = s.rms_ring.pop(dst, (size_t)take);
+      std::memset(dst + got, 0, ((size_t)H - got) * sizeof(float));
+    }
+    row[(size_t)C * H + H] = (float)take;
+    row[(size_t)C * H + H + 1] = (float)act;
+  }
+}
+
 void wf_set_show(Engine* e, int stream, int show) {
   e->streams[stream].show = (uint8_t)show;
 }

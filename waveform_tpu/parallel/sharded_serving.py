@@ -73,18 +73,19 @@ class ShardedServingEngine(ServingEngine):
         return jax.device_put(np.asarray(x), self._s_sh)
 
     def _prep_scan(self, x):
-        return jax.device_put(np.asarray(x), self._scan_sh)
+        from ..runtime.serving import chunked_put
+        return chunked_put(np.asarray(x), self._scan_sh)
 
     def _constrain_pixels(self, pixels):
         return pixel_constraint(self.mesh, pixels)
 
-    def _jit_tick(self, fused_tick):
+    def _jit_tick_packed(self, packed_tick):
         s, r = self._s_sh, self._r_sh
         px_sh = NamedSharding(self.mesh, P(STREAM_AXIS, None, PIXEL_AXIS))
         # prefix pytrees: one sharding covers every leaf of ring/state
         return jax.jit(
-            fused_tick, donate_argnums=(2, 3, 7),
-            in_shardings=(s, s, s, s, r, s, s, s, s),
+            packed_tick, donate_argnums=(1, 2, 4),
+            in_shardings=(s, s, s, r, s),
             out_shardings=(px_sh, s, s, s))
 
     def _jit_scan(self, scan_ticks):

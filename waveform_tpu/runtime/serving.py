@@ -35,6 +35,24 @@ from ..dsp.spectrum import (
 )
 from ..rebin.apply import make_rebin_fn
 
+# Relay/PCIe-friendly upload ceiling: the links this engine crosses degrade
+# sharply on very large single transfers (measured on the tunnel: >10 MB
+# H2D collapses), so bulk uploads split into <=8 MB chunks along the
+# leading axis and concatenate on device.
+H2D_CHUNK_BYTES = 8 << 20
+
+
+def chunked_put(x: np.ndarray, sharding=None):
+    """Host→device transfer in <=8 MB pieces (leading-axis split)."""
+    x = np.ascontiguousarray(x)
+    if x.ndim == 0 or x.nbytes <= H2D_CHUNK_BYTES:
+        return jax.device_put(x, sharding)
+    row = max(x.nbytes // max(x.shape[0], 1), 1)
+    rows = max(int(H2D_CHUNK_BYTES // row), 1)
+    parts = [jax.device_put(x[i:i + rows], sharding)
+             for i in range(0, x.shape[0], rows)]
+    return jnp.concatenate(parts, axis=0)
+
 
 class _PendingStream:
     """Host bookkeeping for one stream: queued packets + sync timestamps."""
@@ -68,8 +86,35 @@ class ServingEngine:
         self.H = hop_budget or (2 * int(cfg.audio.samples_per_sec / cfg.fps)
                                 + 16)
         self._pending = [_PendingStream() for _ in range(num_streams)]
-        self._push_buf = np.zeros((num_streams, self.C, self.H), np.float32)
-        self._rms_buf = np.zeros((num_streams, self.H), np.float32)
+        # One packed [S, C*H + H + 3] row per stream — samples, raw RMS
+        # squares, then (counts, active, input_rms) — so a per-tick dispatch
+        # costs ONE host→device transfer instead of five.  Over links where
+        # every transfer pays a round trip (the relay tunnel here; PCIe
+        # doorbells in production) this is the difference between ~5 RTTs
+        # and 1 on the latency-critical path.
+        #
+        # The buffer is DOUBLE-buffered with a completion fence: jit-argument
+        # transfers may be consumed asynchronously after dispatch returns
+        # (and `device_put(...).block_until_ready()` does not guarantee the
+        # host source was read on every backend — observed on the forced
+        # multi-device CPU client), so a tick must not overwrite the host
+        # memory a still-in-flight tick reads.  Alternating two buffers and
+        # blocking on the output of the tick that last used a buffer before
+        # rewriting it makes reuse safe while keeping one tick in flight.
+        CH, H = self.C * self.H, self.H
+        self._bufs = [np.zeros((num_streams, CH + H + 3), np.float32)
+                      for _ in range(2)]
+        self._fences: list = [None, None]
+        self._flip = 0
+        # The deferred-read hazard is a property of XLA:CPU's client (it may
+        # consume a jit-argument's host memory after dispatch returns —
+        # reproduced on the forced multi-device CPU mesh).  Accelerator
+        # clients serialize/stage the transfer during the call, and blocking
+        # costs a link round trip per tick there, so the fence only arms on
+        # CPU.  The two-buffer rotation itself stays on everywhere.
+        self._fence_on = jax.default_backend() == "cpu"
+        self._bind_buf(0)
+        self._dt_cache: dict[float, jnp.ndarray] = {}
         # feed_batch fast path (shared sync state)
         self._batch_chunks: deque[np.ndarray] = deque()
         self._batch_queued = 0
@@ -124,7 +169,22 @@ class ServingEngine:
             pixels = self._constrain_pixels(rebin(display_decibels(cfg, state)))
             return pixels, ring, state, rms_ring
 
-        self._tick = self._jit_tick(fused_tick)
+        assert np.shares_memory(self._push_buf, self._in_buf)
+
+        C, H = self.C, self.H
+
+        def packed_tick(flat, ring, state, dt, rms_ring=None):
+            """fused_tick on the single packed host upload (see _in_buf)."""
+            s = flat.shape[0]
+            new = flat[:, :C * H].reshape(s, C, H)
+            rms_sq = flat[:, C * H:C * H + H]
+            counts = flat[:, -3].astype(jnp.int32)
+            active = flat[:, -2] > 0.5
+            rms = flat[:, -1]
+            return fused_tick(new, counts, ring, state, dt, active, rms,
+                              rms_ring, rms_sq)
+
+        self._tick_packed = self._jit_tick_packed(packed_tick)
 
         def scan_ticks(new_T, counts_T, ring, state, dt, active_T, rms,
                        rms_ring=None):
@@ -153,25 +213,51 @@ class ServingEngine:
         self._last_pixels = None
         self._place_buffers()
 
+    def _bind_buf(self, i: int) -> None:
+        """Point the assembly views at packed buffer ``i``, first waiting on
+        the output fence of the tick that last uploaded from it."""
+        fence = self._fences[i]
+        if fence is not None:
+            jax.block_until_ready(fence)
+            self._fences[i] = None
+        CH, H = self.C * self.H, self.H
+        self._in_buf = self._bufs[i]
+        self._push_buf = self._in_buf[:, :CH].reshape(-1, self.C, H)
+        self._rms_buf = self._in_buf[:, CH:CH + H]
+        self._meta_buf = self._in_buf[:, CH + H:]
+
     # -- hooks the sharded engine overrides (parallel/sharded_serving.py) --
 
-    def _jit_tick(self, fused_tick):
-        return jax.jit(fused_tick, donate_argnums=(2, 3, 7))
+    def _jit_tick_packed(self, packed_tick):
+        return jax.jit(packed_tick, donate_argnums=(1, 2, 4))
 
     def _jit_scan(self, scan_ticks):
         return jax.jit(scan_ticks, donate_argnums=(2, 3, 7))
+
+    def _dt_scalar(self, dt: float):
+        """Device-cached dt so steady-state ticks re-upload nothing but the
+        packed input row block."""
+        d = self._dt_cache.get(dt)
+        if d is None:
+            if len(self._dt_cache) > 64:
+                self._dt_cache.clear()
+            d = self._dt_cache[dt] = jnp.float32(dt)
+        return d
 
     def _place_buffers(self) -> None:
         """Final placement of ring/state after construction (no-op single
         device; the sharded engine device_puts them across the mesh)."""
 
     def _prep(self, x):
-        """Host input → device array (sharded engine: mesh placement)."""
-        return jnp.asarray(x)
+        """Host input → device array (sharded engine: mesh placement).
+        Host-buffer reuse safety is the double-buffer fence's job
+        (:meth:`_bind_buf`), not this transfer's."""
+        return jax.device_put(x)
 
     def _prep_scan(self, x):
-        """Like :meth:`_prep` for [T, S, ...] bulk inputs (stream axis 1)."""
-        return jnp.asarray(x)
+        """Like :meth:`_prep` for [T, S, ...] bulk inputs (stream axis 1);
+        splits big uploads into <=8 MB chunks (see :func:`chunked_put`)."""
+        return chunked_put(np.asarray(x))
 
     def _constrain_pixels(self, pixels):
         """Traced-side output-sharding hook (sharded engine: stream × pixel
@@ -322,77 +408,70 @@ class ServingEngine:
     # ------------------------------------------------------------------
 
     def tick(self, now_ns: int | None = None, dt: float | None = None):
-        """One batched frame. Returns the on-device pixels [S, D, P]."""
+        """One batched frame. Returns the on-device pixels [S, D, P].
+
+        All host-side inputs travel as ONE packed [S, C*H+H+3] upload
+        (``_in_buf``); state stays donated on device, so the per-tick
+        host↔device traffic is exactly one transfer plus the dispatch."""
         now_ns = time.monotonic_ns() if now_ns is None else now_ns
-        dt = (1.0 / self.cfg.fps) if dt is None else dt
+        dtv = self._dt_scalar((1.0 / self.cfg.fps) if dt is None else dt)
         cfg = self.cfg
         sr = cfg.audio.samples_per_sec
+        self._flip ^= 1
+        self._bind_buf(self._flip)
 
-        rms = np.zeros(self.S, np.float32)
         if self._native is not None:
-            if self._normalize:
-                new, rms_sq, counts, active = self._native.assemble_hop_rms(
-                    now_ns, self.H, out=self._push_buf,
-                    rms_out=self._rms_buf)
-            else:
-                new, counts, active = self._native.assemble_hop(
-                    now_ns, self.H, out=self._push_buf)
-                rms_sq = self._rms_buf
-            pixels, self.ring, self.state, self.rms_ring = self._tick(
-                self._prep(new), self._prep(counts), self.ring,
-                self.state, jnp.float32(dt), self._prep(active),
-                self._prep(rms), self.rms_ring, self._prep(rms_sq))
-            self._last_pixels = pixels
-            return pixels
-
-        if self._batch_mode:
+            # C++ writes samples, RMS squares, counts and active directly
+            # into the packed rows — zero Python-side repacking
+            self._native.assemble_hop_packed(
+                now_ns, self.H, self._in_buf, self._normalize)
+        elif self._batch_mode:
             counts, active = self._assemble_batch(now_ns)
             if self._normalize:
                 np.square(np.max(np.abs(self._push_buf), axis=1),
                           out=self._rms_buf)
-            pixels, self.ring, self.state, self.rms_ring = self._tick(
-                self._prep(self._push_buf), self._prep(counts), self.ring,
-                self.state, jnp.float32(dt), self._prep(active),
-                self._prep(rms), self.rms_ring, self._prep(self._rms_buf))
-            self._last_pixels = pixels
-            return pixels
-
-        counts = np.zeros(self.S, np.int32)
-        active = np.zeros(self.S, bool)
-        self._push_buf[:] = 0.0
-        self._rms_buf[:] = 0.0
-        for i, p in enumerate(self._pending):
-            active[i] = p.show and (now_ns - p.capture_ts) <= CAPTURE_TIMEOUT_NS
-            # consume everything except the sync reserve, capped at the hop
-            # budget (the device window absorbs them; excess stays queued)
-            dtaudio = self._audio_sync(p, now_ns)
-            reserve = (ns_to_audio_frames(sr, dtaudio) if dtaudio > 0 else 0)
-            take = min(max(p.queued - reserve, 0), self.H)
-            counts[i] = take
-            got = 0
-            while got < take and p.chunks:
-                head = p.chunks[0]
-                n = head.shape[-1]
-                use = min(n, take - got)
-                self._push_buf[i, :, got:got + use] = head[:, :use]
-                if self._normalize and p.rms_chunks:
-                    self._rms_buf[i, got:got + use] = p.rms_chunks[0][:use]
-                    if use == p.rms_chunks[0].shape[-1]:
-                        p.rms_chunks.popleft()
+            self._meta_buf[:, 0] = counts
+            self._meta_buf[:, 1] = active
+        else:
+            self._push_buf[:] = 0.0
+            self._rms_buf[:] = 0.0
+            for i, p in enumerate(self._pending):
+                self._meta_buf[i, 1] = (
+                    p.show and (now_ns - p.capture_ts) <= CAPTURE_TIMEOUT_NS)
+                # consume everything except the sync reserve, capped at the
+                # hop budget (the device window absorbs them; excess stays
+                # queued)
+                dtaudio = self._audio_sync(p, now_ns)
+                reserve = (ns_to_audio_frames(sr, dtaudio)
+                           if dtaudio > 0 else 0)
+                take = min(max(p.queued - reserve, 0), self.H)
+                self._meta_buf[i, 0] = take
+                got = 0
+                while got < take and p.chunks:
+                    head = p.chunks[0]
+                    n = head.shape[-1]
+                    use = min(n, take - got)
+                    self._push_buf[i, :, got:got + use] = head[:, :use]
+                    if self._normalize and p.rms_chunks:
+                        self._rms_buf[i, got:got + use] = p.rms_chunks[0][:use]
+                        if use == p.rms_chunks[0].shape[-1]:
+                            p.rms_chunks.popleft()
+                        else:
+                            p.rms_chunks[0] = p.rms_chunks[0][use:]
+                    if use == n:
+                        p.chunks.popleft()
                     else:
-                        p.rms_chunks[0] = p.rms_chunks[0][use:]
-                if use == n:
-                    p.chunks.popleft()
-                else:
-                    p.chunks[0] = head[:, use:]
-                p.queued -= use
-                got += use
+                        p.chunks[0] = head[:, use:]
+                    p.queued -= use
+                    got += use
 
-        pixels, self.ring, self.state, self.rms_ring = self._tick(
-            self._prep(self._push_buf), self._prep(counts), self.ring,
-            self.state, jnp.float32(dt), self._prep(active),
-            self._prep(rms), self.rms_ring, self._prep(self._rms_buf))
+        pixels, self.ring, self.state, self.rms_ring = self._tick_packed(
+            self._prep(self._in_buf), self.ring, self.state, dtv,
+            self.rms_ring)
         self._last_pixels = pixels
+        # fence: this buffer may be rewritten only once these pixels exist
+        if self._fence_on:
+            self._fences[self._flip] = pixels
         return pixels
 
     def tick_many(self, new_samples, counts=None, active=None,

@@ -98,8 +98,20 @@ class DeviceWaveformEngine:
         else:
             self.rms_ring = None
 
-        self._push_buf = np.zeros((num_streams, C, self.H), np.float32)
-        self._rms_buf = np.zeros((num_streams, self.H), np.float32)
+        # double-buffered host staging with completion fences: jit-argument
+        # transfers may be consumed after dispatch returns, so a tick must
+        # not overwrite host memory an in-flight tick still reads (same
+        # scheme as ServingEngine._bind_buf)
+        self._host_bufs = [
+            (np.zeros((num_streams, C, self.H), np.float32),
+             np.zeros((num_streams, self.H), np.float32))
+            for _ in range(2)]
+        self._fences: list = [None, None]
+        self._flip = 0
+        # fence arms only on XLA:CPU (see ServingEngine: accelerator clients
+        # stage transfers during the call; CPU may defer the host read)
+        self._fence_on = jax.default_backend() == "cpu"
+        self._push_buf, self._rms_buf = self._host_bufs[0]
         self._step = jax.jit(self._make_step(), donate_argnums=(0, 1, 2, 9))
 
     # ------------------------------------------------------------------
@@ -173,7 +185,11 @@ class DeviceWaveformEngine:
                 jnp.where(fill[:, None, None], DB_MIN, out[:, :D]))
             new_latch = jnp.where(timeout, True, new_latch)
 
-            return ring, out, new_latch, rms_ring
+            # tiny non-donated completion token: the ring/out/latch outputs
+            # are donated into the NEXT step, so the host fences on this
+            # scalar instead (it exists ⇔ this step consumed its uploads)
+            token = out[0, 0, 0]
+            return ring, out, new_latch, rms_ring, token
 
         return step
 
@@ -256,6 +272,12 @@ class DeviceWaveformEngine:
         run = np.zeros(S, bool)
         timeout = np.zeros(S, bool)
         idx = np.full((S, W), 1, np.int64)
+        self._flip ^= 1
+        fence = self._fences[self._flip]
+        if fence is not None:
+            jax.block_until_ready(fence)
+            self._fences[self._flip] = None
+        self._push_buf, self._rms_buf = self._host_bufs[self._flip]
         self._push_buf[:] = 0.0
         if self._normalize:
             self._rms_buf[:] = 0.0
@@ -327,12 +349,15 @@ class DeviceWaveformEngine:
             p.waveform_ts += ni * self.step_ns
             p.total = reserve  # consumed down to the sync reserve
 
-        self.ring, self.buf, self.latch, self.rms_ring = self._step(
+        self.ring, self.buf, self.latch, self.rms_ring, token = self._step(
             self.ring, self.buf, self.latch,
             jnp.asarray(self._push_buf), jnp.asarray(counts),
             jnp.asarray(idx.astype(np.int32)), jnp.asarray(n),
             jnp.asarray(run), jnp.asarray(timeout), self.rms_ring,
             jnp.asarray(self._rms_buf))
+        # fence: the staging pair is safe to rewrite once this step ran
+        if self._fence_on:
+            self._fences[self._flip] = token
         return self.display
 
     @property

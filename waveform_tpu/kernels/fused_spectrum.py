@@ -20,12 +20,14 @@ Mosaic constraints shape the implementation:
 Supported: C == 2 (pair packing) and N a multiple of 256; other configs use
 the unfused jnp path (kernels/matfft.py).
 
-Measured on v5e (S=256, N=4096, scan-amortized): per-stream kernel 369 µs,
-stream-packed kernel 292 µs, unfused jnp GEMM path 131 µs — XLA's batched
-einsum scheduling wins, so the spectrum pipeline defaults to the jnp path
-(SURVEY.md §7 step 6: "keep whichever wins").  Both kernels match the
-float64 oracle to 1.2e-8 and remain available for future Mosaic versions
-with batched dot support.
+Measured on v5e (S=256, scan-amortized): at N=4096 per-stream kernel
+369 µs, stream-packed 292 µs, unfused jnp GEMM path 131 µs; at N=16384
+(where VMEM residency should matter most) per-stream 1291 µs, packed
+1485 µs, unfused 1055 µs — XLA's batched einsum scheduling wins at both
+sizes, so the spectrum pipeline defaults to the jnp path (SURVEY.md §7
+step 6: "keep whichever wins").  Both kernels match the float64 oracle
+to 1.2e-8 and remain available for future Mosaic versions with batched
+dot support.
 """
 
 from __future__ import annotations

@@ -20,9 +20,13 @@ framework's [S, C=2, N] batch layout — the stereo pair rides one transform.
 Precision: matmuls run at jax "highest" (6-pass bf16 ≈ full f32).  Measured
 at N=4096 on v5e: max relative magnitude error vs float64 numpy is 1.4e-5
 ("high"/3-pass: 1.4e-3) for only ~15% more time (181 µs vs 158 µs per
-128-pair batch) — the MXU passes, not the f32 constants, dominate the error
-(the double-float ``precise`` option compensates the constants too and adds
-little at this level; it remains available for N≥16384).
+128-pair batch).  Accumulation in the MXU passes — not the f32-rounded
+constants — dominates that error, so the double-float ``precise`` option
+(which compensates constants only) buys little at any size; measured at
+N=65536 it does not move the ~1e-4 relative error.  When the <1e-4 dB
+north star binds, use the digit-sliced exact-accumulation FFT
+(kernels/exactfft.py, ~1e-9 relative), the default spectrum backend on
+TPU.  This module is the fast plain-f32 path.
 """
 
 from __future__ import annotations
@@ -74,10 +78,11 @@ def cfft(re: jnp.ndarray, im: jnp.ndarray,
 
     ``precise=True`` adds error-compensated constant residuals (double-float
     split of the DFT matrices and twiddles): each step gains one extra
-    matmul against the tiny ``lo`` residual, recovering the ~1e-7 relative
-    error the f32-rounded constants would otherwise inject.  Measured at
-    N=4096 this takes the dB-domain error from ~1.3e-3 to well below the
-    1e-4 BASELINE target (see tests/test_matfft.py).
+    matmul against the tiny ``lo`` residual, removing the error the
+    f32-rounded constants inject.  It does NOT compensate accumulation
+    inside the matmuls, which dominates — measured ~1.2e-4 relative at
+    N=65536 with or without it.  For guaranteed <1e-4 dB accuracy use
+    kernels/exactfft.py instead (the default TPU spectrum backend).
     """
     n = re.shape[-1]
     n1, n2, (f1b, f1b_lo), (f2b, f2b_lo), (twr, twr_lo), (twi, twi_lo) = \

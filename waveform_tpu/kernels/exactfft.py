@@ -34,10 +34,18 @@ import numpy as np
 
 from .matfft import _split_factors
 
+import os as _os
+
 DIGIT_BITS = 7          # digits in [-64, 64]: products <= 4096
 FIRST_SHIFT = 6         # digit k has weight 2^-(6 + 7k)
 N_SLICES = 5            # per operand: covers ~2^-34 of the unit scale
-MAX_T = 5               # keep digit pairs with i + j <= MAX_T
+# keep digit pairs with i + j <= MAX_T: dropped pairs carry weight
+# <= 2^-(12 + 7(MAX_T+1)) relative to the block scale, so MAX_T trades
+# GEMM count against a truncation floor.  Measured on v5e: MAX_T=3 (10
+# GEMM terms) vs 5 (19 terms) is +4.7% at N=4096, +56% at N=16384, +24%
+# at N=65536 with end-to-end dB error unchanged (3–5e-6, gate 1e-4);
+# MAX_T=2 fails the gate (2.8e-4).  Env-tunable for ablation.
+MAX_T = int(_os.environ.get("WAVEFORM_TPU_EXACT_MAXT", "3"))
 
 # Digit dtype for the MXU passes.  bf16 digits are exact by construction:
 # integer values <= 64 are representable, the MXU multiplies at full
@@ -45,8 +53,6 @@ MAX_T = 5               # keep digit pairs with i + j <= MAX_T
 # < 2^24 — exact in the f32 accumulator.  int8->int32 is equally exact and
 # runs at 2x MXU rate, but costs f32->int8 repacking on the VPU; set
 # WAVEFORM_TPU_DIGIT_DTYPE=int8 to flip.
-import os as _os
-
 if _os.environ.get("WAVEFORM_TPU_DIGIT_DTYPE", "bf16") == "int8":
     DIGIT_DTYPE = jnp.int8
     ACC_DTYPE = jnp.int32

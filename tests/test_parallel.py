@@ -350,3 +350,35 @@ def test_sharded_serving_normalize_volume():
     want = _feed_and_tick(ref, r1, S, cfg)
     got = _feed_and_tick(sh, r2, S, cfg)
     np.testing.assert_allclose(got[-1], want[-1], rtol=0, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# multi-host ingestion helpers (single-process degenerate behavior)
+# ---------------------------------------------------------------------------
+
+def test_local_stream_rows_single_process_owns_all():
+    from waveform_tpu.parallel.mesh import local_stream_rows
+    mesh = make_mesh(pixel_parallel=2)
+    S = padded_streams(mesh, 10)
+    assert local_stream_rows(mesh, S) == (0, S)
+
+
+def test_from_process_local_equals_device_put(rng):
+    """Single-process, from_process_local must be a plain sharded placement
+    (the multi-host path's degenerate case)."""
+    from waveform_tpu.parallel.mesh import from_process_local
+    mesh = make_mesh(pixel_parallel=1)
+    sh = stream_sharding(mesh)
+    x = rng.standard_normal((16, 7)).astype(np.float32)
+    a = from_process_local(sh, x, x.shape)
+    b = jax.device_put(x, sh)
+    assert a.sharding == b.sharding
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sharded_engine_exposes_local_streams():
+    from waveform_tpu.parallel.sharded_serving import ShardedServingEngine
+    cfg = _cfg(fft_size=256)
+    eng = ShardedServingEngine(cfg, 10, pixel_parallel=2)
+    lo, hi = eng.local_streams
+    assert (lo, hi) == (0, eng.S)   # single process owns every row

@@ -50,8 +50,18 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_state(mesh: Mesh, state):
-    """Place a SpectrumState/MeterState pytree with streams sharded."""
+    """Place a SpectrumState/MeterState pytree with streams sharded.
+
+    Multi-process pods place each leaf from process-local rows (host init
+    values are identical on every process, so each contributes its slice);
+    single-process placement is a plain sharded device_put."""
     sh = stream_sharding(mesh)
+    if jax.process_count() > 1:
+        def place(x):
+            x = np.asarray(x)
+            lo, hi = local_stream_rows(mesh, x.shape[0])
+            return from_process_local(sh, x[lo:hi], x.shape)
+        return jax.tree.map(place, state)
     return jax.tree.map(lambda x: jax.device_put(x, sh), state)
 
 
@@ -74,6 +84,40 @@ def padded_streams(mesh: Mesh, num_streams: int) -> int:
     (/root/reference/deps/fftw-3.3.11/mpi/block.c)."""
     n = stream_axis_size(mesh)
     return -(-num_streams // n) * n
+
+
+def local_stream_rows(mesh: Mesh, num_streams: int) -> tuple[int, int]:
+    """The [start, stop) global stream rows this PROCESS owns.
+
+    With ``P(STREAM_AXIS)`` sharding, rows map to the mesh's stream axis in
+    device order; a multi-host pod assigns each process a contiguous run of
+    that axis, so per-host feeders only ingest their own streams — the
+    analog of FFTW-MPI ranks each owning one 1-D block
+    (/root/reference/deps/fftw-3.3.11/mpi/block.c).  In a single process
+    this is simply (0, num_streams)."""
+    sh = stream_sharding(mesh)
+    lo, hi = num_streams, 0
+    for d, idx in sh.devices_indices_map((num_streams,)).items():
+        if d.process_index != jax.process_index():
+            continue
+        sl = idx[0]
+        start = 0 if sl.start is None else sl.start
+        stop = num_streams if sl.stop is None else sl.stop
+        lo, hi = min(lo, start), max(hi, stop)
+    return (0, 0) if hi <= lo else (lo, hi)
+
+
+def from_process_local(sharding: NamedSharding, local: np.ndarray,
+                       global_shape: tuple) -> jax.Array:
+    """Assemble a global sharded array from this process's rows.
+
+    Multi-host ingestion path: each host calls this with ONLY its local
+    block (shape = global with the stream axis cut to its rows); jax wires
+    the per-process shards into one global array without any host ever
+    materializing the full batch.  Single-process, it degenerates to a
+    plain placement of the full array."""
+    return jax.make_array_from_process_local_data(
+        sharding, np.ascontiguousarray(local), global_shape)
 
 
 def pad_stream_dim(x: np.ndarray, total: int) -> np.ndarray:

@@ -32,6 +32,8 @@ from ..runtime.serving import ServingEngine
 from .mesh import (
     PIXEL_AXIS,
     STREAM_AXIS,
+    from_process_local,
+    local_stream_rows,
     make_mesh,
     pad_stream_dim,
     padded_streams,
@@ -59,7 +61,11 @@ class ShardedServingEngine(ServingEngine):
         self._s_sh = stream_sharding(self.mesh)
         self._r_sh = replicated(self.mesh)
         self._scan_sh = NamedSharding(self.mesh, P(None, STREAM_AXIS))
-        super().__init__(cfg, padded_streams(self.mesh, num_streams), **kw)
+        padded = padded_streams(self.mesh, num_streams)
+        # which global stream rows this process's devices own (multi-host
+        # feeders only ingest these; single process owns them all)
+        self._local_rows = local_stream_rows(self.mesh, padded)
+        super().__init__(cfg, padded, **kw)
 
     # -- placement hooks -------------------------------------------------
 
@@ -70,11 +76,22 @@ class ShardedServingEngine(ServingEngine):
             self.rms_ring = shard_state(self.mesh, self.rms_ring)
 
     def _prep(self, x):
-        return jax.device_put(np.asarray(x), self._s_sh)
+        x = np.asarray(x)
+        if jax.process_count() > 1:
+            # multi-host ingestion: each process contributes only the rows
+            # its devices own (FFTW-MPI's per-rank block, mpi/block.c) —
+            # no host ever materializes or uploads the full batch
+            lo, hi = self._local_rows
+            return from_process_local(self._s_sh, x[lo:hi], x.shape)
+        return jax.device_put(x, self._s_sh)
 
     def _prep_scan(self, x):
+        x = np.asarray(x)
+        if jax.process_count() > 1:
+            lo, hi = self._local_rows
+            return from_process_local(self._scan_sh, x[:, lo:hi], x.shape)
         from ..runtime.serving import chunked_put
-        return chunked_put(np.asarray(x), self._scan_sh)
+        return chunked_put(x, self._scan_sh)
 
     def _constrain_pixels(self, pixels):
         return pixel_constraint(self.mesh, pixels)
@@ -139,6 +156,14 @@ class ShardedServingEngine(ServingEngine):
     @property
     def last_silent(self) -> np.ndarray:
         return np.asarray(self.state.last_silent)[:self.user_streams]
+
+    @property
+    def local_streams(self) -> tuple[int, int]:
+        """[start, stop) of the global stream rows this process feeds.
+
+        Multi-host deployments call ``feed``/``feed_batch`` for these rows
+        only; remote rows' host-side queues are ignored at upload time."""
+        return self._local_rows
 
     @property
     def pixels_sharded(self):

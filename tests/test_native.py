@@ -136,3 +136,48 @@ def test_threaded_stress(rng):
         for t in threads:
             t.join()
     assert not errs, errs[:3]
+
+
+def test_native_packed_assembly_layout(rng):
+    """wf_assemble_hop_packed writes the single-upload row layout
+    (serving.py _in_buf): samples, raw RMS squares, counts, active —
+    identical content to the separate assemble_hop_rms outputs."""
+    S, C, H = 3, 2, 800
+    a = NativeAssembler(S, C, 4096, SR, prefill=False, rms=True)
+    b = NativeAssembler(S, C, 4096, SR, prefill=False, rms=True)
+    now = NS
+    x = (0.5 * rng.standard_normal((S, C, 1200))).astype(np.float32)
+    for s in range(S):
+        a.feed(s, x[s], now, now_ns=now)
+        b.feed(s, x[s], now, now_ns=now)
+    now += 1200 * NS // SR
+
+    flat = np.full((S, C * H + H + 3), 7.7, np.float32)  # poison
+    a.assemble_hop_packed(now, H, flat, with_rms=True)
+    new, rms_sq, counts, active = b.assemble_hop_rms(now, H)
+
+    np.testing.assert_array_equal(
+        flat[:, :C * H].reshape(S, C, H), new)
+    np.testing.assert_array_equal(flat[:, C * H:C * H + H], rms_sq)
+    np.testing.assert_array_equal(flat[:, -3].astype(np.int32), counts)
+    np.testing.assert_array_equal(flat[:, -2] > 0.5, active)
+    # the input_rms column is host-owned: untouched by C++
+    assert (flat[:, -1] == 7.7).all()
+
+
+def test_native_packed_without_rms(rng):
+    """with_rms=False leaves the RMS block alone but still writes meta."""
+    S, C, H = 2, 2, 400
+    a = NativeAssembler(S, C, 2048, SR, prefill=False)
+    now = NS
+    x = rng.standard_normal((S, C, 500)).astype(np.float32)
+    for s in range(S):
+        a.feed(s, x[s], now, now_ns=now)
+    now += 500 * NS // SR
+    flat = np.full((S, C * H + H + 3), -9.0, np.float32)
+    a.assemble_hop_packed(now, H, flat, with_rms=False)
+    assert (flat[:, C * H:C * H + H] == -9.0).all()   # rms block untouched
+    assert (flat[:, -3] == 400).all()
+    assert (flat[:, -2] == 1.0).all()
+    np.testing.assert_array_equal(
+        flat[:, :C * H].reshape(S, C, H), x[:, :, :400])

@@ -358,3 +358,14 @@ def test_stateful_trajectory_equivalence(rng):
     assert np.abs(db_host[0, 0][vis] - want[0][vis]).max() < 5e-3
     assert np.abs(db_srv[0, 0][vis] - want[0][vis]).max() < 5e-3
     np.testing.assert_allclose(db_srv[0, 0], db_host[0, 0], atol=1e-3)
+
+
+def test_chunked_put_splits_and_roundtrips(rng):
+    """chunked_put: <=8 MB pieces concatenate to the identical array."""
+    from waveform_tpu.runtime.serving import H2D_CHUNK_BYTES, chunked_put
+    big = rng.standard_normal((40, 70000)).astype(np.float32)  # ~11 MB
+    assert big.nbytes > H2D_CHUNK_BYTES
+    out = chunked_put(big)
+    np.testing.assert_array_equal(np.asarray(out), big)
+    small = rng.standard_normal((4, 4)).astype(np.float32)
+    np.testing.assert_array_equal(np.asarray(chunked_put(small)), small)

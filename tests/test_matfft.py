@@ -85,3 +85,29 @@ def test_impulse_and_linearity(rng):
                                atol=5e-3)
     np.testing.assert_allclose(np.asarray(ic), a * np.asarray(iu) + b * np.asarray(iv),
                                atol=5e-3)
+
+
+def test_time_shift_theorem(rng):
+    """FFTW's tf_shift verifier (libbench2/verify-lib.c:360+): a circular
+    time shift multiplies the spectrum by e^{-2pi i k m / N} — checked on
+    the complex GEMM FFT and, magnitude-invariance, on the exact path."""
+    n, m = 512, 37
+    x = rng.standard_normal(n).astype(np.float32)
+    xi = rng.standard_normal(n).astype(np.float32)
+    zr, zi = jax.jit(cfft)(jnp.asarray(x), jnp.asarray(xi))
+    sr_, si_ = jax.jit(cfft)(jnp.asarray(np.roll(x, m)),
+                             jnp.asarray(np.roll(xi, m)))
+    k = np.arange(n)
+    ph = np.exp(-2j * np.pi * k * m / n)
+    want = (np.asarray(zr) + 1j * np.asarray(zi)) * ph
+    got = np.asarray(sr_) + 1j * np.asarray(si_)
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=2e-4 * scale)
+
+    # exact path: |FFT(roll(x))| == |FFT(x)| to its truncation floor
+    from waveform_tpu.kernels.exactfft import rfft_mag_exact
+    a = np.stack([x, xi])[None]
+    f = jax.jit(lambda v: rfft_mag_exact(v, n // 2))
+    mag = np.asarray(f(a))
+    mag_s = np.asarray(f(np.stack([np.roll(x, m), np.roll(xi, m)])[None]))
+    np.testing.assert_allclose(mag_s, mag, rtol=2e-6, atol=1e-9)

@@ -64,6 +64,7 @@ def main(argv=None) -> int:
     from .core.settings_io import settings_from_obs
     from .render.image import write_png
     from .render.raster import make_renderer
+    from .runtime.engine import WaveformEngine
     from .runtime.profiler import FrameProfiler
     from .runtime.serving import ServingEngine
     from .utils.log import get_logger, log_startup_banner
@@ -88,7 +89,14 @@ def main(argv=None) -> int:
     log.info("config: %s %s fft=%d %s", cfg.display_mode.value,
              cfg.window.value, cfg.fft_size, cfg.render_mode.value)
 
-    engine = ServingEngine(cfg, num_streams=1)
+    # spectrum configs ride the device-resident serving path; meter and
+    # oscilloscope configs ride the host engine (same feed/tick surface)
+    if cfg.spectrum_mode:
+        engine = ServingEngine(cfg, num_streams=1)
+        read_values = engine.read_decibels
+    else:
+        engine = WaveformEngine(cfg, num_streams=1)
+        read_values = engine.render_values
     render = make_renderer(cfg)
     prof = FrameProfiler(num_streams=1, fft_size=cfg.fft_size)
     os.makedirs(args.out, exist_ok=True)
@@ -112,7 +120,7 @@ def main(argv=None) -> int:
         if k % args.every == 0:
             if settings.hide_on_silent and bool(engine.last_silent[0]):
                 continue  # render() early-return (src/source.cpp:1349-1350)
-            db = engine.read_decibels()
+            db = read_values()
             img = np.asarray(render(db[0]))
             write_png(os.path.join(args.out, f"frame_{k:06d}.png"), img)
             written += 1

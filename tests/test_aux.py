@@ -234,3 +234,30 @@ def test_demo_wav_reader(tmp_path):
     audio, got_sr = read_wav(p)
     assert got_sr == sr and audio.shape == (1, 800)
     np.testing.assert_allclose(audio[0], x, atol=1e-4)
+
+
+def test_demo_cli_all_mode_classes(tmp_path):
+    """The demo CLI serves spectrum AND meter/waveform scene JSONs (the
+    reference's one source type covers all display modes)."""
+    import json
+    import wave
+    from waveform_tpu.demo import main
+    sr = 48000
+    t = np.arange(sr // 2) / sr
+    x = 0.5 * np.sin(2 * np.pi * 440 * t)
+    pcm = np.stack([x, x]).T
+    p = str(tmp_path / "t.wav")
+    with wave.open(p, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes((pcm * 32767).astype(np.int16).tobytes())
+    for mode in ("curve", "level_meter", "waveform"):
+        sp = tmp_path / f"{mode}.json"
+        sp.write_text(json.dumps({"display_mode": mode, "meter_buf": 100}))
+        out = str(tmp_path / f"frames_{mode}")
+        rc = main([p, "--out", out, "--max-frames", "8", "--every", "4",
+                   "--settings", str(sp)])
+        assert rc == 0
+        import os
+        assert any(f.endswith(".png") for f in os.listdir(out)), mode

@@ -115,3 +115,13 @@ def test_bus_pixels_shape():
     px = bus.read_pixels(h)
     assert px.shape == (1, 640)
     assert np.isfinite(px).all()
+
+
+def test_bus_read_before_tick_raises_clearly():
+    cfg = _cfg(fft_size=512)
+    bus = OutputBus(cfg.audio)
+    h = bus.subscribe(cfg)
+    with pytest.raises(RuntimeError, match="tick"):
+        bus.read_pixels(h)
+    with pytest.raises(RuntimeError, match="tick"):
+        bus.read_decibels(h)

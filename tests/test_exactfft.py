@@ -119,3 +119,19 @@ def test_digit_roundtrip_exactness(rng):
                 for k, d in enumerate(digits)) * float(s)
     err = np.abs(recon - x64)
     assert err.max() < float(s) * 2.0 ** -33
+
+
+def test_maxt_zero_endpoint(monkeypatch, rng):
+    """The MAX_T ablation knob's lower endpoint is low-precision, not
+    wrong: a single weight class must not double-count (was 4x)."""
+    import waveform_tpu.kernels.exactfft as ex
+    monkeypatch.setattr(ex, "MAX_T", 0)
+    n = 256
+    x = rng.standard_normal(n).astype(np.float32)
+    (rh, rl), (ih, il) = ex.cfft_exact(jnp.asarray(x), jnp.zeros(n, jnp.float32))
+    want = np.fft.fft(x.astype(np.float64))
+    got = np.asarray(rh, np.float64) + 1j * np.asarray(ih, np.float64)
+    rel = np.abs(got - want).max() / np.abs(want).max()
+    # single 7-bit digit pair => ~2^-12 per-product truncation, a few
+    # percent end-to-end; the regression was a 4x (300%) wrong value
+    assert rel < 0.2, rel

@@ -171,3 +171,49 @@ def test_batched_scroller_normalize_volume():
         outs = [singles[s].tick(srcs[s], now, 1 / 60) for s in range(S)]
     for s in range(S):
         np.testing.assert_allclose(out_b[s], outs[s], atol=2e-2)
+
+
+def test_timestamp_lead_does_not_freeze():
+    """Audio stamped ahead of the clock (a pre-buffering player; the host
+    ring grows for leads up to 16 s): within the device ring's lead budget
+    the engines match; beyond it the device clamps and keeps rendering
+    instead of freezing at DB_MIN."""
+    cfg = cfg_for(width=256, meter_buf=120)
+
+    # within budget (100 ms < default 250 ms): exact host equivalence
+    def feeds_small(k, now):
+        t = (np.arange(480) + k * 480) / SR
+        x = (0.3 * np.sin(2 * np.pi * 500 * t)).astype(np.float32)
+        return [(0, np.stack([x, x]), now + 100_000_000)]
+
+    got, want, dev = _drive_pair(cfg, 1, feeds_small, ticks=60)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+    # beyond budget (1 s): host would hold it as reserve; the device clamps
+    # (renders early) — the regression froze the display at DB_MIN forever
+    dev2 = DeviceWaveformEngine(cfg, 1)
+    now = NS
+    for k in range(120):
+        t = (np.arange(480) + k * 480) / SR
+        x = (0.3 * np.sin(2 * np.pi * 500 * t)).astype(np.float32)
+        dev2.feed(0, np.stack([x, x]), now + NS, now_ns=now)
+        now += 480 * NS // SR
+        out = dev2.tick(now_ns=now)
+    assert np.asarray(out).max() > DB_MIN + 100
+
+
+def test_normalize_volume_with_sync_offset_matches_host():
+    """The device RMS window must not ingest sync-reserve squares early
+    (regression: 2.4 dB divergence around a loudness step with an 80 ms
+    audio_sync_offset)."""
+    cfg = cfg_for(width=200, meter_buf=100, normalize_volume=True,
+                  volume_target=-8, max_gain=30, audio_sync_offset=80)
+
+    def feeds(k, now):
+        t = (np.arange(480) + k * 480) / SR
+        amp = 0.02 if k < 30 else 0.5       # loudness step at tick 30
+        x = (amp * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+        return [(0, np.stack([x, x]), now)]
+
+    got, want, dev = _drive_pair(cfg, 1, feeds, ticks=140)
+    np.testing.assert_allclose(got, want, atol=3e-2)

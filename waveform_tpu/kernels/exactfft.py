@@ -200,6 +200,8 @@ def _digit_gemm(subscripts: str, const_digits, x_digits, scale):
 
     terms.sort(key=lambda p: p[0])
     v0 = weighted(*terms[0])
+    if len(terms) == 1:
+        return v0, jnp.zeros_like(v0)
     tail = weighted(*terms[-1])
     for t, s_t in terms[-2:0:-1]:  # smallest first
         tail = tail + weighted(t, s_t)

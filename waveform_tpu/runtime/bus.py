@@ -81,7 +81,13 @@ class OutputBus:
     def _build(self):
         self.L = max(c.fft_size for c in self._groups) + self.H
         self.ring = init_ring(1, self.C, self.L)
-        self._push_buf = np.zeros((1, self.C, self.H), np.float32)
+        # packed staging row: H samples per channel + two trailing metadata
+        # columns (counts, active) — ONE host→device transfer per tick (the
+        # serving-engine pattern; dt and the unused input_rms are cached
+        # device scalars that upload nothing in steady state)
+        self._push_buf = np.zeros((1, self.C, self.H + 2), np.float32)
+        self._rms0 = jnp.zeros(1, jnp.float32)
+        self._dt_cache: dict[float, jnp.ndarray] = {}
         L = self.L
         for cfg, g in self._groups.items():
             step = make_spectrum_step(cfg)
@@ -101,9 +107,19 @@ class OutputBus:
             g["step"] = jax.jit(group_step, donate_argnums=(1,))
             g["state"] = init_state(cfg, 1)
             g["pixels"] = None
+        H = self.H
+
+        def ingest(ring, flat):
+            """Packed push: flat [1, C, H+2] carries samples plus trailing
+            (counts, active) metadata columns."""
+            new = flat[..., :H]
+            counts = flat[:, 0, H].astype(jnp.int32)
+            active = flat[:, 0, H + 1] > 0.5
+            return push(ring, new, counts), active
+
         # NOT donated: last tick's group steps may still be reading the old
         # ring buffer when the next push dispatches
-        self._push = jax.jit(lambda ring, new, counts: push(ring, new, counts))
+        self._ingest = jax.jit(ingest)
         self._built = True
 
     # -- feeding (one mixed stream) -------------------------------------
@@ -169,29 +185,38 @@ class OutputBus:
                 self._chunks[0] = head[:, use:]
             self._queued -= use
             got += use
+        self._push_buf[0, 0, self.H] = take
+        self._push_buf[0, 0, self.H + 1] = (
+            (now_ns - self.capture_ts) <= CAPTURE_TIMEOUT_NS)
 
+        dtv = self._dt_cache.get(dt)
+        if dtv is None:
+            if len(self._dt_cache) > 64:
+                self._dt_cache.clear()
+            dtv = self._dt_cache[dt] = jnp.float32(dt)
         # fresh copy: the staging buffer is rewritten next tick and argument
-        # transfers may be consumed after dispatch returns (a [1, C, H]
-        # buffer is ~13 KB — copying beats fencing here)
-        self.ring = self._push(self.ring, self._push_buf.copy(),
-                               jnp.asarray([take], np.int32))
-        active = jnp.asarray(
-            [(now_ns - self.capture_ts) <= CAPTURE_TIMEOUT_NS])
-        rms = jnp.zeros(1, jnp.float32)
-        dtv = jnp.float32(dt)
+        # transfers may be consumed after dispatch returns (a ~13 KB buffer
+        # — copying beats fencing here); ONE upload carries samples + meta
+        self.ring, active = self._ingest(self.ring, self._push_buf.copy())
         for g in self._groups.values():
             g["pixels"], g["state"] = g["step"](self.ring, g["state"], dtv,
-                                                active, rms)
+                                                active, self._rms0)
 
     # -- reads -----------------------------------------------------------
 
-    def read_pixels(self, handle: int) -> np.ndarray:
+    def _group(self, handle: int) -> dict:
         g = self._groups[self._handles[handle]]
-        return np.asarray(g["pixels"][0])
+        if not self._built or g.get("pixels") is None:
+            raise RuntimeError("tick() the bus before reading a consumer "
+                               "(no frame has been produced yet)")
+        return g
+
+    def read_pixels(self, handle: int) -> np.ndarray:
+        return np.asarray(self._group(handle)["pixels"][0])
 
     def read_decibels(self, handle: int) -> np.ndarray:
         cfg = self._handles[handle]
-        g = self._groups[cfg]
+        g = self._group(handle)
         return np.asarray(display_decibels(cfg, g["state"]))[0]
 
     @property

@@ -37,6 +37,7 @@ from ..core.config import (
 from ..core.ring import audio_frames_to_ns, ns_to_audio_frames
 from ..dsp.devring import DeviceRing, init_ring, push
 from ..dsp.spectrum import dbfs
+from .waveform_host import ts_to_frames
 
 
 class _WfStream:
@@ -54,15 +55,11 @@ class _WfStream:
         self.show = True
 
 
-def _ts_to_frames(sr: int, ns: np.ndarray) -> np.ndarray:
-    return (ns.astype(np.int64) * sr) // 1_000_000_000
-
-
 class DeviceWaveformEngine:
     """Batched oscilloscope serving for S independently-synced streams."""
 
     def __init__(self, cfg: ResolvedConfig, num_streams: int,
-                 hop_budget: int | None = None):
+                 hop_budget: int | None = None, max_lead_s: float = 0.25):
         if cfg.display_mode.value != "waveform":
             raise ValueError("DeviceWaveformEngine needs waveform mode")
         self.cfg = cfg
@@ -72,10 +69,17 @@ class DeviceWaveformEngine:
         self.W = cfg.fft_size  # display width in pixels (src/source.cpp:1140)
         sr = cfg.audio.samples_per_sec
         self.H = hop_budget or (2 * int(sr / cfg.fps) + 16)
-        # ring must hold the largest reference ring: waveform window + the
-        # worst sync reserve (user ts offset) + one hop of slack
+        # Ring sizing: waveform window + the worst sync reserve the ring can
+        # track + one hop of slack.  The reserve has two parts: the user ts
+        # offset, and timestamps running ahead of the clock (a pre-buffering
+        # player) — the host scroller's growable ring absorbs leads up to
+        # MAX_TS_DELTA_NS (16 s); a static device ring budgets ``max_lead_s``
+        # of it (HBM: S·C·L·4 B) and CLAMPS larger leads at tick time, so an
+        # extreme lead renders early instead of freezing the scope.
         reserve_cap = max(cfg.ts_offset_ns, 0) * sr // 1_000_000_000
-        self.L = int(cfg.waveform_samples + reserve_cap + self.H)
+        lead_cap = int(max_lead_s * sr)
+        self._reserve_limit = int(reserve_cap + lead_cap)
+        self.L = int(cfg.waveform_samples + self._reserve_limit + self.H)
         self.step_ns = (cfg.meter_ms * 1_000_000) // self.W
 
         self._streams = [_WfStream() for _ in range(num_streams)]
@@ -94,7 +98,12 @@ class DeviceWaveformEngine:
         self.latch = jnp.zeros((num_streams,), bool)
         self._normalize = cfg.normalize_volume
         if self._normalize:
-            self.rms_ring = init_ring(num_streams, 1, cfg.input_rms_size)
+            # slack beyond the 1 s window: sync-reserve squares park at the
+            # tail and the windowed sum skips them (drained only once the
+            # matching samples pass the reserve, like update_input_rms,
+            # runtime/source.py)
+            self.rms_ring = init_ring(
+                num_streams, 1, cfg.input_rms_size + self._reserve_limit)
         else:
             self.rms_ring = None
 
@@ -125,13 +134,24 @@ class DeviceWaveformEngine:
         rms_size = cfg.input_rms_size if self._normalize else 1
 
         def step(ring: DeviceRing, buf, latch, new, counts, idx, n, run,
-                 timeout, rms_ring: DeviceRing | None = None, rms_sq=None):
+                 timeout, rms_ring: DeviceRing | None = None, rms_sq=None,
+                 reserve=None):
             ring = push(ring, new, counts)
             input_rms = jnp.zeros((new.shape[0],), jnp.float32)
             if normalize and rms_ring is not None:
                 rms_ring = push(rms_ring, rms_sq[:, None, :], counts)
-                input_rms = jnp.sqrt(
-                    jnp.sum(rms_ring.buf[:, 0], axis=-1) / rms_size)
+                # window the 1 s sum to end at the sync reserve: squares for
+                # frames the display hasn't consumed yet sit in the tail and
+                # must not lead the gain (host spec: update_input_rms drains
+                # only past the reserve, runtime/source.py:180-200)
+                Lr = rms_ring.buf.shape[-1]
+
+                def rms_window(row, res):
+                    start = jnp.clip(Lr - res - rms_size, 0, Lr - rms_size)
+                    return jax.lax.dynamic_slice_in_dim(row, start, rms_size)
+
+                win = jax.vmap(rms_window)(rms_ring.buf[:, 0], reserve)
+                input_rms = jnp.sqrt(jnp.sum(win, axis=-1) / rms_size)
 
             # batched resample gather: sample ``idx`` frames from the end
             gpos = jnp.clip(L - idx, 0, L - 1)                 # [S, W]
@@ -210,21 +230,18 @@ class DeviceWaveformEngine:
         else:
             p.audio_ts = timestamp_ns + audio_len
 
-        raw = None
-        if data is not None:
-            raw = np.asarray(
-                data[cfg.channel_base:cfg.channel_base + self.C], np.float32)
-            if raw.shape[0] < self.C:
-                raw = np.vstack([raw, np.zeros(
-                    (self.C - raw.shape[0], frames), np.float32)])
+        # data is non-None here (frames == 0 early-returns above)
+        raw = np.asarray(
+            data[cfg.channel_base:cfg.channel_base + self.C], np.float32)
+        if raw.shape[0] < self.C:
+            raw = np.vstack([raw, np.zeros(
+                (self.C - raw.shape[0], frames), np.float32)])
         if self._normalize:
-            sq = (np.zeros(frames, np.float32) if raw is None
-                  else np.max(np.abs(raw), axis=0).astype(np.float32) ** 2)
-            p.rms_chunks.append(sq)
-        if (muted and not cfg.settings.ignore_mute) or raw is None:
-            chunk = np.zeros((self.C, frames), np.float32)
-        else:
-            chunk = raw
+            # raw (pre-mute) squares, like the reference (src/source.cpp:1843)
+            p.rms_chunks.append(
+                np.max(np.abs(raw), axis=0).astype(np.float32) ** 2)
+        chunk = (np.zeros((self.C, frames), np.float32)
+                 if muted and not cfg.settings.ignore_mute else raw)
         p.chunks.append(chunk)
         p.queued += frames
         # NOTE: the reference's capture-side drop-oldest trim
@@ -250,11 +267,6 @@ class DeviceWaveformEngine:
                 p.queued -= drop
                 break
 
-    def _audio_sync(self, p: _WfStream, ts: int) -> int:
-        audio_ts = p.audio_ts + self.cfg.ts_offset_ns
-        delta = min(abs(audio_ts - ts), MAX_TS_DELTA_NS)
-        return -delta if audio_ts < ts else delta
-
     def set_show(self, stream: int, show: bool) -> None:
         self._streams[stream].show = show
 
@@ -271,6 +283,7 @@ class DeviceWaveformEngine:
         n = np.zeros(S, np.int32)
         run = np.zeros(S, bool)
         timeout = np.zeros(S, bool)
+        reserves = np.zeros(S, np.int32)
         idx = np.full((S, W), 1, np.int64)
         self._flip ^= 1
         fence = self._fences[self._flip]
@@ -299,25 +312,24 @@ class DeviceWaveformEngine:
             if audio_eff + cfg.ts_offset_ns < now_ns:
                 dtaudio = -dtaudio
             reserve = ns_to_audio_frames(sr, dtaudio) if dtaudio > 0 else 0
+            # the static device ring budgets _reserve_limit of lead; an
+            # extreme timestamp lead clamps (renders early) instead of
+            # starving the gather forever (the host ring would grow)
+            reserve = min(reserve, self._reserve_limit)
+            reserves[i] = reserve
             # reference ring size this tick: last tick's reserve + arrivals,
             # trimmed (feed-side) to reserve + waveform window
             total = p.total + take
             max_size = cfg.waveform_samples + reserve
             total = min(total, max_size, self.L)
-            if total <= reserve:
-                continue
 
-            start_ts = audio_eff - audio_frames_to_ns(sr, total)
-            stop_ts = audio_eff - audio_frames_to_ns(sr, reserve)
-            if start_ts >= audio_eff or stop_ts > audio_eff:
-                continue  # timestamp rollover, give up
-            if p.waveform_ts < start_ts:
-                p.waveform_ts = start_ts
-            if (p.waveform_ts > stop_ts
-                    and (p.waveform_ts - stop_ts) > self.step_ns):
-                p.waveform_ts = start_ts
-
-            # drain queued samples into the device push buffer
+            # drain queued samples into the device push buffer UNCONDITIONALLY
+            # — the device ring is the reference's capture ring, which fills
+            # regardless of whether this tick renders.  Gating the drain on
+            # total > reserve deadlocks large sync reserves: p.total could
+            # never accumulate past one hop, so the render condition was
+            # unreachable for timestamp leads over ~H/sr (the host scroller
+            # handles leads up to 16 s).
             got = 0
             while got < take and p.chunks:
                 head = p.chunks[0]
@@ -337,13 +349,27 @@ class DeviceWaveformEngine:
                 p.queued -= use
                 got += use
             counts[i] = take
+            p.total = total
+
+            if total <= reserve:
+                continue  # everything is still sync reserve; ring keeps filling
+
+            start_ts = audio_eff - audio_frames_to_ns(sr, total)
+            stop_ts = audio_eff - audio_frames_to_ns(sr, reserve)
+            if start_ts >= audio_eff or stop_ts > audio_eff:
+                continue  # timestamp rollover, give up
+            if p.waveform_ts < start_ts:
+                p.waveform_ts = start_ts
+            if (p.waveform_ts > stop_ts
+                    and (p.waveform_ts - stop_ts) > self.step_ns):
+                p.waveform_ts = start_ts
 
             ts = p.waveform_ts + pix
             ok = (ts < stop_ts) & (ts >= p.waveform_ts)
             ni = int(np.argmin(ok)) if not ok.all() else W
             n[i] = ni
             if ni > 0:
-                idx[i, :ni] = _ts_to_frames(sr, audio_eff - ts[:ni]).clip(
+                idx[i, :ni] = ts_to_frames(sr, audio_eff - ts[:ni]).clip(
                     reserve + 1, total)
             run[i] = True
             p.waveform_ts += ni * self.step_ns
@@ -354,7 +380,7 @@ class DeviceWaveformEngine:
             jnp.asarray(self._push_buf), jnp.asarray(counts),
             jnp.asarray(idx.astype(np.int32)), jnp.asarray(n),
             jnp.asarray(run), jnp.asarray(timeout), self.rms_ring,
-            jnp.asarray(self._rms_buf))
+            jnp.asarray(self._rms_buf), jnp.asarray(reserves))
         # fence: the staging pair is safe to rewrite once this step ran
         if self._fence_on:
             self._fences[self._flip] = token

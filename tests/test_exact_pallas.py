@@ -1,0 +1,88 @@
+"""Pallas exact-FFT core: interpret-mode equivalence with the XLA path.
+
+Mirrors test_fused_kernel.py's strategy — Mosaic kernels validate on CPU
+via interpret=True against float64 references and the XLA exactfft path.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import waveform_tpu.kernels.exactfft as exactfft
+from waveform_tpu.kernels.exact_pallas import (
+    cfft_exact_kernel,
+    supports,
+)
+
+
+@pytest.mark.parametrize("n", [1024, 4096, 16384])
+def test_kernel_matches_f64(n, rng):
+    assert supports(n)
+    xr = (0.4 * rng.standard_normal((3, n))).astype(np.float32)
+    xi = (0.4 * rng.standard_normal((3, n))).astype(np.float32)
+    (rh, rl), (ih, il) = cfft_exact_kernel(jnp.asarray(xr), jnp.asarray(xi),
+                                           interpret=True)
+    want = np.fft.fft(xr.astype(np.float64) + 1j * xi.astype(np.float64))
+    got = ((np.asarray(rh, np.float64) + np.asarray(rl, np.float64))
+           + 1j * (np.asarray(ih, np.float64) + np.asarray(il, np.float64)))
+    rel = np.abs(got - want).max() / np.abs(want).max()
+    assert rel < 2.5e-7, rel
+
+
+def test_kernel_matches_xla_path(rng, monkeypatch):
+    """Same digits, same truncation class: kernel vs the XLA exactfft."""
+    monkeypatch.setenv("WAVEFORM_TPU_EXACT_KERNEL", "never")
+    n = 1024
+    xr = rng.standard_normal((2, n)).astype(np.float32)
+    xi = rng.standard_normal((2, n)).astype(np.float32)
+    (rh, rl), (ih, il) = cfft_exact_kernel(jnp.asarray(xr), jnp.asarray(xi),
+                                           interpret=True)
+    (rh2, rl2), (ih2, il2) = exactfft.cfft_exact(jnp.asarray(xr),
+                                                 jnp.asarray(xi))
+    a = np.asarray(rh, np.float64) + np.asarray(rl, np.float64)
+    b = np.asarray(rh2, np.float64) + np.asarray(rl2, np.float64)
+    scale = np.abs(b).max()
+    # per-block vs global pow2 scaling differ in which bits truncate, so
+    # agreement is to the shared truncation floor, not bit-exact
+    np.testing.assert_allclose(a, b, atol=2e-7 * scale)
+    ai = np.asarray(ih, np.float64) + np.asarray(il, np.float64)
+    bi = np.asarray(ih2, np.float64) + np.asarray(il2, np.float64)
+    np.testing.assert_allclose(ai, bi, atol=2e-7 * scale)
+
+
+def test_kernel_df_input_window(rng):
+    """df32 (windowed) inputs flow through the kernel path exactly."""
+    n = 1024
+    w64 = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(n) / n)
+    w_hi = w64.astype(np.float32)
+    w_lo = (w64 - w_hi.astype(np.float64)).astype(np.float32)
+    x = (0.5 * rng.standard_normal((2, 2, n))).astype(np.float32)
+    re = exactfft._windowed_df(jnp.asarray(x[:, 0]), jnp.asarray(w_hi),
+                               jnp.asarray(w_lo))
+    im = exactfft._windowed_df(jnp.asarray(x[:, 1]), jnp.asarray(w_hi),
+                               jnp.asarray(w_lo))
+    zr, zi = cfft_exact_kernel(re, im, interpret=True)
+    want = np.fft.fft((x[:, 0].astype(np.float64)
+                       + 1j * x[:, 1].astype(np.float64)) * w64)
+    got = ((np.asarray(zr[0], np.float64) + np.asarray(zr[1], np.float64))
+           + 1j * (np.asarray(zi[0], np.float64)
+                   + np.asarray(zi[1], np.float64)))
+    rel = np.abs(got - want).max() / np.abs(want).max()
+    assert rel < 2.5e-7, rel
+
+
+def test_kernel_tiny_signal_scaling(rng):
+    """Per-block pow2 scaling keeps RELATIVE precision for quiet blocks."""
+    n = 1024
+    xr = (1e-5 * rng.standard_normal((1, n))).astype(np.float32)
+    zr, zi = cfft_exact_kernel(jnp.asarray(xr),
+                               jnp.zeros_like(jnp.asarray(xr)),
+                               interpret=True)
+    want = np.fft.fft(xr.astype(np.float64))
+    got = ((np.asarray(zr[0], np.float64) + np.asarray(zr[1], np.float64))
+           + 1j * (np.asarray(zi[0], np.float64)
+                   + np.asarray(zi[1], np.float64)))
+    rel = np.abs(got - want).max() / np.abs(want).max()
+    assert rel < 2.5e-7, rel

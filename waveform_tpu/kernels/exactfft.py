@@ -262,6 +262,14 @@ def cfft_exact(re, im):
     if not isinstance(im, tuple):
         im = (im, jnp.zeros_like(im))
     n = re[0].shape[-1]
+
+    # VMEM-resident Pallas lowering of the same math (kernels/
+    # exact_pallas.py): the XLA lowering below is HBM-bound on the digit
+    # slicing and GEMM partials
+    from .exact_pallas import cfft_exact_kernel, enabled, supports
+    if supports(n) and enabled():
+        return cfft_exact_kernel(re, im)
+
     n1, n2, f1d, stage2 = _exact_plan(n)
     f1d = [jnp.asarray(d).astype(DIGIT_DTYPE) for d in f1d]
 

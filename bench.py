@@ -79,7 +79,7 @@ def main() -> int:
         def body(carry, k):
             ring, state = carry
             new = 0.5 * jax.random.normal(k, (S, 2, hop), jnp.float32)
-            ring = push(ring, new, jnp.full((S,), hop, jnp.int32))
+            ring = push(ring, new, jnp.int32(hop))
             state = step(ring.buf, state, dt, active, rms)
             px = rebin(display_decibels(cfg, state))
             # carry a cheap reduction so nothing is dead code
@@ -132,7 +132,7 @@ def main() -> int:
     # reference's real-time budget is per-frame (src/source.cpp:1156-1167).
     def single_tick(k, ring, state, dt, active, rms):
         new = 0.5 * jax.random.normal(k, (S, 2, hop), jnp.float32)
-        ring = push(ring, new, jnp.full((S,), hop, jnp.int32))
+        ring = push(ring, new, jnp.int32(hop))
         state = step(ring.buf, state, dt, active, rms)
         px = rebin(display_decibels(cfg, state))
         return px.mean(), ring, state

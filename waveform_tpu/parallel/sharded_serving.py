@@ -105,6 +105,19 @@ class ShardedServingEngine(ServingEngine):
             in_shardings=(s, s, s, r, s),
             out_shardings=(px_sh, s, s, s))
 
+    def _jit_tick_packed_u(self, packed_tick):
+        s, r = self._s_sh, self._r_sh
+        px_sh = NamedSharding(self.mesh, P(STREAM_AXIS, None, PIXEL_AXIS))
+        return jax.jit(
+            packed_tick, donate_argnums=(1, 2, 4),
+            in_shardings=(s, s, s, r, s, r),
+            out_shardings=(px_sh, s, s, s))
+
+    def _uniform_counts_T(self, T: int, hop: int):
+        # [T, S] (not [T]) so the bulk-path counts keep the stream-sharded
+        # rank the per-argument shardings in _jit_scan expect
+        return jnp.full((T, self.S), hop, jnp.int32)
+
     def _jit_scan(self, scan_ticks):
         s, r, t = self._s_sh, self._r_sh, self._scan_sh
         px_sh = NamedSharding(self.mesh, P(None, STREAM_AXIS, None,

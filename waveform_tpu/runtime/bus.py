@@ -113,7 +113,9 @@ class OutputBus:
             """Packed push: flat [1, C, H+2] carries samples plus trailing
             (counts, active) metadata columns."""
             new = flat[..., :H]
-            counts = flat[:, 0, H].astype(jnp.int32)
+            # one shared bus ring: the count is a scalar by construction,
+            # which selects the scalar lane-shift push (dsp/devring.py)
+            counts = flat[0, 0, H].astype(jnp.int32)
             active = flat[:, 0, H + 1] > 0.5
             return push(ring, new, counts), active
 

@@ -115,6 +115,7 @@ class ServingEngine:
         self._fence_on = jax.default_backend() == "cpu"
         self._bind_buf(0)
         self._dt_cache: dict[float, jnp.ndarray] = {}
+        self._count_cache: dict[int, jnp.ndarray] = {}
         # feed_batch fast path (shared sync state)
         self._batch_chunks: deque[np.ndarray] = deque()
         self._batch_queued = 0
@@ -173,18 +174,25 @@ class ServingEngine:
 
         C, H = self.C, self.H
 
-        def packed_tick(flat, ring, state, dt, rms_ring=None):
-            """fused_tick on the single packed host upload (see _in_buf)."""
+        def packed_tick(flat, ring, state, dt, rms_ring=None, ucount=None):
+            """fused_tick on the single packed host upload (see _in_buf).
+
+            ``ucount`` (scalar int32) replaces the per-stream counts column
+            when the host knows every stream advanced in lockstep — the
+            steady serving state — selecting the scalar lane-shift ring
+            push instead of the batched gather (see dsp/devring.py)."""
             s = flat.shape[0]
             new = flat[:, :C * H].reshape(s, C, H)
             rms_sq = flat[:, C * H:C * H + H]
-            counts = flat[:, -3].astype(jnp.int32)
+            counts = (flat[:, -3].astype(jnp.int32) if ucount is None
+                      else ucount)
             active = flat[:, -2] > 0.5
             rms = flat[:, -1]
             return fused_tick(new, counts, ring, state, dt, active, rms,
                               rms_ring, rms_sq)
 
         self._tick_packed = self._jit_tick_packed(packed_tick)
+        self._tick_packed_u = self._jit_tick_packed_u(packed_tick)
 
         def scan_ticks(new_T, counts_T, ring, state, dt, active_T, rms,
                        rms_ring=None):
@@ -231,6 +239,17 @@ class ServingEngine:
     def _jit_tick_packed(self, packed_tick):
         return jax.jit(packed_tick, donate_argnums=(1, 2, 4))
 
+    def _jit_tick_packed_u(self, packed_tick):
+        """The uniform-advance program: same tick with a scalar count as the
+        trailing argument (see ``packed_tick``'s ``ucount``)."""
+        return jax.jit(packed_tick, donate_argnums=(1, 2, 4))
+
+    def _uniform_counts_T(self, T: int, hop: int):
+        """Default bulk-mode counts: [T] scalars (uniform advance per tick,
+        the scalar ring-push path); the sharded engine widens to [T, S] so
+        its per-argument shardings stay rank-consistent."""
+        return jnp.full((T,), hop, jnp.int32)
+
     def _jit_scan(self, scan_ticks):
         return jax.jit(scan_ticks, donate_argnums=(2, 3, 7))
 
@@ -242,6 +261,14 @@ class ServingEngine:
             if len(self._dt_cache) > 64:
                 self._dt_cache.clear()
             d = self._dt_cache[dt] = jnp.float32(dt)
+        return d
+
+    def _count_scalar(self, c: int):
+        """Device-cached uniform advance count (values are 0..H, so the
+        cache is naturally bounded)."""
+        d = self._count_cache.get(c)
+        if d is None:
+            d = self._count_cache[c] = jnp.int32(c)
         return d
 
     def _place_buffers(self) -> None:
@@ -468,9 +495,18 @@ class ServingEngine:
                     p.queued -= use
                     got += use
 
-        pixels, self.ring, self.state, self.rms_ring = self._tick_packed(
-            self._prep(self._in_buf), self.ring, self.state, dtv,
-            self.rms_ring)
+        counts_col = self._meta_buf[:, 0]
+        c0 = counts_col[0]
+        if (counts_col == c0).all():
+            # lockstep advance (the steady state): scalar ring push
+            pixels, self.ring, self.state, self.rms_ring = \
+                self._tick_packed_u(
+                    self._prep(self._in_buf), self.ring, self.state, dtv,
+                    self.rms_ring, self._count_scalar(int(c0)))
+        else:
+            pixels, self.ring, self.state, self.rms_ring = self._tick_packed(
+                self._prep(self._in_buf), self.ring, self.state, dtv,
+                self.rms_ring)
         self._last_pixels = pixels
         # fence: this buffer may be rewritten only once these pixels exist
         if self._fence_on:
@@ -490,7 +526,7 @@ class ServingEngine:
         T, S = new_samples.shape[0], self.S
         hop = new_samples.shape[-1]
         if counts is None:
-            counts = jnp.full((T, S), hop, jnp.int32)
+            counts = self._uniform_counts_T(T, hop)
         if active is None:
             active = jnp.ones((T, S), bool)
         dt = (1.0 / self.cfg.fps) if dt is None else dt

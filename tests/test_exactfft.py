@@ -103,22 +103,29 @@ def test_full_pipeline_meets_north_star(rng):
 
 
 def test_digit_roundtrip_exactness(rng):
-    """Slicing + digit weights reconstruct the df32 value to ~2^-34."""
+    """Slicing + digit weights reconstruct the df32 value: ~2^-34 at 5
+    slices, and within the per-geometry bound at the default N_SLICES
+    (digit k has granularity 2^-(FIRST_SHIFT + DIGIT_BITS*k), so the
+    residual after the last digit is at most half its granularity)."""
     x64 = rng.uniform(-1000, 1000, 4096)
     hi = x64.astype(np.float32)
     lo = (x64 - hi.astype(np.float64)).astype(np.float32)
 
-    def f(hi, lo):
-        s = exactfft._pow2_scale(hi)
-        digits = exactfft._slice_df(hi, lo, 1.0 / s)
-        return s, digits
+    def recon_err(n_slices):
+        def f(hi, lo):
+            s = exactfft._pow2_scale(hi)
+            digits = exactfft._slice_df(hi, lo, 1.0 / s, n_slices)
+            return s, digits
 
-    s, digits = jax.jit(f)(jnp.asarray(hi), jnp.asarray(lo))
-    # reconstruct in float64 on host: only slicing error remains (~2^-34)
-    recon = sum(np.asarray(d).astype(np.float64) * exactfft._digit_weight(k)
-                for k, d in enumerate(digits)) * float(s)
-    err = np.abs(recon - x64)
-    assert err.max() < float(s) * 2.0 ** -33
+        s, digits = jax.jit(f)(jnp.asarray(hi), jnp.asarray(lo))
+        recon = sum(np.asarray(d).astype(np.float64)
+                    * exactfft._digit_weight(k)
+                    for k, d in enumerate(digits)) * float(s)
+        return np.abs(recon - x64).max() / float(s)
+
+    assert recon_err(5) < 2.0 ** -33
+    last = exactfft.FIRST_SHIFT + exactfft.DIGIT_BITS * (exactfft.N_SLICES - 1)
+    assert recon_err(exactfft.N_SLICES) <= 2.0 ** -(last + 1)
 
 
 def test_maxt_zero_endpoint(monkeypatch, rng):

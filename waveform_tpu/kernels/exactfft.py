@@ -36,9 +36,14 @@ from .matfft import _split_factors
 
 import os as _os
 
-DIGIT_BITS = 7          # digits in [-64, 64]: products <= 4096
-FIRST_SHIFT = 6         # digit k has weight 2^-(6 + 7k)
-N_SLICES = 5            # per operand: covers ~2^-34 of the unit scale
+# digit geometry (env-tunable for ablation; defaults are the measured
+# sweet spot on v5e).  Exactness invariants that bound the choices:
+# digits must be exactly representable in bf16 (|d| <= 2^(BITS-1) <= 256)
+# and every accumulated integer partial sum must stay < 2^24 in the f32
+# MXU accumulator (K <= 2^8 rows: BITS <= 8 is safe at 2^22).
+DIGIT_BITS = int(_os.environ.get("WAVEFORM_TPU_DIGIT_BITS", "7"))
+FIRST_SHIFT = int(_os.environ.get("WAVEFORM_TPU_FIRST_SHIFT",
+                                  str(DIGIT_BITS - 1)))
 # keep digit pairs with i + j <= MAX_T: dropped pairs carry weight
 # <= 2^-(12 + 7(MAX_T+1)) relative to the block scale, so MAX_T trades
 # GEMM count against a truncation floor.  Measured on v5e: MAX_T=3 (10
@@ -46,6 +51,10 @@ N_SLICES = 5            # per operand: covers ~2^-34 of the unit scale
 # at N=65536 with end-to-end dB error unchanged (3–5e-6, gate 1e-4);
 # MAX_T=2 fails the gate (2.8e-4).  Env-tunable for ablation.
 MAX_T = int(_os.environ.get("WAVEFORM_TPU_EXACT_MAXT", "3"))
+# digit planes per operand: planes beyond index MAX_T never appear in a
+# kept pair (i + j <= MAX_T), so slicing more than MAX_T+1 is pure VPU
+# waste (verified bit-identical at the default geometry)
+N_SLICES = int(_os.environ.get("WAVEFORM_TPU_N_SLICES", str(MAX_T + 1)))
 
 # Digit dtype for the MXU passes.  bf16 digits are exact by construction:
 # integer values <= 64 are representable, the MXU multiplies at full
@@ -54,6 +63,9 @@ MAX_T = int(_os.environ.get("WAVEFORM_TPU_EXACT_MAXT", "3"))
 # runs at 2x MXU rate, but costs f32->int8 repacking on the VPU; set
 # WAVEFORM_TPU_DIGIT_DTYPE=int8 to flip.
 if _os.environ.get("WAVEFORM_TPU_DIGIT_DTYPE", "bf16") == "int8":
+    if DIGIT_BITS > 7:
+        raise ValueError("int8 digit planes overflow at DIGIT_BITS > 7 "
+                         "(digits reach ±2^(DIGIT_BITS-1) inclusive)")
     DIGIT_DTYPE = jnp.int8
     ACC_DTYPE = jnp.int32
 else:
@@ -122,13 +134,16 @@ def df_scale(x, s):
 # ---------------------------------------------------------------------------
 
 def _slice_const(a64: np.ndarray, n_slices: int = N_SLICES) -> np.ndarray:
-    """Offline f64 -> int8 digit planes [n_slices, ...]; |a64| <= 1."""
-    digits = np.empty((n_slices,) + a64.shape, np.int8)
+    """Offline f64 -> integer digit planes [n_slices, ...]; |a64| <= 1.
+
+    int16 storage: digits reach ±2^(DIGIT_BITS-1) inclusive (±128 at 8-bit
+    digits, one past int8); they are cast to DIGIT_DTYPE on device."""
+    digits = np.empty((n_slices,) + a64.shape, np.int16)
     r = a64.astype(np.float64)
     for k in range(n_slices):
         sc = 2.0 ** (FIRST_SHIFT + DIGIT_BITS * k)
         d = np.rint(r * sc)
-        digits[k] = d.astype(np.int8)
+        digits[k] = d.astype(np.int16)
         r = r - d / sc
     return digits
 
@@ -150,9 +165,13 @@ def _slice_df(hi, lo, s_inv, n_slices: int = N_SLICES):
     x = hi * s_inv  # exact: s_inv is a power of two
     r = x
     digits = []
+    # the low word joins once the hi digits are exhausted: after the first
+    # k with FIRST_SHIFT + DIGIT_BITS*k >= 24 the residual of the (24-bit)
+    # hi mantissa is ~0 and |lo/s| <= 2^-24 fits the remaining digit range
+    k_join = -(-(24 - FIRST_SHIFT) // DIGIT_BITS)
     for k in range(n_slices):
-        if k == 3:
-            r = r + lo * s_inv  # |r| ~ 2^-27, |lo/s| <= 2^-24: safe in f32
+        if k == k_join:
+            r = r + lo * s_inv
         sc = jnp.float32(2.0 ** (FIRST_SHIFT + DIGIT_BITS * k))
         d = jnp.round(r * sc)
         digits.append(d.astype(DIGIT_DTYPE))

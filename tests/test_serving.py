@@ -369,3 +369,44 @@ def test_chunked_put_splits_and_roundtrips(rng):
     np.testing.assert_array_equal(np.asarray(out), big)
     small = rng.standard_normal((4, 4)).astype(np.float32)
     np.testing.assert_array_equal(np.asarray(chunked_put(small)), small)
+
+
+def test_multi_engine_cohort_matches_solo_engines(rng):
+    """Cohort fusion is a transfer-layer change only: a MultiEngine scene
+    must produce bit-identical decibels to standalone ServingEngines fed
+    the same audio (the groups share one upload + device-side row
+    slices)."""
+    from waveform_tpu.runtime.multi import MultiEngine
+    cfg_a = resolve(Settings(fft_size=1024,
+                             temporal_smoothing=TSmoothingMode.NONE),
+                    AudioInfo(SR, 2))
+    cfg_b = resolve(Settings(fft_size=2048, window=FFTWindow.BLACKMAN,
+                             temporal_smoothing=TSmoothingMode.NONE),
+                    AudioInfo(SR, 2))
+    m = MultiEngine()
+    a0, a1 = m.add_stream(cfg_a), m.add_stream(cfg_a)
+    b0 = m.add_stream(cfg_b)
+
+    ref_a = ServingEngine(cfg_a, 2)
+    ref_b = ServingEngine(cfg_b, 1)
+
+    pkts = [rng.standard_normal((3, 2, 480)).astype(np.float32) * 0.4
+            for _ in range(30)]
+    now = NS
+    for pkt in pkts:
+        for sid, eng_idx in [(a0, 0), (a1, 1), (b0, 2)]:
+            m.feed(sid, pkt[eng_idx], now, now_ns=now)
+        ref_a.feed(0, pkt[0], now, now_ns=now)
+        ref_a.feed(1, pkt[1], now, now_ns=now)
+        ref_b.feed(0, pkt[2], now, now_ns=now)
+        now += 480 * NS // SR
+        m.tick(now_ns=now)
+        ref_a.tick(now_ns=now)
+        ref_b.tick(now_ns=now)
+
+    # both spectrum groups share a packed width -> one fused cohort
+    assert len(m._cohorts) == 1
+    assert len(m._cohorts[0]["engines"]) == 2
+    np.testing.assert_array_equal(m.read_decibels(a0), ref_a.read_decibels()[0])
+    np.testing.assert_array_equal(m.read_decibels(a1), ref_a.read_decibels()[1])
+    np.testing.assert_array_equal(m.read_decibels(b0), ref_b.read_decibels()[0])

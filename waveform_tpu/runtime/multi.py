@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import time
 
+import jax
 import numpy as np
 
 from ..core.config import ResolvedConfig
@@ -24,13 +25,25 @@ from .serving import ServingEngine
 
 
 class MultiEngine:
-    """Streams with heterogeneous configs, grouped into batched engines."""
+    """Streams with heterogeneous configs, grouped into batched engines.
+
+    Spectrum groups whose packed upload rows share a width (same capture
+    channel count and hop budget — the common case: one scene, one sample
+    rate) are fused into an upload **cohort**: their per-tick host inputs
+    assemble into one shared block, cross the link as ONE transfer, and
+    each group's compiled program slices its rows on device at a static
+    offset.  N heterogeneous looks then cost one upload + N collapsed
+    dispatches instead of N uploads — the transfer analog of the OBS scene
+    compositing all sources in one graphics pass
+    (/root/reference/src/source.cpp:87-102, one instance per source)."""
 
     def __init__(self):
         self._groups: dict[ResolvedConfig, list] = {}   # cfg -> stream ids
         self._engines: dict[ResolvedConfig, object] = {}
         self._streams: dict[int, tuple[ResolvedConfig, int]] = {}
         self._next_id = 0
+        self._cohorts: list[dict] = []
+        self._solo: list = []    # engines ticking the classic way
 
     def add_stream(self, cfg: ResolvedConfig) -> int:
         """Register a stream; returns its handle.  Streams must be added
@@ -52,6 +65,34 @@ class MultiEngine:
             else:
                 self._engines[cfg] = WaveformEngine(cfg, len(members))
 
+        # upload cohorts: spectrum groups sharing a packed row width
+        by_width: dict[int, list[ServingEngine]] = {}
+        self._solo = []
+        for eng in self._engines.values():
+            if isinstance(eng, ServingEngine):
+                by_width.setdefault(eng.packed_width, []).append(eng)
+            else:
+                self._solo.append(eng)
+        self._cohorts = []
+        fence_on = jax.default_backend() == "cpu"
+        for width, engs in sorted(by_width.items()):
+            if len(engs) < 2:     # a lone group gains nothing from fusion
+                self._solo.extend(engs)
+                continue
+            offs, r0 = [], 0
+            for e in engs:
+                e.bind_cohort(r0)
+                offs.append(r0)
+                r0 += e.S
+            self._cohorts.append({
+                "engines": engs, "offs": offs,
+                # double-buffered like ServingEngine._bufs, with the same
+                # deferred-host-read fence discipline (armed on XLA:CPU)
+                "bufs": [np.zeros((r0, width), np.float32)
+                         for _ in range(2)],
+                "fences": [None, None], "flip": 0, "fence_on": fence_on,
+            })
+
     def feed(self, stream_id: int, data, timestamp_ns: int,
              now_ns: int | None = None, muted: bool = False) -> None:
         if not self._engines:
@@ -62,11 +103,29 @@ class MultiEngine:
 
     def tick(self, now_ns: int | None = None) -> None:
         """One video frame: every group's batched step dispatches; the
-        per-group device programs overlap (async dispatch)."""
+        per-group device programs overlap (async dispatch).  Cohorts
+        assemble every member's packed rows into one block and upload it
+        once; members dispatch from device-resident row slices."""
         if not self._engines:
             self._build()
         now_ns = time.monotonic_ns() if now_ns is None else now_ns
-        for eng in self._engines.values():
+        for c in self._cohorts:
+            c["flip"] ^= 1
+            flip = c["flip"]
+            fence = c["fences"][flip]
+            if fence is not None:
+                jax.block_until_ready(fence)
+                c["fences"][flip] = None
+            buf = c["bufs"][flip]
+            for eng, r0 in zip(c["engines"], c["offs"]):
+                eng._bind_external(buf[r0:r0 + eng.S])
+                eng._assemble(now_ns)
+            cohort_dev = jax.device_put(buf)   # the one upload
+            outs = [eng.tick_from_cohort(cohort_dev, now_ns)
+                    for eng in c["engines"]]
+            if c["fence_on"]:
+                c["fences"][flip] = outs
+        for eng in self._solo:
             eng.tick(now_ns=now_ns)
 
     def read_decibels(self, stream_id: int) -> np.ndarray:

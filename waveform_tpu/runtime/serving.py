@@ -193,6 +193,9 @@ class ServingEngine:
 
         self._tick_packed = self._jit_tick_packed(packed_tick)
         self._tick_packed_u = self._jit_tick_packed_u(packed_tick)
+        self._packed_tick_fn = packed_tick   # for cohort binding (multi.py)
+        self._tick_cohort = None
+        self._row0 = 0
 
         def scan_ticks(new_T, counts_T, ring, state, dt, active_T, rms,
                        rms_ring=None):
@@ -445,10 +448,33 @@ class ServingEngine:
         host↔device traffic is exactly one transfer plus the dispatch."""
         now_ns = time.monotonic_ns() if now_ns is None else now_ns
         dtv = self._dt_scalar((1.0 / self.cfg.fps) if dt is None else dt)
-        cfg = self.cfg
-        sr = cfg.audio.samples_per_sec
         self._flip ^= 1
         self._bind_buf(self._flip)
+        self._assemble(now_ns)
+
+        counts_col = self._meta_buf[:, 0]
+        c0 = counts_col[0]
+        if (counts_col == c0).all():
+            # lockstep advance (the steady state): scalar ring push
+            pixels, self.ring, self.state, self.rms_ring = \
+                self._tick_packed_u(
+                    self._prep(self._in_buf), self.ring, self.state, dtv,
+                    self.rms_ring, self._count_scalar(int(c0)))
+        else:
+            pixels, self.ring, self.state, self.rms_ring = self._tick_packed(
+                self._prep(self._in_buf), self.ring, self.state, dtv,
+                self.rms_ring)
+        self._last_pixels = pixels
+        # fence: this buffer may be rewritten only once these pixels exist
+        if self._fence_on:
+            self._fences[self._flip] = pixels
+        return pixels
+
+    def _assemble(self, now_ns: int) -> None:
+        """Fill the bound packed buffer: samples, RMS squares, counts,
+        active flags (the host half of the tick)."""
+        cfg = self.cfg
+        sr = cfg.audio.samples_per_sec
 
         if self._native is not None:
             # C++ writes samples, RMS squares, counts and active directly
@@ -495,22 +521,55 @@ class ServingEngine:
                     p.queued -= use
                     got += use
 
+    # -- cohort mode (runtime/multi.py): many engines, one upload --------
+
+    @property
+    def packed_width(self) -> int:
+        """Row width of the packed per-tick upload: C*H + H + 3."""
+        return self.C * self.H + self.H + 3
+
+    def bind_cohort(self, row0: int) -> None:
+        """Compile the cohort tick: this engine's rows live at
+        [row0, row0+S) of a shared uploaded block (one transfer serves
+        every engine in the cohort; see MultiEngine)."""
+        pt = self._packed_tick_fn
+        S = self.S
+        self._row0 = row0
+
+        def cohort_tick(cohort, ring, state, dt, rms_ring=None, ucount=None):
+            flat = jax.lax.slice_in_dim(cohort, row0, row0 + S, axis=0)
+            return pt(flat, ring, state, dt, rms_ring, ucount)
+
+        # cohort is NOT donated: sibling engines read other row blocks
+        self._tick_cohort = jax.jit(cohort_tick, donate_argnums=(1, 2, 4))
+
+    def _bind_external(self, view: np.ndarray) -> None:
+        """Point the assembly views at an externally owned packed block
+        (a row slice of a cohort buffer; the caller owns double-buffering
+        and fences)."""
+        CH, H = self.C * self.H, self.H
+        self._in_buf = view
+        self._push_buf = view[:, :CH].reshape(-1, self.C, H)
+        self._rms_buf = view[:, CH:CH + H]
+        self._meta_buf = view[:, CH + H:]
+
+    def tick_from_cohort(self, cohort_dev, now_ns: int,
+                         dt: float | None = None):
+        """Dispatch this engine's tick against an already-uploaded cohort
+        block.  ``_bind_external`` + ``_assemble`` must have run for this
+        tick before the cohort was uploaded."""
+        dtv = self._dt_scalar((1.0 / self.cfg.fps) if dt is None else dt)
         counts_col = self._meta_buf[:, 0]
         c0 = counts_col[0]
         if (counts_col == c0).all():
-            # lockstep advance (the steady state): scalar ring push
-            pixels, self.ring, self.state, self.rms_ring = \
-                self._tick_packed_u(
-                    self._prep(self._in_buf), self.ring, self.state, dtv,
-                    self.rms_ring, self._count_scalar(int(c0)))
+            out = self._tick_cohort(cohort_dev, self.ring, self.state, dtv,
+                                    self.rms_ring,
+                                    self._count_scalar(int(c0)))
         else:
-            pixels, self.ring, self.state, self.rms_ring = self._tick_packed(
-                self._prep(self._in_buf), self.ring, self.state, dtv,
-                self.rms_ring)
+            out = self._tick_cohort(cohort_dev, self.ring, self.state, dtv,
+                                    self.rms_ring)
+        pixels, self.ring, self.state, self.rms_ring = out
         self._last_pixels = pixels
-        # fence: this buffer may be rewritten only once these pixels exist
-        if self._fence_on:
-            self._fences[self._flip] = pixels
         return pixels
 
     def tick_many(self, new_samples, counts=None, active=None,

@@ -183,29 +183,49 @@ def _slice_df(hi, lo, s_inv, n_slices: int = N_SLICES):
 # exact digit GEMM
 # ---------------------------------------------------------------------------
 
+def _contract_axes(subscripts: str):
+    """Axis of the contracted index in each einsum operand (the letter in
+    both inputs but not the output)."""
+    ins, out = subscripts.split("->")
+    a, b = ins.split(",")
+    letter = next(c for c in a if c.isalpha() and c in b and c not in out)
+    ax_a = a.index(letter)
+    bp = b.replace("...", "\0")
+    ax_b = bp.index(letter) - len(bp)  # from the right: '...' safe
+    return ax_a - len(a), ax_b
+
+
 def _digit_gemm(subscripts: str, const_digits, x_digits, scale):
     """einsum over digit planes with exact integer accumulation.
 
     Returns the df32 (hi, lo) of  scale * (C @ X)  where C is the constant
     whose digit planes are ``const_digits`` and X the tensor whose digits
     are ``x_digits``.
+
+    All pairs of one weight class t = i + j fuse into ONE einsum by
+    stacking their planes along the contraction axis (sum_i C_i X_{t-i}
+    = [C_0 .. C_t] @ [X_t ; .. ; X_0]): the XLA lowering is HBM-bound on
+    the per-pair partial outputs (measured ~9 µs/GEMM at [256, 64, 128]
+    on v5e, ~14x off the MXU roofline), so MAX_T+1 outputs instead of
+    ~(MAX_T+1)^2/2 is the cheapest 2x on the whole exact path.
+    Exactness holds: stacked integer partial sums reach at most
+    (MAX_T+1) * K * 2^(2(DIGIT_BITS-1)) <= 2^22 < 2^24.
     """
     nc, nx = len(const_digits), len(x_digits)
-    # group partial GEMMs by total weight t = i + j
-    terms = []  # (t, int32 result)
-    by_t: dict[int, list] = {}
-    for i in range(nc):
-        for j in range(nx):
-            if i + j > MAX_T:
-                continue
-            g = jnp.einsum(subscripts, const_digits[i], x_digits[j],
-                           preferred_element_type=ACC_DTYPE)
-            by_t.setdefault(i + j, []).append(g)
-    for t, gs in sorted(by_t.items()):
-        s_t = gs[0]
-        for g in gs[1:]:
-            s_t = s_t + g  # int32, exact
-        terms.append((t, s_t))
+    ax_c, ax_x = _contract_axes(subscripts)
+    terms = []  # (t, exact f32/int32 class sum)
+    for t in range(min(MAX_T, nc + nx - 2) + 1):
+        pairs = [(i, t - i) for i in range(nc) if 0 <= t - i < nx]
+        if len(pairs) == 1:
+            i, j = pairs[0]
+            cd, xd = const_digits[i], x_digits[j]
+        else:
+            cd = jnp.concatenate([const_digits[i] for i, _ in pairs],
+                                 axis=ax_c)
+            xd = jnp.concatenate([x_digits[j] for _, j in pairs],
+                                 axis=ax_x)
+        terms.append((t, jnp.einsum(subscripts, cd, xd,
+                                    preferred_element_type=ACC_DTYPE)))
 
     # combine: v_t = S_t * 2^-(12 + 7t) * scale — exact (integer < 2^24
     # times a power of two).  The terms drop by 2^-7 per t, so the tail

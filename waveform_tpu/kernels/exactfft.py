@@ -167,8 +167,11 @@ def _slice_df(hi, lo, s_inv, n_slices: int = N_SLICES):
     digits = []
     # the low word joins once the hi digits are exhausted: after the first
     # k with FIRST_SHIFT + DIGIT_BITS*k >= 24 the residual of the (24-bit)
-    # hi mantissa is ~0 and |lo/s| <= 2^-24 fits the remaining digit range
-    k_join = -(-(24 - FIRST_SHIFT) // DIGIT_BITS)
+    # hi mantissa is ~0 and |lo/s| <= 2^-24 fits the remaining digit range.
+    # Clamped to the last digit so narrow geometries (small DIGIT_BITS or
+    # MAX_T ablations) degrade to the geometry's honest truncation floor
+    # instead of silently dropping the low word altogether.
+    k_join = min(-(-(24 - FIRST_SHIFT) // DIGIT_BITS), n_slices - 1)
     for k in range(n_slices):
         if k == k_join:
             r = r + lo * s_inv

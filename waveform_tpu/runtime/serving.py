@@ -227,6 +227,9 @@ class ServingEngine:
     def _bind_buf(self, i: int) -> None:
         """Point the assembly views at packed buffer ``i``, first waiting on
         the output fence of the tick that last uploaded from it."""
+        if self._bufs is None:   # released by bind_cohort
+            self._bufs = [np.zeros((self.S, self.packed_width), np.float32)
+                          for _ in range(2)]
         fence = self._fences[i]
         if fence is not None:
             jax.block_until_ready(fence)
@@ -452,14 +455,13 @@ class ServingEngine:
         self._bind_buf(self._flip)
         self._assemble(now_ns)
 
-        counts_col = self._meta_buf[:, 0]
-        c0 = counts_col[0]
-        if (counts_col == c0).all():
+        uniform, c0 = self._uniform_count()
+        if uniform:
             # lockstep advance (the steady state): scalar ring push
             pixels, self.ring, self.state, self.rms_ring = \
                 self._tick_packed_u(
                     self._prep(self._in_buf), self.ring, self.state, dtv,
-                    self.rms_ring, self._count_scalar(int(c0)))
+                    self.rms_ring, self._count_scalar(c0))
         else:
             pixels, self.ring, self.state, self.rms_ring = self._tick_packed(
                 self._prep(self._in_buf), self.ring, self.state, dtv,
@@ -469,6 +471,18 @@ class ServingEngine:
         if self._fence_on:
             self._fences[self._flip] = pixels
         return pixels
+
+    def _uniform_count(self) -> tuple[bool, int]:
+        """Host-side program choice for this tick: True selects the scalar
+        lane-shift push.  Decided from host-local data, so it is forced
+        off on multi-host meshes — processes would otherwise pick
+        DIFFERENT compiled collectives from their different local counts
+        (SPMD divergence: every process must launch the same program)."""
+        if jax.process_count() > 1:
+            return False, 0
+        counts_col = self._meta_buf[:, 0]
+        c0 = counts_col[0]
+        return bool((counts_col == c0).all()), int(c0)
 
     def _assemble(self, now_ns: int) -> None:
         """Fill the bound packed buffer: samples, RMS squares, counts,
@@ -542,6 +556,11 @@ class ServingEngine:
 
         # cohort is NOT donated: sibling engines read other row blocks
         self._tick_cohort = jax.jit(cohort_tick, donate_argnums=(1, 2, 4))
+        # the private double buffers are dead weight in cohort mode
+        # (~2 x S x (C*H+H+3) floats per group); _bind_buf reallocates
+        # lazily if the engine is ever ticked standalone again
+        self._bufs = None
+        self._fences = [None, None]
 
     def _bind_external(self, view: np.ndarray) -> None:
         """Point the assembly views at an externally owned packed block
@@ -559,12 +578,10 @@ class ServingEngine:
         block.  ``_bind_external`` + ``_assemble`` must have run for this
         tick before the cohort was uploaded."""
         dtv = self._dt_scalar((1.0 / self.cfg.fps) if dt is None else dt)
-        counts_col = self._meta_buf[:, 0]
-        c0 = counts_col[0]
-        if (counts_col == c0).all():
+        uniform, c0 = self._uniform_count()
+        if uniform:
             out = self._tick_cohort(cohort_dev, self.ring, self.state, dtv,
-                                    self.rms_ring,
-                                    self._count_scalar(int(c0)))
+                                    self.rms_ring, self._count_scalar(c0))
         else:
             out = self._tick_cohort(cohort_dev, self.ring, self.state, dtv,
                                     self.rms_ring)

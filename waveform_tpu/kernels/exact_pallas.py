@@ -111,7 +111,12 @@ def _pow2_scale_scalar(hi):
 
 
 def _slice4(hi, lo, s_inv):
-    """4-digit slice of a df32 block scaled to [-1, 1] (VMEM-resident)."""
+    """4-digit slice of a df32 block scaled to [-1, 1] (VMEM-resident).
+
+    Digits come out as bf16: the values are integers <= 64, exactly
+    representable, and bf16 operands keep the MXU dots single-pass —
+    f32 operands at DEFAULT precision lower to the 3-pass bf16x3
+    schedule (measured 2.0x end-to-end on the N=16384 kernel)."""
     r = hi * s_inv
     digits = []
     for k in range(_N_DIGITS):
@@ -119,7 +124,7 @@ def _slice4(hi, lo, s_inv):
             r = r + lo * s_inv
         sc = jnp.float32(2.0 ** (FIRST_SHIFT + DIGIT_BITS * k))
         d = jnp.round(r * sc)
-        digits.append(d)
+        digits.append(d.astype(jnp.bfloat16))
         r = r - d / sc
     return digits
 
@@ -132,8 +137,9 @@ def _dot(a, b):
 def _digit_stage(const_ref, digits, s, left: bool):
     """Weight-class GEMMs + compensated recombination (VMEM).
 
-    ``const_ref[i]`` is digit plane i of the DFT block matrix; ``left``
-    selects C @ X vs X @ C.  Mirrors exactfft._digit_gemm for MAX_T=3.
+    ``const_ref[i]`` is digit plane i of the DFT block matrix (bf16);
+    ``left`` selects C @ X vs X @ C.  Mirrors exactfft._digit_gemm for
+    MAX_T=3.
     """
     dots = []
     for t in range(_N_DIGITS):
@@ -259,7 +265,8 @@ def cfft_exact_packed(x2_hi: jnp.ndarray, x2_lo: jnp.ndarray,
             jax.ShapeDtypeStruct((S * n1, 2 * n2), jnp.float32),
         ],
         interpret=interpret,
-    )(xp_hi, xp_lo, jnp.asarray(f1d), jnp.asarray(f2d),
+    )(xp_hi, xp_lo,
+      jnp.asarray(f1d, jnp.bfloat16), jnp.asarray(f2d, jnp.bfloat16),
       jnp.asarray(twr_hi), jnp.asarray(twr_lo),
       jnp.asarray(twi_hi), jnp.asarray(twi_lo))
 

@@ -369,6 +369,22 @@ def _df_reverse_roll(z):
     return tuple(jnp.roll(a[..., ::-1], 1, axis=-1) for a in z)
 
 
+def _df_head(z, nbins):
+    """First ``nbins`` of a df32 pair."""
+    return tuple(a[..., :nbins] for a in z)
+
+
+def _df_rev_head(z, nbins):
+    """(Z[(N-k) mod N])[..., :nbins] = [Z_0, Z_{N-1}, .., Z_{N-nbins+1}],
+    built from a flip of just the kept half — the full reverse+roll and
+    the df unpack on the discarded Nyquist half were ~15% of the whole
+    exact path at N=16384 (profiled: reverse.16-19 + their fusions)."""
+    n = z[0].shape[-1]
+    return tuple(jnp.concatenate(
+        [a[..., :1], jnp.flip(a[..., n - nbins + 1:], axis=-1)], axis=-1)
+        for a in z)
+
+
 def _df_mag(re, im):
     """sqrt(re^2 + im^2) in f32 from df32 parts (per-bin relative rounding
     only — the cancellation already happened exactly upstream)."""
@@ -397,15 +413,18 @@ def rfft_pair_mag_exact(x, nbins: int | None = None,
     else:
         re, im = x0, x1
     zr, zi = cfft_exact(re, im)
-    zrr = _df_reverse_roll(zr)
-    zir = _df_reverse_roll(zi)
+    # unpack + magnitude on the kept bins only (the top half is discarded
+    # by the rFFT semantics, so slicing first halves the df element work)
+    zr_h, zi_h = _df_head(zr, nbins), _df_head(zi, nbins)
+    zrr = _df_rev_head(zr, nbins)
+    zir = _df_rev_head(zi, nbins)
     half = jnp.float32(0.5)
-    x0r = df_scale(df_add(zr, zrr), half)
-    x0i = df_scale(df_add(zi, df_neg(zir)), half)
-    x1r = df_scale(df_add(zi, zir), half)
-    x1i = df_scale(df_add(zrr, df_neg(zr)), half)
-    mag0 = _df_mag(x0r, x0i)[..., :nbins]
-    mag1 = _df_mag(x1r, x1i)[..., :nbins]
+    x0r = df_scale(df_add(zr_h, zrr), half)
+    x0i = df_scale(df_add(zi_h, df_neg(zir)), half)
+    x1r = df_scale(df_add(zi_h, zir), half)
+    x1i = df_scale(df_add(zrr, df_neg(zr_h)), half)
+    mag0 = _df_mag(x0r, x0i)
+    mag1 = _df_mag(x1r, x1i)
     return jnp.stack([mag0, mag1], axis=-2)
 
 
@@ -430,6 +449,6 @@ def rfft_mag_exact(x, nbins: int | None = None,
         else:
             re = xc
         zr, zi = cfft_exact(re, jnp.zeros_like(xc))
-        m = _df_mag(zr, zi)[..., :nbins]
+        m = _df_mag(_df_head(zr, nbins), _df_head(zi, nbins))
         outs.append(m[..., None, :])
     return jnp.concatenate(outs, axis=-2)

@@ -90,6 +90,16 @@ def _kernel_plan(n: int, bs: int):
             r = r - d / sc
         return out
 
+    def stacked_classes(planes, axis):
+        """Per-weight-class stacked constants: class t is
+        [C_0 | C_1 | .. | C_t] along the contraction axis, so each class
+        runs as ONE dot whose K is (t+1)x deeper — stage-1 K was 2N1
+        (64 at N=4096), only a quarter of the MXU's 256-deep pipe.
+        Classes concatenate into one array; the kernel slices statically."""
+        return np.concatenate(
+            [planes[i] for t in range(_N_DIGITS) for i in range(t + 1)],
+            axis=axis)
+
     def df_tiled(a64):
         hi = a64.astype(np.float32)
         lo = (a64 - hi.astype(np.float64)).astype(np.float32)
@@ -97,7 +107,11 @@ def _kernel_plan(n: int, bs: int):
 
     twr_hi, twr_lo = df_tiled(tw.real)
     twi_hi, twi_lo = df_tiled(tw.imag)
-    return (n1, n2, digit_planes(f1b), digit_planes(f2b),
+    # stage 1 is C @ X (contract on C's columns); stage 2 is X @ C
+    # (contract on C's rows)
+    return (n1, n2,
+            stacked_classes(digit_planes(f1b), axis=1),
+            stacked_classes(digit_planes(f2b), axis=0),
             twr_hi, twr_lo, twi_hi, twi_lo)
 
 
@@ -137,18 +151,26 @@ def _dot(a, b):
 def _digit_stage(const_ref, digits, s, left: bool):
     """Weight-class GEMMs + compensated recombination (VMEM).
 
-    ``const_ref[i]`` is digit plane i of the DFT block matrix (bf16);
-    ``left`` selects C @ X vs X @ C.  Mirrors exactfft._digit_gemm for
-    MAX_T=3.
+    ``const_ref`` holds the class-stacked DFT block matrix digits (bf16,
+    see ``stacked_classes``); ``left`` selects C @ X vs X @ C.  Class t
+    is ONE dot: [C_0..C_t] against [X_t;..;X_0] stacked along K — deeper
+    MXU pipes and 4 dots/stage instead of 10.  Exact: stacked integer
+    partial sums stay <= 4*256*2^12 = 2^22 < 2^24 in the f32
+    accumulator.  Mirrors exactfft._digit_gemm for MAX_T=3.
     """
+    k1 = digits[0].shape[0 if left else 1]   # single-plane K
     dots = []
+    off = 0
     for t in range(_N_DIGITS):
-        acc = None
-        for i in range(t + 1):
-            g = (_dot(const_ref[i], digits[t - i]) if left
-                 else _dot(digits[t - i], const_ref[i]))
-            acc = g if acc is None else acc + g   # integer f32, exact
-        dots.append(acc)
+        w = (t + 1) * k1
+        xcat = jnp.concatenate([digits[t - i] for i in range(t + 1)],
+                               axis=0 if left else 1) if t else digits[0]
+        if left:
+            g = _dot(const_ref[:, off:off + w], xcat)
+        else:
+            g = _dot(xcat, const_ref[off:off + w, :])
+        off += w
+        dots.append(g)
 
     def weighted(t, v):
         return v * (jnp.float32(2.0 ** -(2 * FIRST_SHIFT + DIGIT_BITS * t))
@@ -245,9 +267,9 @@ def cfft_exact_packed(x2_hi: jnp.ndarray, x2_lo: jnp.ndarray,
                          memory_space=vm),
             pl.BlockSpec((two_n1, bs * n2), lambda i: (0, i),
                          memory_space=vm),
-            pl.BlockSpec((_N_DIGITS, two_n1, two_n1), lambda i: (0, 0, 0),
+            pl.BlockSpec((two_n1, 10 * two_n1), lambda i: (0, 0),
                          memory_space=vm),
-            pl.BlockSpec((_N_DIGITS, 2 * n2, 2 * n2), lambda i: (0, 0, 0),
+            pl.BlockSpec((10 * 2 * n2, 2 * n2), lambda i: (0, 0),
                          memory_space=vm),
             pl.BlockSpec((n1, bs * n2), lambda i: (0, 0), memory_space=vm),
             pl.BlockSpec((n1, bs * n2), lambda i: (0, 0), memory_space=vm),

@@ -53,7 +53,8 @@ def make_meter_step(cfg: ResolvedConfig):
     use_ema = cfg.tsmoothing != TSmoothingMode.NONE
 
     def step(window: jnp.ndarray, state: MeterState, dt: jnp.ndarray,
-             fresh: jnp.ndarray, show: jnp.ndarray) -> MeterState:
+             fresh: jnp.ndarray, show: jnp.ndarray,
+             run: jnp.ndarray | None = None) -> MeterState:
         if cfg.meter_rms:
             out = jnp.sqrt(jnp.sum(window * window, axis=-1) / M)
         else:
@@ -84,6 +85,13 @@ def make_meter_step(cfg: ResolvedConfig):
                         jnp.where(gated[:, None], db_min_val, new_val))
         silent = jnp.where(keep, state.last_silent,
                            jnp.where(gated, True, new_silent))
+        if run is not None:
+            # streams whose host tick never ran freeze verbatim (the
+            # reference's early return; folded in here so the engine needs
+            # no eager where-merge dispatches)
+            buf = jnp.where(run[:, None], buf, state.meter_buf)
+            val = jnp.where(run[:, None], val, state.meter_val)
+            silent = jnp.where(run, silent, state.last_silent)
         return MeterState(meter_buf=buf, meter_val=val, last_silent=silent)
 
     return step

@@ -49,6 +49,7 @@ class WaveformEngine:
             self._meter_windows = np.zeros((num_streams, C, cfg.fft_size),
                                            np.float32)
             self.meter_state: MeterState = init_meter_state(cfg, num_streams)
+            self._was_fresh = np.zeros(num_streams, bool)
             step = make_meter_step(cfg)
             self._meter_step = jax.jit(step) if jit else step
         elif cfg.display_mode == DisplayMode.WAVEFORM:
@@ -113,36 +114,35 @@ class WaveformEngine:
                                 jnp.float32(dt), jnp.asarray(active),
                                 jnp.asarray(rms), jnp.asarray(valid),
                                 jnp.asarray(run))
-        return np.asarray(display_decibels(self.cfg, self.state))
+        # device array: callers convert when they actually read (keeping
+        # the per-tick path free of device→host syncs)
+        return display_decibels(self.cfg, self.state)
 
-    def _tick_meter(self, now_ns: int, dt: float) -> np.ndarray:
+    def _tick_meter(self, now_ns: int, dt: float):
         S = self.S
         fresh = np.zeros(S, bool)
         show = np.zeros(S, bool)
         run = np.zeros(S, bool)
-        latched = np.asarray(self.meter_state.last_silent)  # one readback
         for i, src in enumerate(self.sources):
             r, f = src.drain_meter_samples(now_ns, dt, self._meter_windows[i])
             run[i], fresh[i], show[i] = r, f, src.show
             # timeout memset (src/source_generic.cpp:184-199): host zeroes
-            # the ring for fresh-lost streams that weren't already latched
-            if r and not f and not latched[i]:
+            # the ring on the fresh→timeout edge.  The reference skips the
+            # memset for latched streams — a no-op skip, since a latched
+            # stream's ring already holds the silence that latched it —
+            # so tracking the edge host-side replaces the per-tick device
+            # latch readback (31 ms/tick over a relay link).
+            if r and not f and self._was_fresh[i]:
                 self._meter_windows[i] = 0.0
-        new = self._meter_step(jnp.asarray(self._meter_windows),
-                               self.meter_state, jnp.float32(dt),
-                               jnp.asarray(fresh), jnp.asarray(show))
-        # streams that didn't run keep their state
-        if not run.all():
-            rm = jnp.asarray(run)
-            new = MeterState(
-                meter_buf=jnp.where(rm[:, None], new.meter_buf,
-                                    self.meter_state.meter_buf),
-                meter_val=jnp.where(rm[:, None], new.meter_val,
-                                    self.meter_state.meter_val),
-                last_silent=jnp.where(rm, new.last_silent,
-                                      self.meter_state.last_silent))
-        self.meter_state = new
-        return np.asarray(self.meter_state.meter_val)[:, None, :]
+            if r:
+                self._was_fresh[i] = f
+        # run-freeze folds into the jitted step; the tick stays one
+        # dispatch with no device→host sync
+        self.meter_state = self._meter_step(
+            jnp.asarray(self._meter_windows), self.meter_state,
+            jnp.float32(dt), jnp.asarray(fresh), jnp.asarray(show),
+            jnp.asarray(run))
+        return self.meter_state.meter_val[:, None, :]
 
     def _tick_waveform(self, now_ns: int, dt: float) -> np.ndarray:
         outs = []

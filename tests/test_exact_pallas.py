@@ -13,6 +13,7 @@ import jax.numpy as jnp
 import waveform_tpu.kernels.exactfft as exactfft
 from waveform_tpu.kernels.exact_pallas import (
     cfft_exact_kernel,
+    cfft_exact_kernel_fused,
     supports,
 )
 
@@ -71,6 +72,58 @@ def test_kernel_df_input_window(rng):
                    + np.asarray(zi[1], np.float64)))
     rel = np.abs(got - want).max() / np.abs(want).max()
     assert rel < 2.5e-7, rel
+
+
+def test_fused_kernel_matches_f64_and_nz(rng):
+    """Raw-input fused kernel: in-VMEM df window multiply matches the f64
+    reference, and the silence predicate equals the raw-sample scan —
+    including all-zero streams and a single silent channel."""
+    n = 1024
+    x = (0.5 * rng.standard_normal((4, 2, n))).astype(np.float32)
+    x[1] = 0.0          # fully silent stream
+    x[2, 1] = 0.0       # silent channel rides a live partner
+    w64 = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(n) / n)
+    w_hi = w64.astype(np.float32)
+    w_lo = (w64 - w_hi.astype(np.float64)).astype(np.float32)
+    cr, ci, nz = cfft_exact_kernel_fused(
+        jnp.asarray(x), (jnp.asarray(w_hi), jnp.asarray(w_lo)),
+        interpret=True)
+    want = np.fft.fft((x[:, 0].astype(np.float64)
+                       + 1j * x[:, 1].astype(np.float64)) * w64)
+    got = ((np.asarray(cr[0], np.float64) + np.asarray(cr[1], np.float64))
+           + 1j * (np.asarray(ci[0], np.float64)
+                   + np.asarray(ci[1], np.float64)))
+    rel = np.abs(got - want).max() / np.abs(want).max()
+    assert rel < 2.5e-7, rel
+    np.testing.assert_array_equal(np.asarray(nz), np.any(x != 0, axis=-1))
+
+
+def test_fused_kernel_no_window(rng):
+    n = 1024
+    x = (0.4 * rng.standard_normal((2, 2, n))).astype(np.float32)
+    cr, ci, nz = cfft_exact_kernel_fused(jnp.asarray(x), None,
+                                         interpret=True)
+    want = np.fft.fft(x[:, 0].astype(np.float64)
+                      + 1j * x[:, 1].astype(np.float64))
+    got = ((np.asarray(cr[0], np.float64) + np.asarray(cr[1], np.float64))
+           + 1j * (np.asarray(ci[0], np.float64)
+                   + np.asarray(ci[1], np.float64)))
+    rel = np.abs(got - want).max() / np.abs(want).max()
+    assert rel < 2.5e-7, rel
+    assert np.asarray(nz).all()
+
+
+def test_rfft_mag_exact_with_nz_fallback(rng, monkeypatch):
+    """The XLA fallback path (kernel off) produces the same (mag, nz)
+    contract as the fused kernel."""
+    monkeypatch.setenv("WAVEFORM_TPU_EXACT_KERNEL", "never")
+    n = 1024
+    x = (0.5 * rng.standard_normal((3, 2, n))).astype(np.float32)
+    x[0, 0] = 0.0
+    mag, nz = exactfft.rfft_mag_exact(jnp.asarray(x), with_nz=True)
+    mag2 = exactfft.rfft_mag_exact(jnp.asarray(x))
+    np.testing.assert_array_equal(np.asarray(mag), np.asarray(mag2))
+    np.testing.assert_array_equal(np.asarray(nz), np.any(x != 0, axis=-1))
 
 
 def test_kernel_tiny_signal_scaling(rng):

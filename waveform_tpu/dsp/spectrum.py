@@ -112,7 +112,8 @@ def gravity_coefficient(cfg: ResolvedConfig, dt: jnp.ndarray) -> jnp.ndarray:
 
 
 def _magnitude_pipeline(cfg: ResolvedConfig, samples: jnp.ndarray,
-                        rfft_fn, fft_backend: str = "auto") -> jnp.ndarray:
+                        rfft_fn, fft_backend: str = "auto",
+                        with_nz: bool = False):
     """window → rFFT → |z|·2/Σw → slope (src/source_generic.cpp:97-122).
 
     ``fft_backend``: "exact" runs the digit-sliced integer-GEMM FFT
@@ -142,7 +143,12 @@ def _magnitude_pipeline(cfg: ResolvedConfig, samples: jnp.ndarray,
             w_hi = w64.astype(np.float32)
             w_lo = (w64 - w_hi.astype(np.float64)).astype(np.float32)
             window = (jnp.asarray(w_hi), jnp.asarray(w_lo))
-        mag = rfft_mag_exact(samples, nbins, window=window)
+        nz = None
+        if with_nz:
+            mag, nz = rfft_mag_exact(samples, nbins, window=window,
+                                     with_nz=True)
+        else:
+            mag = rfft_mag_exact(samples, nbins, window=window)
         mag_coeff = 2.0 / window_sum(cfg.window, cfg.fft_size,
                                      cfg.sine_exponent)
         mag = mag * jnp.float32(mag_coeff)
@@ -150,7 +156,7 @@ def _magnitude_pipeline(cfg: ResolvedConfig, samples: jnp.ndarray,
             mods = jnp.asarray(
                 slope_modifiers(nbins, cfg.slope).astype(np.float32))
             mag = mag * mods
-        return mag
+        return (mag, nz) if with_nz else mag
 
     x = samples
     if cfg.window != FFTWindow.NONE:
@@ -177,7 +183,7 @@ def _magnitude_pipeline(cfg: ResolvedConfig, samples: jnp.ndarray,
     if cfg.slope > 0.0:
         mods = jnp.asarray(slope_modifiers(nbins, cfg.slope).astype(np.float32))
         mag = mag * mods
-    return mag
+    return (mag, None) if with_nz else mag
 
 
 def make_spectrum_step(cfg: ResolvedConfig, rfft_fn=None,
@@ -219,8 +225,8 @@ def make_spectrum_step(cfg: ResolvedConfig, rfft_fn=None,
         g2 = 1.0 - g
 
         # --- full math path for every stream/channel (masked later) ---
-        mag = _magnitude_pipeline(cfg, samples, rfft_fn,
-                                  fft_backend)  # [S, C, nbins]
+        mag, nz_k = _magnitude_pipeline(cfg, samples, rfft_fn, fft_backend,
+                                        with_nz=True)  # [S, C, nbins]
 
         if cfg.tsmoothing != TSmoothingMode.NONE:
             old = state.tsmooth
@@ -234,12 +240,17 @@ def make_spectrum_step(cfg: ResolvedConfig, rfft_fn=None,
         # channels whose ring lacked data are skipped entirely: they neither
         # scan (can't clear the latch) nor count toward it (the reference
         # `continue`s before the silence scan, source_generic.cpp:60-61)
+        # `nz_k` comes from the exact Pallas kernel when active (the kernel
+        # reads every raw sample anyway, so the predicate is free — see
+        # exact_pallas._kernel_fused); otherwise re-scan the window here.
         # note: an incremental trailing-zero tracker on the device ring
         # (O(S·C) compare instead of this window rescan) measured SLOWER on
         # v5e — 656 vs 623 µs/tick at [256,2,4096] — because XLA fuses this
         # reduction into the window-multiply read the FFT makes anyway,
         # while a tracker pays a real extra pass over each fresh chunk
-        nz = jnp.any(samples != 0.0, axis=-1) & valid    # [S, C] channel has input
+        if nz_k is None:
+            nz_k = jnp.any(samples != 0.0, axis=-1)      # [S, C] has input
+        nz = nz_k & valid
         # latch value as seen by channel c: earlier channels may clear it
         ls0 = state.last_silent
         ls_seen_list = [ls0]

@@ -183,12 +183,16 @@ def _digit_stage(const_ref, digits, s, left: bool):
     return two_sum(v0, tail)
 
 
-def _kernel(n1, n2, bs, x_hi_ref, x_lo_ref, f1d_ref, f2d_ref,
-            twr_hi_ref, twr_lo_ref, twi_hi_ref, twi_lo_ref,
-            c_hi_ref, c_lo_ref):
+def _core(n1, n2, bs, x_hi, x_lo, f1d_ref, f2d_ref,
+          twr_hi_ref, twr_lo_ref, twi_hi_ref, twi_lo_ref,
+          c_hi_ref, c_lo_ref):
+    """Both FFT stages + twiddle on a VMEM-resident df32 block.
+
+    ``x_hi/x_lo``: [2n1, bs*n2] windowed df32 input ([x_r; x_i] rows,
+    stream-s columns).  Writes the df32 spectrum to ``c_hi/lo_ref``."""
     # ---- stage 1: A = F1b @ [x_r; x_i], digit-exact --------------------
-    s, s_inv = _pow2_scale_scalar(x_hi_ref[:])
-    digits = _slice4(x_hi_ref[:], x_lo_ref[:], s_inv)
+    s, s_inv = _pow2_scale_scalar(x_hi)
+    digits = _slice4(x_hi, x_lo, s_inv)
     a_hi, a_lo = _digit_stage(f1d_ref, digits, s, left=True)
 
     ar = (a_hi[:n1, :], a_lo[:n1, :])          # [n1, bs*n2] df
@@ -232,6 +236,61 @@ def _kernel(n1, n2, bs, x_hi_ref, x_lo_ref, f1d_ref, f2d_ref,
     c_hi, c_lo = _digit_stage(f2d_ref, digits2, s2, left=False)
     c_hi_ref[:] = c_hi
     c_lo_ref[:] = c_lo
+
+
+def _kernel(n1, n2, bs, x_hi_ref, x_lo_ref, f1d_ref, f2d_ref,
+            twr_hi_ref, twr_lo_ref, twi_hi_ref, twi_lo_ref,
+            c_hi_ref, c_lo_ref):
+    _core(n1, n2, bs, x_hi_ref[:], x_lo_ref[:], f1d_ref, f2d_ref,
+          twr_hi_ref, twr_lo_ref, twi_hi_ref, twi_lo_ref,
+          c_hi_ref, c_lo_ref)
+
+
+def _kernel_fused(n1, n2, bs, x_ref, w_hi_ref, w_lo_ref, sel_ref,
+                  f1d_ref, f2d_ref,
+                  twr_hi_ref, twr_lo_ref, twi_hi_ref, twi_lo_ref,
+                  c_hi_ref, c_lo_ref, nz_ref):
+    """Raw-input variant: pack + df window multiply + silence reduction
+    all VMEM-resident.
+
+    ``x_ref``: [bs, 2, n1, n2] RAW f32 samples (stream, channel, block row,
+    lane) — a zero-copy reshape of the serving ring's [S, C, N] window, so
+    the XLA-side pack fusions and the separate windowed hi/lo HBM arrays
+    (four extra [S, 2N1, N2] round-trips per tick) disappear.
+    ``w_hi/lo_ref``: [2n1, bs*n2] pre-tiled df32 window (same window on
+    both channel halves).  ``sel_ref``: [bs*n2, bs] 0/1 lane-group selector
+    (bf16) — the per-stream silence reduction rides one tiny MXU dot over
+    data already in VMEM instead of an [S, C, N] HBM re-scan.
+    ``nz_ref``: [1, 2, bs] f32 nonzero counts per (channel, stream).
+    """
+    xcat = jnp.concatenate(
+        [jnp.concatenate([x_ref[si, c] for si in range(bs)], axis=1)
+         for c in (0, 1)], axis=0)                     # [2n1, bs*n2] raw
+
+    # silence scan on the RAW samples (reference semantics: pre-window,
+    # src/source_generic.cpp:63-66): counts are exact — 0/1 mask values and
+    # integer partial sums <= n2 per dot lane, n1*n2 per channel total
+    mask = (xcat != 0.0).astype(jnp.bfloat16)
+    counts = _dot(mask, sel_ref[:])                    # [2n1, bs] f32 exact
+    nz_ref[0] = jnp.concatenate(
+        [jnp.sum(counts[:n1], axis=0, keepdims=True),
+         jnp.sum(counts[n1:], axis=0, keepdims=True)], axis=0)
+
+    # df window multiply (TwoProd + low-word correction), in VMEM
+    p = xcat * w_hi_ref[:]
+    c4 = jnp.float32(4097.0)
+    t = c4 * xcat
+    xh = t - (t - xcat)
+    xl = xcat - xh
+    t = c4 * w_hi_ref[:]
+    wh = t - (t - w_hi_ref[:])
+    wl = w_hi_ref[:] - wh
+    e = ((xh * wh - p) + xh * wl + xl * wh) + xl * wl
+    x_hi, x_lo = two_sum(p, e + xcat * w_lo_ref[:])
+
+    _core(n1, n2, bs, x_hi, x_lo, f1d_ref, f2d_ref,
+          twr_hi_ref, twr_lo_ref, twi_hi_ref, twi_lo_ref,
+          c_hi_ref, c_lo_ref)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -293,6 +352,112 @@ def cfft_exact_packed(x2_hi: jnp.ndarray, x2_lo: jnp.ndarray,
       jnp.asarray(twi_hi), jnp.asarray(twi_lo))
 
     return (c_hi.reshape(S, n1, 2 * n2), c_lo.reshape(S, n1, 2 * n2))
+
+
+@lru_cache(maxsize=16)
+def _lane_selector(n2: int, bs: int) -> np.ndarray:
+    """[bs*n2, bs] 0/1 matrix: column s sums stream s's lane group."""
+    sel = np.zeros((bs * n2, bs), np.float32)
+    for s in range(bs):
+        sel[s * n2:(s + 1) * n2, s] = 1.0
+    return sel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def cfft_exact_packed_fused(x4: jnp.ndarray, w_hi: jnp.ndarray,
+                            w_lo: jnp.ndarray, interpret: bool = False):
+    """Exact FFT core on RAW channel-pair windows (+ silence counts).
+
+    ``x4``: [S, 2, N1, N2] f32 raw samples (channel 0 rides the real part,
+    channel 1 the imaginary — conjugate-symmetry pair packing).
+    ``w_hi/w_lo``: [N] df32 window coefficient tables (pass ones/zeros for
+    no window).  Returns ``(c_hi, c_lo, nzcount)`` — the df32 spectrum in
+    block coords as :func:`cfft_exact_packed`, plus per-(stream, channel)
+    raw-sample nonzero counts [S, 2] f32 (``> 0`` is the reference's
+    silence-scan predicate, src/source_generic.cpp:63-66).
+    """
+    S, _, n1, n2 = x4.shape
+    n = n1 * n2
+    bs = _block_streams(n)
+    while S % bs:
+        bs //= 2
+    (n1, n2, f1d, f2d, twr_hi, twr_lo, twi_hi, twi_lo) = _kernel_plan(n, bs)
+
+    def wtile(w):
+        return jnp.tile(w.reshape(n1, n2), (2, bs))    # [2n1, bs*n2]
+
+    vm = pltpu.VMEM
+    kernel = functools.partial(_kernel_fused, n1, n2, bs)
+    two_n1 = 2 * n1
+    c_hi, c_lo, nz = pl.pallas_call(
+        kernel,
+        grid=(S // bs,),
+        in_specs=[
+            pl.BlockSpec((bs, 2, n1, n2), lambda i: (i, 0, 0, 0),
+                         memory_space=vm),
+            pl.BlockSpec((two_n1, bs * n2), lambda i: (0, 0),
+                         memory_space=vm),
+            pl.BlockSpec((two_n1, bs * n2), lambda i: (0, 0),
+                         memory_space=vm),
+            pl.BlockSpec((bs * n2, bs), lambda i: (0, 0), memory_space=vm),
+            pl.BlockSpec((two_n1, 10 * two_n1), lambda i: (0, 0),
+                         memory_space=vm),
+            pl.BlockSpec((10 * 2 * n2, 2 * n2), lambda i: (0, 0),
+                         memory_space=vm),
+            pl.BlockSpec((n1, bs * n2), lambda i: (0, 0), memory_space=vm),
+            pl.BlockSpec((n1, bs * n2), lambda i: (0, 0), memory_space=vm),
+            pl.BlockSpec((n1, bs * n2), lambda i: (0, 0), memory_space=vm),
+            pl.BlockSpec((n1, bs * n2), lambda i: (0, 0), memory_space=vm),
+        ],
+        out_specs=[
+            pl.BlockSpec((bs * n1, 2 * n2), lambda i: (i, 0),
+                         memory_space=vm),
+            pl.BlockSpec((bs * n1, 2 * n2), lambda i: (i, 0),
+                         memory_space=vm),
+            pl.BlockSpec((1, 2, bs), lambda i: (i, 0, 0), memory_space=vm),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((S * n1, 2 * n2), jnp.float32),
+            jax.ShapeDtypeStruct((S * n1, 2 * n2), jnp.float32),
+            jax.ShapeDtypeStruct((S // bs, 2, bs), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x4, wtile(w_hi), wtile(w_lo),
+      jnp.asarray(_lane_selector(n2, bs), jnp.bfloat16),
+      jnp.asarray(f1d, jnp.bfloat16), jnp.asarray(f2d, jnp.bfloat16),
+      jnp.asarray(twr_hi), jnp.asarray(twr_lo),
+      jnp.asarray(twi_hi), jnp.asarray(twi_lo))
+
+    return (c_hi.reshape(S, n1, 2 * n2), c_lo.reshape(S, n1, 2 * n2),
+            jnp.swapaxes(nz, 1, 2).reshape(S, 2))
+
+
+def cfft_exact_kernel_fused(x, window=None, interpret: bool = False):
+    """Raw channel-pair FFT: [..., 2, N] f32 -> ((cr), (ci), nz).
+
+    Drop-in upstream of exactfft.rfft_pair_mag_exact's windowing: applies
+    the df32 window in VMEM and returns the df32 spectrum plus the
+    per-channel raw-sample nonzero predicate [..., 2] (bool).
+    """
+    shp = x.shape[:-2]
+    n = x.shape[-1]
+    n1, n2 = _factors(n)
+    S = int(np.prod(shp)) if shp else 1
+    if window is None:
+        w_hi = jnp.ones((n,), jnp.float32)
+        w_lo = jnp.zeros((n,), jnp.float32)
+    else:
+        w_hi, w_lo = window
+    x4 = x.reshape(S, 2, n1, n2)
+    c_hi, c_lo, nzc = cfft_exact_packed_fused(x4, w_hi, w_lo,
+                                              interpret=interpret)
+
+    def fin(a, sl):
+        return jnp.swapaxes(a[..., sl], -1, -2).reshape(*shp, n)
+
+    cr = (fin(c_hi, slice(0, n2)), fin(c_lo, slice(0, n2)))
+    ci = (fin(c_hi, slice(n2, None)), fin(c_lo, slice(n2, None)))
+    return cr, ci, (nzc > 0).reshape(*shp, 2)
 
 
 def cfft_exact_kernel(re, im, interpret: bool = False):

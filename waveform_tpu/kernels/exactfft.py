@@ -395,24 +395,40 @@ def _df_mag(re, im):
 
 
 def rfft_pair_mag_exact(x, nbins: int | None = None,
-                        window: tuple | None = None) -> jnp.ndarray:
+                        window: tuple | None = None,
+                        with_nz: bool = False):
     """|rFFT| of a channel pair with exact-accumulation arithmetic.
 
     ``x`` is [..., 2, N] f32; ``window`` an optional (hi, lo) f32 pair of
     coefficient tables applied in df32 (the plain f32 window multiply alone
     costs ~3e-4 dB at deep nulls, so the precise path owns it).
-    Returns [..., 2, nbins] f32 magnitudes.
+    Returns [..., 2, nbins] f32 magnitudes — or ``(mag, nz)`` with
+    ``with_nz``, where ``nz`` [..., 2] bool is the reference's raw-sample
+    silence-scan predicate (src/source_generic.cpp:63-66), computed for
+    free inside the Pallas kernel (which reads every raw sample anyway)
+    instead of a separate [S, C, N] HBM re-scan.
     """
     n = x.shape[-1]
     nbins = n // 2 if nbins is None else nbins
-    x0, x1 = x[..., 0, :], x[..., 1, :]
-    if window is not None:
-        w_hi, w_lo = window
-        re = _windowed_df(x0, w_hi, w_lo)
-        im = _windowed_df(x1, w_hi, w_lo)
+
+    from .exact_pallas import cfft_exact_kernel_fused, enabled, supports
+    nz = None
+    if (supports(n) and enabled()
+            and _os.environ.get("WAVEFORM_TPU_EXACT_FUSED", "auto")
+            != "never"):
+        # fused raw-input kernel: pack + df window multiply in VMEM
+        zr, zi, nz = cfft_exact_kernel_fused(x, window)
     else:
-        re, im = x0, x1
-    zr, zi = cfft_exact(re, im)
+        x0, x1 = x[..., 0, :], x[..., 1, :]
+        if window is not None:
+            w_hi, w_lo = window
+            re = _windowed_df(x0, w_hi, w_lo)
+            im = _windowed_df(x1, w_hi, w_lo)
+        else:
+            re, im = x0, x1
+        zr, zi = cfft_exact(re, im)
+        if with_nz:
+            nz = jnp.any(x != 0.0, axis=-1)
     # unpack + magnitude on the kept bins only (the top half is discarded
     # by the rFFT semantics, so slicing first halves the df element work)
     zr_h, zi_h = _df_head(zr, nbins), _df_head(zi, nbins)
@@ -425,7 +441,8 @@ def rfft_pair_mag_exact(x, nbins: int | None = None,
     x1i = df_scale(df_add(zrr, df_neg(zr_h)), half)
     mag0 = _df_mag(x0r, x0i)
     mag1 = _df_mag(x1r, x1i)
-    return jnp.stack([mag0, mag1], axis=-2)
+    mag = jnp.stack([mag0, mag1], axis=-2)
+    return (mag, nz) if with_nz else mag
 
 
 def _windowed_df(x, w_hi, w_lo):
@@ -435,13 +452,23 @@ def _windowed_df(x, w_hi, w_lo):
 
 
 def rfft_mag_exact(x, nbins: int | None = None,
-                   window: tuple | None = None) -> jnp.ndarray:
-    """|rFFT| for [..., C, N] with exact accumulation; pairs channels."""
+                   window: tuple | None = None,
+                   with_nz: bool = False):
+    """|rFFT| for [..., C, N] with exact accumulation; pairs channels.
+
+    With ``with_nz``, also returns the per-channel raw-sample nonzero
+    predicate [..., C] bool (see :func:`rfft_pair_mag_exact`)."""
     c, n = x.shape[-2], x.shape[-1]
     nbins = n // 2 if nbins is None else nbins
     outs = []
+    nzs = []
     for i in range(0, c - 1, 2):
-        outs.append(rfft_pair_mag_exact(x[..., i:i + 2, :], nbins, window))
+        r = rfft_pair_mag_exact(x[..., i:i + 2, :], nbins, window,
+                                with_nz=with_nz)
+        if with_nz:
+            r, nz = r
+            nzs.append(nz)
+        outs.append(r)
     if c % 2:
         xc = x[..., -1, :]
         if window is not None:
@@ -451,4 +478,9 @@ def rfft_mag_exact(x, nbins: int | None = None,
         zr, zi = cfft_exact(re, jnp.zeros_like(xc))
         m = _df_mag(_df_head(zr, nbins), _df_head(zi, nbins))
         outs.append(m[..., None, :])
-    return jnp.concatenate(outs, axis=-2)
+        if with_nz:
+            nzs.append(jnp.any(xc != 0.0, axis=-1)[..., None])
+    mag = jnp.concatenate(outs, axis=-2)
+    if with_nz:
+        return mag, jnp.concatenate(nzs, axis=-1)
+    return mag

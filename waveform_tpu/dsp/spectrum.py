@@ -242,7 +242,7 @@ def make_spectrum_step(cfg: ResolvedConfig, rfft_fn=None,
         # `continue`s before the silence scan, source_generic.cpp:60-61)
         # `nz_k` comes from the exact Pallas kernel when active (the kernel
         # reads every raw sample anyway, so the predicate is free — see
-        # exact_pallas._kernel_fused); otherwise re-scan the window here.
+        # exact_pallas._kernel_real_mag); otherwise re-scan the window here.
         # note: an incremental trailing-zero tracker on the device ring
         # (O(S·C) compare instead of this window rescan) measured SLOWER on
         # v5e — 656 vs 623 µs/tick at [256,2,4096] — because XLA fuses this

@@ -19,13 +19,19 @@ Digit dots run at DEFAULT (single-pass bf16) precision: digit values are
 integers ≤ 64, exactly representable in bf16; MXU products are exact and
 every partial sum is an integer < 2^24, exact in the f32 accumulator — the
 same invariant as the XLA path (kernels/exactfft.py module docstring).
-The conjugate-symmetry unpack and magnitude stay in XLA (exact index math;
-a one-hot matmul inside Mosaic would round f32 values at DEFAULT precision
-and cost 6-pass matmuls at HIGHEST).
+
+The production serving path uses :func:`rfft_pair_mag_kernel` — a
+REAL-SPLIT formulation (see _kernel_plan_real) that consumes the raw
+[S, C, N] ring window directly and emits kept-half |rFFT| magnitudes plus
+the per-channel silence predicate, all VMEM-resident: no packed hi/lo HBM
+arrays, no conjugate-symmetry unpack, 8x smaller kernel output.
+:func:`cfft_exact_kernel` (df32 complex in/out) remains for mono channels
+and as the direct analog of exactfft.cfft_exact.
 
 Used automatically by rfft_mag_exact for supported configs on TPU
 (MAX_T == 3, both FFT factors multiples of 8); WAVEFORM_TPU_EXACT_KERNEL
-= never | auto forces it off.
+= never | auto forces it off, WAVEFORM_TPU_EXACT_FUSED = never keeps the
+kernel but routes around the real-split fused path (ablation).
 """
 
 from __future__ import annotations
@@ -40,7 +46,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .exactfft import DIGIT_BITS, FIRST_SHIFT, MAX_T, two_sum
+from .exactfft import DIGIT_BITS, FIRST_SHIFT, MAX_T, df_add, df_mul, two_sum
 
 _N_DIGITS = MAX_T + 1   # digits that participate in kept pairs
 _LANES = 128            # N2 fixed to the lane width: per-stream column
@@ -184,12 +190,12 @@ def _digit_stage(const_ref, digits, s, left: bool):
 
 
 def _core(n1, n2, bs, x_hi, x_lo, f1d_ref, f2d_ref,
-          twr_hi_ref, twr_lo_ref, twi_hi_ref, twi_lo_ref,
-          c_hi_ref, c_lo_ref):
+          twr_hi_ref, twr_lo_ref, twi_hi_ref, twi_lo_ref):
     """Both FFT stages + twiddle on a VMEM-resident df32 block.
 
     ``x_hi/x_lo``: [2n1, bs*n2] windowed df32 input ([x_r; x_i] rows,
-    stream-s columns).  Writes the df32 spectrum to ``c_hi/lo_ref``."""
+    stream-s columns).  Returns the df32 spectrum ``(c_hi, c_lo)``
+    [bs*n1, 2n2] (stream-major rows, [C_r | C_i] columns)."""
     # ---- stage 1: A = F1b @ [x_r; x_i], digit-exact --------------------
     s, s_inv = _pow2_scale_scalar(x_hi)
     digits = _slice4(x_hi, x_lo, s_inv)
@@ -233,64 +239,160 @@ def _core(n1, n2, bs, x_hi, x_lo, f1d_ref, f2d_ref,
     # ---- stage 2: C = B @ F2b, digit-exact ------------------------------
     s2, s2_inv = _pow2_scale_scalar(b_hi)
     digits2 = _slice4(b_hi, b_lo, s2_inv)
-    c_hi, c_lo = _digit_stage(f2d_ref, digits2, s2, left=False)
-    c_hi_ref[:] = c_hi
-    c_lo_ref[:] = c_lo
+    return _digit_stage(f2d_ref, digits2, s2, left=False)
 
 
 def _kernel(n1, n2, bs, x_hi_ref, x_lo_ref, f1d_ref, f2d_ref,
             twr_hi_ref, twr_lo_ref, twi_hi_ref, twi_lo_ref,
             c_hi_ref, c_lo_ref):
-    _core(n1, n2, bs, x_hi_ref[:], x_lo_ref[:], f1d_ref, f2d_ref,
-          twr_hi_ref, twr_lo_ref, twi_hi_ref, twi_lo_ref,
-          c_hi_ref, c_lo_ref)
+    c_hi_ref[:], c_lo_ref[:] = _core(
+        n1, n2, bs, x_hi_ref[:], x_lo_ref[:], f1d_ref, f2d_ref,
+        twr_hi_ref, twr_lo_ref, twi_hi_ref, twi_lo_ref)
 
 
-def _kernel_fused(n1, n2, bs, x_ref, w_hi_ref, w_lo_ref, sel_ref,
-                  f1d_ref, f2d_ref,
-                  twr_hi_ref, twr_lo_ref, twi_hi_ref, twi_lo_ref,
-                  c_hi_ref, c_lo_ref, nz_ref):
-    """Raw-input variant: pack + df window multiply + silence reduction
-    all VMEM-resident.
+@lru_cache(maxsize=16)
+def _kernel_plan_real(n: int, bs: int):
+    """Constants for the real-split kernel (see _kernel_real_mag).
 
-    ``x_ref``: [bs, 2, n1, n2] RAW f32 samples (stream, channel, block row,
-    lane) — a zero-copy reshape of the serving ring's [S, C, N] window, so
-    the XLA-side pack fusions and the separate windowed hi/lo HBM arrays
-    (four extra [S, 2N1, N2] round-trips per tick) disappear.
-    ``w_hi/lo_ref``: [2n1, bs*n2] pre-tiled df32 window (same window on
-    both channel halves).  ``sel_ref``: [bs*n2, bs] 0/1 lane-group selector
-    (bf16) — the per-stream silence reduction rides one tiny MXU dot over
-    data already in VMEM instead of an [S, C, N] HBM re-scan.
-    ``nz_ref``: [1, 2, bs] f32 nonzero counts per (channel, stream).
+    Stage 1 runs both channels as ONE block-diagonal real-input GEMM:
+    [A0r; A0i; A1r; A1i] = blockdiag(F1r, F1r) @ [x0; x1] with
+    F1r = [f1.real; f1.imag] [2N1, N1] — real input halves each channel's
+    contraction depth, so two real transforms cost exactly one packed
+    complex transform (and the block-diagonal gives full 128 MXU rows at
+    N1 = 32).  Stage 2 keeps only the half-spectrum columns
+    (k2 < N2/2 covers every bin k = k1 + N1*k2 < N/2), which the packed
+    conjugate-symmetry formulation cannot do — its unpack needs the
+    mirrored bins Z[N-k] — so the col restriction pays for the channel
+    split: total MXU flops match the packed path with NO unpack at all.
+    """
+    n1, n2 = _factors(n)
+    f1 = np.exp(-2j * np.pi * np.outer(np.arange(n1), np.arange(n1)) / n1)
+    f2 = np.exp(-2j * np.pi * np.outer(np.arange(n2), np.arange(n2)) / n2)
+    tw = np.exp(-2j * np.pi * np.outer(np.arange(n1), np.arange(n2)) / n)
+    f1r = np.concatenate([f1.real, f1.imag], axis=0)        # [2n1, n1]
+    z = np.zeros_like(f1r)
+    f1bd = np.block([[f1r, z], [z, f1r]])                   # [4n1, 2n1]
+    keep = n2 // 2
+    f2b_kept = np.block([[f2.real[:, :keep], f2.imag[:, :keep]],
+                         [-f2.imag[:, :keep], f2.real[:, :keep]]])
+
+    def digit_planes(a64):
+        out = np.empty((_N_DIGITS,) + a64.shape, np.float32)
+        r = a64.astype(np.float64)
+        for k in range(_N_DIGITS):
+            sc = 2.0 ** (FIRST_SHIFT + DIGIT_BITS * k)
+            d = np.rint(r * sc)
+            out[k] = d.astype(np.float32)
+            r = r - d / sc
+        return out
+
+    def stacked_classes(planes, axis):
+        return np.concatenate(
+            [planes[i] for t in range(_N_DIGITS) for i in range(t + 1)],
+            axis=axis)
+
+    def df_tiled(a64):
+        hi = a64.astype(np.float32)
+        lo = (a64 - hi.astype(np.float64)).astype(np.float32)
+        return np.tile(hi, (1, bs)), np.tile(lo, (1, bs))
+
+    twr_hi, twr_lo = df_tiled(tw.real)
+    twi_hi, twi_lo = df_tiled(tw.imag)
+    return (n1, n2,
+            stacked_classes(digit_planes(f1bd), axis=1),
+            stacked_classes(digit_planes(f2b_kept), axis=0),
+            twr_hi, twr_lo, twi_hi, twi_lo)
+
+
+def _kernel_real_mag(n1, n2, bs, x_ref, w_hi_ref, w_lo_ref, sel_ref,
+                     f1d_ref, f2d_ref,
+                     twr_hi_ref, twr_lo_ref, twi_hi_ref, twi_lo_ref,
+                     mag_ref, nz_ref):
+    """Raw input -> |rFFT| magnitudes of both channels, fully VMEM-resident.
+
+    Real-split formulation (see _kernel_plan_real): window, digit FFT,
+    twiddle, and magnitude never touch HBM between stages, there is no
+    conjugate-symmetry unpack, and the kernel writes only the kept
+    half-spectrum f32 magnitudes ([bs, 2, n1, n2/2] block coords — flat
+    bin k = k1 + n1*k2) — an 8x smaller output than the df32 complex
+    spectrum of the packed path.
     """
     xcat = jnp.concatenate(
         [jnp.concatenate([x_ref[si, c] for si in range(bs)], axis=1)
          for c in (0, 1)], axis=0)                     # [2n1, bs*n2] raw
 
     # silence scan on the RAW samples (reference semantics: pre-window,
-    # src/source_generic.cpp:63-66): counts are exact — 0/1 mask values and
-    # integer partial sums <= n2 per dot lane, n1*n2 per channel total
+    # src/source_generic.cpp:63-66): exact 0/1-mask counts on the MXU
     mask = (xcat != 0.0).astype(jnp.bfloat16)
     counts = _dot(mask, sel_ref[:])                    # [2n1, bs] f32 exact
     nz_ref[0] = jnp.concatenate(
         [jnp.sum(counts[:n1], axis=0, keepdims=True),
          jnp.sum(counts[n1:], axis=0, keepdims=True)], axis=0)
 
-    # df window multiply (TwoProd + low-word correction), in VMEM
-    p = xcat * w_hi_ref[:]
+    x_hi, x_lo = _df_window_vmem(xcat, w_hi_ref[:], w_lo_ref[:])
+
+    # ---- stage 1: per-channel real-input DFT, digit-exact --------------
+    s, s_inv = _pow2_scale_scalar(x_hi)
+    digits = _slice4(x_hi, x_lo, s_inv)
+    a_hi, a_lo = _digit_stage(f1d_ref, digits, s, left=True)  # [4n1, bs*n2]
+
+    twr = (twr_hi_ref[:], twr_lo_ref[:])
+    twi = (twi_hi_ref[:], twi_lo_ref[:])
+
+    # ---- twiddle per channel + regroup to stream-major rows ------------
+    rows_hi, rows_lo = [], []
+    for c in (0, 1):
+        ar = (a_hi[2 * c * n1:(2 * c + 1) * n1, :],
+              a_lo[2 * c * n1:(2 * c + 1) * n1, :])
+        ai = (a_hi[(2 * c + 1) * n1:(2 * c + 2) * n1, :],
+              a_lo[(2 * c + 1) * n1:(2 * c + 2) * n1, :])
+        br = df_add(df_mul(ar, twr), (lambda m: (-m[0], -m[1]))(
+            df_mul(ai, twi)))
+        bi = df_add(df_mul(ar, twi), df_mul(ai, twr))
+        rows_hi.append((br[0], bi[0]))
+        rows_lo.append((br[1], bi[1]))
+
+    def stack(parts):
+        # rows (si, c, k1): stream-major, then channel, then block row
+        return jnp.concatenate(
+            [jnp.concatenate(
+                [parts[c][0][:, si * n2:(si + 1) * n2],
+                 parts[c][1][:, si * n2:(si + 1) * n2]], axis=1)
+             for si in range(bs) for c in (0, 1)], axis=0)
+
+    b_hi = stack(rows_hi)                              # [bs*2*n1, 2n2]
+    b_lo = stack(rows_lo)
+
+    # ---- stage 2: kept half-spectrum columns only ----------------------
+    s2, s2_inv = _pow2_scale_scalar(b_hi)
+    digits2 = _slice4(b_hi, b_lo, s2_inv)
+    c_hi, c_lo = _digit_stage(f2d_ref, digits2, s2, left=False)
+    # cols [C_r | C_i] of the kept n2/2 bins
+    keep = n2 // 2
+    cr = (c_hi[:, :keep], c_lo[:, :keep])
+    ci = (c_hi[:, keep:], c_lo[:, keep:])
+    rr = df_mul(cr, cr)
+    ii = df_mul(ci, ci)
+    s0, e0 = two_sum(rr[0], ii[0])
+    mag = jnp.sqrt(jnp.maximum(s0 + (e0 + rr[1] + ii[1]), 0.0))
+    for si in range(bs):
+        for c in (0, 1):
+            r0 = (si * 2 + c) * n1
+            mag_ref[si, c] = mag[r0:r0 + n1, :]
+
+
+def _df_window_vmem(xcat, w_hi, w_lo):
+    """x * (w_hi + w_lo) as df32 (TwoProd + low-word correction), VMEM."""
+    p = xcat * w_hi
     c4 = jnp.float32(4097.0)
     t = c4 * xcat
     xh = t - (t - xcat)
     xl = xcat - xh
-    t = c4 * w_hi_ref[:]
-    wh = t - (t - w_hi_ref[:])
-    wl = w_hi_ref[:] - wh
+    t = c4 * w_hi
+    wh = t - (t - w_hi)
+    wl = w_hi - wh
     e = ((xh * wh - p) + xh * wl + xl * wh) + xl * wl
-    x_hi, x_lo = two_sum(p, e + xcat * w_lo_ref[:])
-
-    _core(n1, n2, bs, x_hi, x_lo, f1d_ref, f2d_ref,
-          twr_hi_ref, twr_lo_ref, twi_hi_ref, twi_lo_ref,
-          c_hi_ref, c_lo_ref)
+    return two_sum(p, e + xcat * w_lo)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -364,32 +466,30 @@ def _lane_selector(n2: int, bs: int) -> np.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def cfft_exact_packed_fused(x4: jnp.ndarray, w_hi: jnp.ndarray,
-                            w_lo: jnp.ndarray, interpret: bool = False):
-    """Exact FFT core on RAW channel-pair windows (+ silence counts).
+def rfft_pair_mag_packed(x4: jnp.ndarray, w_hi: jnp.ndarray,
+                         w_lo: jnp.ndarray, interpret: bool = False):
+    """Raw channel-pair windows -> |rFFT| magnitudes + silence counts.
 
-    ``x4``: [S, 2, N1, N2] f32 raw samples (channel 0 rides the real part,
-    channel 1 the imaginary — conjugate-symmetry pair packing).
-    ``w_hi/w_lo``: [N] df32 window coefficient tables (pass ones/zeros for
-    no window).  Returns ``(c_hi, c_lo, nzcount)`` — the df32 spectrum in
-    block coords as :func:`cfft_exact_packed`, plus per-(stream, channel)
-    raw-sample nonzero counts [S, 2] f32 (``> 0`` is the reference's
-    silence-scan predicate, src/source_generic.cpp:63-66).
+    ``x4``: [S, 2, N1, N2] f32 raw samples.  Returns ``(mag4, nzcount)``:
+    ``mag4`` [S, 2, N1, N2//2] f32 kept-half magnitudes in block coords
+    (flat bin k = k1 + N1*k2), ``nzcount`` [S, 2] f32 per-(stream,
+    channel) raw nonzero counts.
     """
     S, _, n1, n2 = x4.shape
     n = n1 * n2
     bs = _block_streams(n)
     while S % bs:
         bs //= 2
-    (n1, n2, f1d, f2d, twr_hi, twr_lo, twi_hi, twi_lo) = _kernel_plan(n, bs)
+    (n1, n2, f1d, f2d, twr_hi, twr_lo,
+     twi_hi, twi_lo) = _kernel_plan_real(n, bs)
 
     def wtile(w):
-        return jnp.tile(w.reshape(n1, n2), (2, bs))    # [2n1, bs*n2]
+        return jnp.tile(w.reshape(n1, n2), (2, bs))
 
     vm = pltpu.VMEM
-    kernel = functools.partial(_kernel_fused, n1, n2, bs)
+    kernel = functools.partial(_kernel_real_mag, n1, n2, bs)
     two_n1 = 2 * n1
-    c_hi, c_lo, nz = pl.pallas_call(
+    mag4, nz = pl.pallas_call(
         kernel,
         grid=(S // bs,),
         in_specs=[
@@ -400,9 +500,9 @@ def cfft_exact_packed_fused(x4: jnp.ndarray, w_hi: jnp.ndarray,
             pl.BlockSpec((two_n1, bs * n2), lambda i: (0, 0),
                          memory_space=vm),
             pl.BlockSpec((bs * n2, bs), lambda i: (0, 0), memory_space=vm),
-            pl.BlockSpec((two_n1, 10 * two_n1), lambda i: (0, 0),
+            pl.BlockSpec((4 * n1, 10 * two_n1), lambda i: (0, 0),
                          memory_space=vm),
-            pl.BlockSpec((10 * 2 * n2, 2 * n2), lambda i: (0, 0),
+            pl.BlockSpec((10 * 2 * n2, n2), lambda i: (0, 0),
                          memory_space=vm),
             pl.BlockSpec((n1, bs * n2), lambda i: (0, 0), memory_space=vm),
             pl.BlockSpec((n1, bs * n2), lambda i: (0, 0), memory_space=vm),
@@ -410,15 +510,12 @@ def cfft_exact_packed_fused(x4: jnp.ndarray, w_hi: jnp.ndarray,
             pl.BlockSpec((n1, bs * n2), lambda i: (0, 0), memory_space=vm),
         ],
         out_specs=[
-            pl.BlockSpec((bs * n1, 2 * n2), lambda i: (i, 0),
-                         memory_space=vm),
-            pl.BlockSpec((bs * n1, 2 * n2), lambda i: (i, 0),
+            pl.BlockSpec((bs, 2, n1, n2 // 2), lambda i: (i, 0, 0, 0),
                          memory_space=vm),
             pl.BlockSpec((1, 2, bs), lambda i: (i, 0, 0), memory_space=vm),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((S * n1, 2 * n2), jnp.float32),
-            jax.ShapeDtypeStruct((S * n1, 2 * n2), jnp.float32),
+            jax.ShapeDtypeStruct((S, 2, n1, n2 // 2), jnp.float32),
             jax.ShapeDtypeStruct((S // bs, 2, bs), jnp.float32),
         ],
         interpret=interpret,
@@ -428,36 +525,33 @@ def cfft_exact_packed_fused(x4: jnp.ndarray, w_hi: jnp.ndarray,
       jnp.asarray(twr_hi), jnp.asarray(twr_lo),
       jnp.asarray(twi_hi), jnp.asarray(twi_lo))
 
-    return (c_hi.reshape(S, n1, 2 * n2), c_lo.reshape(S, n1, 2 * n2),
-            jnp.swapaxes(nz, 1, 2).reshape(S, 2))
+    return mag4, jnp.swapaxes(nz, 1, 2).reshape(S, 2)
 
 
-def cfft_exact_kernel_fused(x, window=None, interpret: bool = False):
-    """Raw channel-pair FFT: [..., 2, N] f32 -> ((cr), (ci), nz).
+def rfft_pair_mag_kernel(x, nbins: int | None = None, window=None,
+                         interpret: bool = False):
+    """|rFFT| + silence predicate for [..., 2, N] raw f32 channel pairs.
 
-    Drop-in upstream of exactfft.rfft_pair_mag_exact's windowing: applies
-    the df32 window in VMEM and returns the df32 spectrum plus the
-    per-channel raw-sample nonzero predicate [..., 2] (bool).
+    The all-in-VMEM path behind exactfft.rfft_pair_mag_exact: window,
+    FFT, conjugate-symmetry unpack, and magnitude never touch HBM between
+    stages.  Returns ``(mag [..., 2, nbins] f32, nz [..., 2] bool)``.
     """
     shp = x.shape[:-2]
     n = x.shape[-1]
     n1, n2 = _factors(n)
+    nbins = n // 2 if nbins is None else nbins
     S = int(np.prod(shp)) if shp else 1
     if window is None:
         w_hi = jnp.ones((n,), jnp.float32)
         w_lo = jnp.zeros((n,), jnp.float32)
     else:
         w_hi, w_lo = window
-    x4 = x.reshape(S, 2, n1, n2)
-    c_hi, c_lo, nzc = cfft_exact_packed_fused(x4, w_hi, w_lo,
-                                              interpret=interpret)
-
-    def fin(a, sl):
-        return jnp.swapaxes(a[..., sl], -1, -2).reshape(*shp, n)
-
-    cr = (fin(c_hi, slice(0, n2)), fin(c_lo, slice(0, n2)))
-    ci = (fin(c_hi, slice(n2, None)), fin(c_lo, slice(n2, None)))
-    return cr, ci, (nzc > 0).reshape(*shp, 2)
+    mag4, nzc = rfft_pair_mag_packed(x.reshape(S, 2, n1, n2), w_hi, w_lo,
+                                     interpret=interpret)
+    # block coords -> flat bins k = k1 + n1*k2 (kernel keeps k2 < n2//2)
+    mag = jnp.swapaxes(mag4, -1, -2).reshape(S, 2, n // 2)
+    mag = mag[..., :nbins].reshape(*shp, 2, nbins)
+    return mag, (nzc > 0).reshape(*shp, 2)
 
 
 def cfft_exact_kernel(re, im, interpret: bool = False):

@@ -411,24 +411,25 @@ def rfft_pair_mag_exact(x, nbins: int | None = None,
     n = x.shape[-1]
     nbins = n // 2 if nbins is None else nbins
 
-    from .exact_pallas import cfft_exact_kernel_fused, enabled, supports
+    from .exact_pallas import rfft_pair_mag_kernel, enabled, supports
     nz = None
     if (supports(n) and enabled()
             and _os.environ.get("WAVEFORM_TPU_EXACT_FUSED", "auto")
             != "never"):
-        # fused raw-input kernel: pack + df window multiply in VMEM
-        zr, zi, nz = cfft_exact_kernel_fused(x, window)
+        # all-in-VMEM kernel: pack, df window multiply, FFT, conjugate
+        # unpack, and magnitude never round-trip HBM between stages
+        mag, nz = rfft_pair_mag_kernel(x, nbins, window)
+        return (mag, nz) if with_nz else mag
+    x0, x1 = x[..., 0, :], x[..., 1, :]
+    if window is not None:
+        w_hi, w_lo = window
+        re = _windowed_df(x0, w_hi, w_lo)
+        im = _windowed_df(x1, w_hi, w_lo)
     else:
-        x0, x1 = x[..., 0, :], x[..., 1, :]
-        if window is not None:
-            w_hi, w_lo = window
-            re = _windowed_df(x0, w_hi, w_lo)
-            im = _windowed_df(x1, w_hi, w_lo)
-        else:
-            re, im = x0, x1
-        zr, zi = cfft_exact(re, im)
-        if with_nz:
-            nz = jnp.any(x != 0.0, axis=-1)
+        re, im = x0, x1
+    zr, zi = cfft_exact(re, im)
+    if with_nz:
+        nz = jnp.any(x != 0.0, axis=-1)
     # unpack + magnitude on the kept bins only (the top half is discarded
     # by the rFFT semantics, so slicing first halves the df element work)
     zr_h, zi_h = _df_head(zr, nbins), _df_head(zi, nbins)

@@ -382,3 +382,17 @@ def test_sharded_engine_exposes_local_streams():
     eng = ShardedServingEngine(cfg, 10, pixel_parallel=2)
     lo, hi = eng.local_streams
     assert (lo, hi) == (0, eng.S)   # single process owns every row
+
+
+def test_sharded_engine_never_traces_pallas_kernel(monkeypatch):
+    """A pallas_call has no SPMD partitioning rule, so the sharded engine
+    must route the exact FFT through the XLA lowering even when the kernel
+    is force-enabled.  Forcing it on this CPU mesh makes any leak fatal:
+    Mosaic cannot lower for the CPU backend, so the tick would raise."""
+    monkeypatch.setenv("WAVEFORM_TPU_EXACT_KERNEL", "always")
+    monkeypatch.setenv("WAVEFORM_TPU_FFT_BACKEND", "exact")
+    cfg = _cfg(fft_size=256)
+    S = 8
+    eng = ShardedServingEngine(cfg, S, pixel_parallel=2, use_native=False)
+    out = _feed_and_tick(eng, np.random.default_rng(3), S, cfg, ticks=2)
+    assert np.isfinite(out[-1]).all()

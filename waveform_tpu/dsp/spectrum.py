@@ -113,7 +113,8 @@ def gravity_coefficient(cfg: ResolvedConfig, dt: jnp.ndarray) -> jnp.ndarray:
 
 def _magnitude_pipeline(cfg: ResolvedConfig, samples: jnp.ndarray,
                         rfft_fn, fft_backend: str = "auto",
-                        with_nz: bool = False):
+                        with_nz: bool = False,
+                        allow_exact_kernel: bool = True):
     """window → rFFT → |z|·2/Σw → slope (src/source_generic.cpp:97-122).
 
     ``fft_backend``: "exact" runs the digit-sliced integer-GEMM FFT
@@ -146,9 +147,11 @@ def _magnitude_pipeline(cfg: ResolvedConfig, samples: jnp.ndarray,
         nz = None
         if with_nz:
             mag, nz = rfft_mag_exact(samples, nbins, window=window,
-                                     with_nz=True)
+                                     with_nz=True,
+                                     allow_kernel=allow_exact_kernel)
         else:
-            mag = rfft_mag_exact(samples, nbins, window=window)
+            mag = rfft_mag_exact(samples, nbins, window=window,
+                                 allow_kernel=allow_exact_kernel)
         mag_coeff = 2.0 / window_sum(cfg.window, cfg.fft_size,
                                      cfg.sine_exponent)
         mag = mag * jnp.float32(mag_coeff)
@@ -187,7 +190,8 @@ def _magnitude_pipeline(cfg: ResolvedConfig, samples: jnp.ndarray,
 
 
 def make_spectrum_step(cfg: ResolvedConfig, rfft_fn=None,
-                       fft_backend: str = "auto"):
+                       fft_backend: str = "auto",
+                       allow_exact_kernel: bool = True):
     """Build the jit-able spectrum step for a resolved config.
 
     Returns ``step(samples, state, dt, active, input_rms) -> SpectrumState``:
@@ -225,8 +229,9 @@ def make_spectrum_step(cfg: ResolvedConfig, rfft_fn=None,
         g2 = 1.0 - g
 
         # --- full math path for every stream/channel (masked later) ---
-        mag, nz_k = _magnitude_pipeline(cfg, samples, rfft_fn, fft_backend,
-                                        with_nz=True)  # [S, C, nbins]
+        mag, nz_k = _magnitude_pipeline(
+            cfg, samples, rfft_fn, fft_backend, with_nz=True,
+            allow_exact_kernel=allow_exact_kernel)     # [S, C, nbins]
 
         if cfg.tsmoothing != TSmoothingMode.NONE:
             old = state.tsmooth

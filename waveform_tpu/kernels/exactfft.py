@@ -294,7 +294,7 @@ def _exact_plan(n: int):
              df_const(tw.imag)))
 
 
-def cfft_exact(re, im):
+def cfft_exact(re, im, allow_kernel: bool = True):
     """Complex FFT, last axis, df32 output: ((zr_hi, zr_lo), (zi_hi, zi_lo)).
 
     ``re``/``im`` may be f32 arrays or df32 (hi, lo) pairs.
@@ -307,9 +307,10 @@ def cfft_exact(re, im):
 
     # VMEM-resident Pallas lowering of the same math (kernels/
     # exact_pallas.py): the XLA lowering below is HBM-bound on the digit
-    # slicing and GEMM partials
+    # slicing and GEMM partials.  ``allow_kernel=False``: see
+    # rfft_pair_mag_exact (sharded-mesh callers).
     from .exact_pallas import cfft_exact_kernel, enabled, supports
-    if supports(n) and enabled():
+    if allow_kernel and supports(n) and enabled():
         return cfft_exact_kernel(re, im)
 
     n1, n2, f1d, stage2 = _exact_plan(n)
@@ -396,7 +397,8 @@ def _df_mag(re, im):
 
 def rfft_pair_mag_exact(x, nbins: int | None = None,
                         window: tuple | None = None,
-                        with_nz: bool = False):
+                        with_nz: bool = False,
+                        allow_kernel: bool = True):
     """|rFFT| of a channel pair with exact-accumulation arithmetic.
 
     ``x`` is [..., 2, N] f32; ``window`` an optional (hi, lo) f32 pair of
@@ -413,7 +415,11 @@ def rfft_pair_mag_exact(x, nbins: int | None = None,
 
     from .exact_pallas import rfft_pair_mag_kernel, enabled, supports
     nz = None
-    if (supports(n) and enabled()
+    # ``allow_kernel=False`` routes around the Pallas kernel regardless of
+    # env: a pallas_call has no SPMD partitioning rule, so computations
+    # that jit under a sharded mesh (parallel/sharded_serving.py) must use
+    # this XLA lowering, which partitions cleanly along the stream axis
+    if (allow_kernel and supports(n) and enabled()
             and _os.environ.get("WAVEFORM_TPU_EXACT_FUSED", "auto")
             != "never"):
         # all-in-VMEM kernel: pack, df window multiply, FFT, conjugate
@@ -427,7 +433,7 @@ def rfft_pair_mag_exact(x, nbins: int | None = None,
         im = _windowed_df(x1, w_hi, w_lo)
     else:
         re, im = x0, x1
-    zr, zi = cfft_exact(re, im)
+    zr, zi = cfft_exact(re, im, allow_kernel=allow_kernel)
     if with_nz:
         nz = jnp.any(x != 0.0, axis=-1)
     # unpack + magnitude on the kept bins only (the top half is discarded
@@ -454,7 +460,8 @@ def _windowed_df(x, w_hi, w_lo):
 
 def rfft_mag_exact(x, nbins: int | None = None,
                    window: tuple | None = None,
-                   with_nz: bool = False):
+                   with_nz: bool = False,
+                   allow_kernel: bool = True):
     """|rFFT| for [..., C, N] with exact accumulation; pairs channels.
 
     With ``with_nz``, also returns the per-channel raw-sample nonzero
@@ -465,7 +472,8 @@ def rfft_mag_exact(x, nbins: int | None = None,
     nzs = []
     for i in range(0, c - 1, 2):
         r = rfft_pair_mag_exact(x[..., i:i + 2, :], nbins, window,
-                                with_nz=with_nz)
+                                with_nz=with_nz,
+                                allow_kernel=allow_kernel)
         if with_nz:
             r, nz = r
             nzs.append(nz)
@@ -476,7 +484,8 @@ def rfft_mag_exact(x, nbins: int | None = None,
             re = _windowed_df(xc, *window)
         else:
             re = xc
-        zr, zi = cfft_exact(re, jnp.zeros_like(xc))
+        zr, zi = cfft_exact(re, jnp.zeros_like(xc),
+                            allow_kernel=allow_kernel)
         m = _df_mag(_df_head(zr, nbins), _df_head(zi, nbins))
         outs.append(m[..., None, :])
         if with_nz:

@@ -53,6 +53,14 @@ class ShardedServingEngine(ServingEngine):
     to ``num_streams`` rows.
     """
 
+    # the Pallas exact kernel is a custom call with no SPMD partitioning
+    # rule — under this engine's sharded jit it would either fail to
+    # partition or force full replication on a pod.  The XLA exact-FFT
+    # lowering partitions cleanly along the stream axis (pure DP, no
+    # collectives), so sharded ticks use it; per-shard shard_map of the
+    # kernel is the future fast path (ROADMAP).
+    _allow_exact_kernel = False
+
     def __init__(self, cfg: ResolvedConfig, num_streams: int,
                  mesh: Mesh | None = None, pixel_parallel: int = 1, **kw):
         self.mesh = make_mesh(pixel_parallel=pixel_parallel) \

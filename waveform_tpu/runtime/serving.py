@@ -72,6 +72,11 @@ class _PendingStream:
 class ServingEngine:
     """Batched device-resident spectrum serving for S streams."""
 
+    # single-device engines use the all-in-VMEM Pallas exact kernel; the
+    # mesh-sharded subclass overrides this because a pallas_call has no
+    # SPMD partitioning rule (parallel/sharded_serving.py)
+    _allow_exact_kernel = True
+
     def __init__(self, cfg: ResolvedConfig, num_streams: int,
                  hop_budget: int | None = None, rfft_fn=None,
                  use_native: bool | None = None):
@@ -149,8 +154,9 @@ class ServingEngine:
         else:
             self.rms_ring = None
 
-        step = make_spectrum_step(cfg, **({} if rfft_fn is None else
-                                          {"rfft_fn": rfft_fn}))
+        step = make_spectrum_step(
+            cfg, allow_exact_kernel=self._allow_exact_kernel,
+            **({} if rfft_fn is None else {"rfft_fn": rfft_fn}))
         rebin = make_rebin_fn(cfg, apply_pixel_map=False)
         normalize = self._normalize
         rms_size = cfg.input_rms_size

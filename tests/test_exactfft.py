@@ -142,3 +142,28 @@ def test_maxt_zero_endpoint(monkeypatch, rng):
     # single 7-bit digit pair => ~2^-12 per-product truncation, a few
     # percent end-to-end; the regression was a 4x (300%) wrong value
     assert rel < 0.2, rel
+
+
+def test_real_split_xla_reference_matches(rng, monkeypatch):
+    """The real-split XLA lowering (the production kernel's math rendered
+    in XLA, WAVEFORM_TPU_EXACT_PACKED=never) matches f64 and the packed
+    default for stereo, mono, and odd channel counts — both stage-2
+    variants (folded constants at small N, explicit twiddle at 64k-class
+    factorizations is covered by the plan split in _real_split_plan)."""
+    import waveform_tpu.kernels.exactfft as ex
+    n = 1024
+    w64 = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(n) / n)
+    w_hi = w64.astype(np.float32)
+    w_lo = (w64 - w_hi.astype(np.float64)).astype(np.float32)
+    win = (jnp.asarray(w_hi), jnp.asarray(w_lo))
+    for C in (2, 1, 3):
+        x = (0.5 * rng.standard_normal((2, C, n))).astype(np.float32)
+        monkeypatch.setenv("WAVEFORM_TPU_EXACT_PACKED", "never")
+        mag_rs = ex.rfft_mag_exact(jnp.asarray(x), window=win)
+        monkeypatch.setenv("WAVEFORM_TPU_EXACT_PACKED", "always")
+        mag_pk = ex.rfft_mag_exact(jnp.asarray(x), window=win)
+        want = np.abs(np.fft.rfft(x.astype(np.float64) * w64))[..., :n // 2]
+        for name, mag in (("real-split", mag_rs), ("packed", mag_pk)):
+            rel = (np.abs(np.asarray(mag, np.float64) - want).max()
+                   / want.max())
+            assert rel < 2.5e-7, (name, C, rel)

@@ -395,6 +395,111 @@ def _df_mag(re, im):
     return jnp.sqrt(jnp.maximum(s[0] + s[1], 0.0))
 
 
+@lru_cache(maxsize=16)
+def _real_split_plan(n: int):
+    """Constants for the real-split XLA lowering (see _rfft_mag_real_xla).
+
+    Mirrors exact_pallas._kernel_plan_real: stage 1 is a real-input DFT
+    per channel (F1r = [f1.real; f1.imag], half the contraction depth of
+    the complex block form), stage 2 keeps only the half-spectrum columns
+    — which the conjugate-symmetry pair packing cannot do, because its
+    unpack needs the mirrored bins Z[N-k].  When the twiddle-folded
+    per-k1 stage-2 constants fit (_FOLD_LIMIT), the hot path has zero
+    twiddle arithmetic, as in _exact_plan.
+    """
+    n1, n2 = _split_factors(n)
+    f1 = np.exp(-2j * np.pi * np.outer(np.arange(n1), np.arange(n1)) / n1)
+    f2 = np.exp(-2j * np.pi * np.outer(np.arange(n2), np.arange(n2)) / n2)
+    tw = np.exp(-2j * np.pi * np.outer(np.arange(n1), np.arange(n2)) / n)
+    f1r = np.concatenate([f1.real, f1.imag], axis=0)         # [2n1, n1]
+    keep = n2 // 2
+
+    if n1 * (2 * n2) * n2 <= _FOLD_LIMIT:
+        g = tw[:, :, None] * f2[None, :, :keep]              # [n1, n2, keep]
+        g2 = np.concatenate([
+            np.concatenate([g.real, g.imag], axis=-1),
+            np.concatenate([-g.imag, g.real], axis=-1)], axis=-2)
+        return n1, n2, _slice_const(f1r), ("folded", _slice_const(g2))
+
+    f2k = np.block([[f2.real[:, :keep], f2.imag[:, :keep]],
+                    [-f2.imag[:, :keep], f2.real[:, :keep]]])
+
+    def df_const(a):
+        hi = a.astype(np.float32)
+        return hi, (a - hi.astype(np.float64)).astype(np.float32)
+
+    return (n1, n2, _slice_const(f1r),
+            ("twiddle", _slice_const(f2k), df_const(tw.real),
+             df_const(tw.imag)))
+
+
+def _rfft_mag_real_xla(x, nbins: int, window: tuple | None):
+    """|rFFT| for [..., C, N] raw real channels — real-split XLA lowering.
+
+    Channel-count agnostic: each channel is an independent real-input
+    transform, so there is no pairing, no unpack, and stage 2 computes
+    only the kept half-spectrum — the XLA rendering of the production
+    kernel's math (exact_pallas._kernel_real_mag), kept as its
+    CPU-testable reference and selectable via
+    ``WAVEFORM_TPU_EXACT_PACKED=never``.
+
+    NOT the XLA-path default: the real-split trade only pays inside the
+    VMEM kernel (it deletes the HBM unpack and shrinks the output 8x).
+    In the XLA lowering the same flops schedule worse — stage 2 becomes
+    batched narrow-column GEMMs ([.., 2N2] @ [2N2, N2]) against the
+    packed pair's wide ([.., 2N2] @ [2N2, 2N2]) ones — measured on v5e
+    with the kernel off: 559 (packed) vs 657 (real-split) us/tick at
+    S=256/N=4096, and 30.3k vs 29.7k frames/s at N=65536.
+    """
+    shp = x.shape[:-2]
+    C, n = x.shape[-2], x.shape[-1]
+    n1, n2, f1rd, stage2 = _real_split_plan(n)
+    f1rd = [jnp.asarray(d).astype(DIGIT_DTYPE) for d in f1rd]
+    keep = n2 // 2
+
+    xb = x.reshape(*shp, C, n1, n2)
+    if window is not None:
+        w_hi = window[0].reshape(n1, n2)
+        w_lo = window[1].reshape(n1, n2)
+        hi, lo = _windowed_df(xb, w_hi, w_lo)
+    else:
+        hi, lo = xb, jnp.zeros_like(xb)
+
+    # stage 1: per-channel real-input DFT over block rows
+    s = _pow2_scale(hi)
+    digits = _slice_df(hi, lo, 1.0 / s)
+    a2 = _digit_gemm("kj,...jn->...kn", f1rd, digits, s)  # [..., C, 2n1, n2]
+    ar = (a2[0][..., :n1, :], a2[1][..., :n1, :])
+    ai = (a2[0][..., n1:, :], a2[1][..., n1:, :])
+
+    if stage2[0] == "folded":
+        g2d = [jnp.asarray(d).astype(DIGIT_DTYPE) for d in stage2[1]]
+        b2_hi = jnp.concatenate([ar[0], ai[0]], axis=-1)  # [..., C, n1, 2n2]
+        b2_lo = jnp.concatenate([ar[1], ai[1]], axis=-1)
+        s2 = _pow2_scale(b2_hi)
+        digits2 = _slice_df(b2_hi, b2_lo, 1.0 / s2)
+        c2 = _digit_gemm("knm,...kn->...km", g2d, digits2, s2)
+    else:
+        _, f2d, twr, twi = stage2
+        f2d = [jnp.asarray(d).astype(DIGIT_DTYPE) for d in f2d]
+        twr = (jnp.asarray(twr[0]), jnp.asarray(twr[1]))
+        twi = (jnp.asarray(twi[0]), jnp.asarray(twi[1]))
+        br = df_add(df_mul(ar, twr), df_neg(df_mul(ai, twi)))
+        bi = df_add(df_mul(ar, twi), df_mul(ai, twr))
+        b2_hi = jnp.concatenate([br[0], bi[0]], axis=-1)
+        b2_lo = jnp.concatenate([br[1], bi[1]], axis=-1)
+        s2 = _pow2_scale(b2_hi)
+        digits2 = _slice_df(b2_hi, b2_lo, 1.0 / s2)
+        c2 = _digit_gemm("nm,...kn->...km", f2d, digits2, s2)
+
+    cr = (c2[0][..., :keep], c2[1][..., :keep])   # [..., C, n1, keep]
+    ci = (c2[0][..., keep:], c2[1][..., keep:])
+    mag = _df_mag(cr, ci)
+    # block coords -> flat bins k = k1 + n1*k2
+    mag = jnp.swapaxes(mag, -1, -2).reshape(*shp, C, n // 2)
+    return mag[..., :nbins]
+
+
 def rfft_pair_mag_exact(x, nbins: int | None = None,
                         window: tuple | None = None,
                         with_nz: bool = False,
@@ -422,10 +527,18 @@ def rfft_pair_mag_exact(x, nbins: int | None = None,
     if (allow_kernel and supports(n) and enabled()
             and _os.environ.get("WAVEFORM_TPU_EXACT_FUSED", "auto")
             != "never"):
-        # all-in-VMEM kernel: pack, df window multiply, FFT, conjugate
-        # unpack, and magnitude never round-trip HBM between stages
+        # all-in-VMEM kernel: pack, df window multiply, real-split FFT,
+        # and magnitude never round-trip HBM between stages
         mag, nz = rfft_pair_mag_kernel(x, nbins, window)
         return (mag, nz) if with_nz else mag
+    if _os.environ.get("WAVEFORM_TPU_EXACT_PACKED", "always") == "never":
+        # real-split XLA reference lowering (see _rfft_mag_real_xla)
+        mag = _rfft_mag_real_xla(x, nbins, window)
+        if with_nz:
+            return mag, jnp.any(x != 0.0, axis=-1)
+        return mag
+    # conjugate-symmetry pair packing: the faster XLA schedule (measured —
+    # see _rfft_mag_real_xla's docstring)
     x0, x1 = x[..., 0, :], x[..., 1, :]
     if window is not None:
         w_hi, w_lo = window
@@ -468,6 +581,19 @@ def rfft_mag_exact(x, nbins: int | None = None,
     predicate [..., C] bool (see :func:`rfft_pair_mag_exact`)."""
     c, n = x.shape[-2], x.shape[-1]
     nbins = n // 2 if nbins is None else nbins
+
+    from .exact_pallas import enabled, supports
+    if not (allow_kernel and supports(n) and enabled()
+            and _os.environ.get("WAVEFORM_TPU_EXACT_FUSED", "auto")
+            != "never"):
+        # the real-split XLA reference is channel-count agnostic: one
+        # call covers stereo, mono, and any multichannel layout
+        if _os.environ.get("WAVEFORM_TPU_EXACT_PACKED", "always") == "never":
+            mag = _rfft_mag_real_xla(x, nbins, window)
+            if with_nz:
+                return mag, jnp.any(x != 0.0, axis=-1)
+            return mag
+
     outs = []
     nzs = []
     for i in range(0, c - 1, 2):

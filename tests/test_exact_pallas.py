@@ -169,3 +169,12 @@ def test_kernel_tiny_signal_scaling(rng):
                    + np.asarray(zi[1], np.float64)))
     rel = np.abs(got - want).max() / np.abs(want).max()
     assert rel < 2.5e-7, rel
+
+
+def test_block_streams_fit_vmem():
+    """Block sizing accounts for the quadratic stage-1 constants: bs=2 at
+    N=32768 was a 21 MB scoped-vmem OOM on v5e (16 MB limit)."""
+    from waveform_tpu.kernels.exact_pallas import _block_streams
+    assert _block_streams(4096) == 16
+    assert _block_streams(16384) == 4
+    assert _block_streams(32768) == 1

@@ -68,10 +68,16 @@ def supports(n: int) -> bool:
 
 
 def _block_streams(n: int) -> int:
-    """Streams per grid block, sized to keep ~12 [2N1, bs·N2] f32 planes
-    under the VMEM budget."""
+    """Streams per grid block, sized to keep ~12 [2N1, bs·N2] f32 working
+    planes PLUS the resident constants under the VMEM budget.  The
+    class-stacked stage-1 digit planes are quadratic in N1
+    ([4N1, 10·2N1] bf16 = 160·N1² bytes — 10.5 MB alone at N=32768),
+    which the per-stream term alone missed: bs=2 at N=32768 was a 21 MB
+    scoped-vmem OOM on v5e."""
+    n1 = n // _LANES
+    const = 160 * n1 * n1 + 700_000   # f1 digit planes + f2/selector slack
     for bs in (16, 8, 4, 2, 1):
-        if 96 * n * bs <= 9_000_000:
+        if 96 * n * bs + const <= 14_000_000:
             return bs
     return 1
 

@@ -304,15 +304,27 @@ def _kernel_plan_real(n: int, bs: int):
 
     twr_hi, twr_lo = df_tiled(tw.real)
     twi_hi, twi_lo = df_tiled(tw.imag)
+
+    def vsplit_host(a_f32):
+        """Veltkamp split of an f32 array, in f32 arithmetic (the exact
+        split the kernel would compute; hoisting it here deletes four VPU
+        ops per twiddle element per tick)."""
+        c = np.float32(4097.0)
+        t = (c * a_f32).astype(np.float32)
+        h = (t - (t - a_f32).astype(np.float32)).astype(np.float32)
+        return h
+
     return (n1, n2,
             stacked_classes(digit_planes(f1bd), axis=1),
             stacked_classes(digit_planes(f2b_kept), axis=0),
-            twr_hi, twr_lo, twi_hi, twi_lo)
+            twr_hi, twr_lo, twi_hi, twi_lo,
+            vsplit_host(twr_hi), vsplit_host(twi_hi))
 
 
 def _kernel_real_mag(n1, n2, bs, x_ref, w_hi_ref, w_lo_ref, sel_ref,
                      f1d_ref, f2d_ref,
                      twr_hi_ref, twr_lo_ref, twi_hi_ref, twi_lo_ref,
+                     twr_h_ref, twi_h_ref,
                      mag_ref, nz_ref):
     """Raw input -> |rFFT| magnitudes of both channels, fully VMEM-resident.
 
@@ -342,8 +354,27 @@ def _kernel_real_mag(n1, n2, bs, x_ref, w_hi_ref, w_lo_ref, sel_ref,
     digits = _slice4(x_hi, x_lo, s_inv)
     a_hi, a_lo = _digit_stage(f1d_ref, digits, s, left=True)  # [4n1, bs*n2]
 
-    twr = (twr_hi_ref[:], twr_lo_ref[:])
-    twi = (twi_hi_ref[:], twi_lo_ref[:])
+    # twiddle constants arrive with their Veltkamp-high halves precomputed
+    # on the host (tw*_h_ref): each df product then splits only the data
+    # operand — 4 splits/channel-pair instead of 8 and the constant halves
+    # cost one subtract each
+    twr0, twi0 = twr_hi_ref[:], twi_hi_ref[:]
+    twr1, twi1 = twr_lo_ref[:], twi_lo_ref[:]
+    twrh, twih = twr_h_ref[:], twi_h_ref[:]
+    twrl, twil = twr0 - twrh, twi0 - twih
+
+    c4 = jnp.float32(4097.0)
+
+    def vsplit(a):
+        t = c4 * a
+        h = t - (t - a)
+        return h, a - h
+
+    def mul_ps(a0, a1, ah, al, b0, b1, bh, bl):
+        """df multiply with both operands' Veltkamp splits in hand."""
+        p = a0 * b0
+        e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+        return two_sum(p, e + (a0 * b1 + a1 * b0))
 
     # ---- twiddle per channel + regroup to stream-major rows ------------
     rows_hi, rows_lo = [], []
@@ -352,9 +383,14 @@ def _kernel_real_mag(n1, n2, bs, x_ref, w_hi_ref, w_lo_ref, sel_ref,
               a_lo[2 * c * n1:(2 * c + 1) * n1, :])
         ai = (a_hi[(2 * c + 1) * n1:(2 * c + 2) * n1, :],
               a_lo[(2 * c + 1) * n1:(2 * c + 2) * n1, :])
-        br = df_add(df_mul(ar, twr), (lambda m: (-m[0], -m[1]))(
-            df_mul(ai, twi)))
-        bi = df_add(df_mul(ar, twi), df_mul(ai, twr))
+        arh, arl = vsplit(ar[0])
+        aih, ail = vsplit(ai[0])
+        pr = mul_ps(ar[0], ar[1], arh, arl, twr0, twr1, twrh, twrl)
+        pi = mul_ps(ai[0], ai[1], aih, ail, twi0, twi1, twih, twil)
+        qr = mul_ps(ar[0], ar[1], arh, arl, twi0, twi1, twih, twil)
+        qi = mul_ps(ai[0], ai[1], aih, ail, twr0, twr1, twrh, twrl)
+        br = df_add(pr, (-pi[0], -pi[1]))
+        bi = df_add(qr, qi)
         rows_hi.append((br[0], bi[0]))
         rows_lo.append((br[1], bi[1]))
 
@@ -381,6 +417,11 @@ def _kernel_real_mag(n1, n2, bs, x_ref, w_hi_ref, w_lo_ref, sel_ref,
     ii = df_mul(ci, ci)
     s0, e0 = two_sum(rr[0], ii[0])
     mag = jnp.sqrt(jnp.maximum(s0 + (e0 + rr[1] + ii[1]), 0.0))
+    # note: transposing to flat bin order here (one VMEM swapaxes, making
+    # the XLA-side reshape free) measured SLOWER end-to-end on v5e — 578k
+    # vs 596-604k frames/s headline — the cross-tile relayout costs more
+    # than the [S, 2, n1, keep] -> flat transpose it replaces, so the
+    # block-coord output stays and XLA owns the final transpose
     for si in range(bs):
         for c in (0, 1):
             r0 = (si * 2 + c) * n1
@@ -487,7 +528,7 @@ def rfft_pair_mag_packed(x4: jnp.ndarray, w_hi: jnp.ndarray,
     while S % bs:
         bs //= 2
     (n1, n2, f1d, f2d, twr_hi, twr_lo,
-     twi_hi, twi_lo) = _kernel_plan_real(n, bs)
+     twi_hi, twi_lo, twr_h, twi_h) = _kernel_plan_real(n, bs)
 
     def wtile(w):
         return jnp.tile(w.reshape(n1, n2), (2, bs))
@@ -495,6 +536,7 @@ def rfft_pair_mag_packed(x4: jnp.ndarray, w_hi: jnp.ndarray,
     vm = pltpu.VMEM
     kernel = functools.partial(_kernel_real_mag, n1, n2, bs)
     two_n1 = 2 * n1
+    tw_spec = pl.BlockSpec((n1, bs * n2), lambda i: (0, 0), memory_space=vm)
     mag4, nz = pl.pallas_call(
         kernel,
         grid=(S // bs,),
@@ -510,10 +552,7 @@ def rfft_pair_mag_packed(x4: jnp.ndarray, w_hi: jnp.ndarray,
                          memory_space=vm),
             pl.BlockSpec((10 * 2 * n2, n2), lambda i: (0, 0),
                          memory_space=vm),
-            pl.BlockSpec((n1, bs * n2), lambda i: (0, 0), memory_space=vm),
-            pl.BlockSpec((n1, bs * n2), lambda i: (0, 0), memory_space=vm),
-            pl.BlockSpec((n1, bs * n2), lambda i: (0, 0), memory_space=vm),
-            pl.BlockSpec((n1, bs * n2), lambda i: (0, 0), memory_space=vm),
+            tw_spec, tw_spec, tw_spec, tw_spec, tw_spec, tw_spec,
         ],
         out_specs=[
             pl.BlockSpec((bs, 2, n1, n2 // 2), lambda i: (i, 0, 0, 0),
@@ -529,7 +568,8 @@ def rfft_pair_mag_packed(x4: jnp.ndarray, w_hi: jnp.ndarray,
       jnp.asarray(_lane_selector(n2, bs), jnp.bfloat16),
       jnp.asarray(f1d, jnp.bfloat16), jnp.asarray(f2d, jnp.bfloat16),
       jnp.asarray(twr_hi), jnp.asarray(twr_lo),
-      jnp.asarray(twi_hi), jnp.asarray(twi_lo))
+      jnp.asarray(twi_hi), jnp.asarray(twi_lo),
+      jnp.asarray(twr_h), jnp.asarray(twi_h))
 
     return mag4, jnp.swapaxes(nz, 1, 2).reshape(S, 2)
 

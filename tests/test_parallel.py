@@ -384,6 +384,25 @@ def test_sharded_engine_exposes_local_streams():
     assert (lo, hi) == (0, eng.S)   # single process owns every row
 
 
+def test_sharded_engine_shard_maps_the_exact_kernel(monkeypatch):
+    """When the exact kernel IS available (forced here, interpret mode so
+    the CPU mesh can execute it), the sharded engine routes it through a
+    stream-axis shard_map — every kernel call shard-local — and matches
+    the single-device engine."""
+    monkeypatch.setenv("WAVEFORM_TPU_EXACT_KERNEL", "always")
+    monkeypatch.setenv("WAVEFORM_TPU_EXACT_INTERPRET", "1")
+    monkeypatch.setenv("WAVEFORM_TPU_FFT_BACKEND", "exact")
+    cfg = _cfg(fft_size=1024)   # smallest size supports() admits
+    S = 16
+    r1, r2 = (np.random.default_rng(11) for _ in range(2))
+    ref = ServingEngine(cfg, S, use_native=False)
+    sh = ShardedServingEngine(cfg, S, pixel_parallel=2, use_native=False)
+    want = _feed_and_tick(ref, r1, S, cfg, ticks=3)
+    got = _feed_and_tick(sh, r2, S, cfg, ticks=3)
+    for w, g in zip(want, got):
+        np.testing.assert_allclose(g, w, rtol=0, atol=1e-4)
+
+
 def test_sharded_engine_never_traces_pallas_kernel(monkeypatch):
     """A pallas_call has no SPMD partitioning rule, so the sharded engine
     must route the exact FFT through the XLA lowering even when the kernel

@@ -189,9 +189,28 @@ def _magnitude_pipeline(cfg: ResolvedConfig, samples: jnp.ndarray,
     return (mag, None) if with_nz else mag
 
 
+def _exact_kernel_active(cfg: ResolvedConfig, rfft_fn, fft_backend) -> bool:
+    """True when the magnitude pipeline would route through the Pallas
+    exact kernel (trace-time decision, same gates as _magnitude_pipeline)."""
+    import os
+    if rfft_fn is not None:
+        return False
+    if fft_backend == "auto":
+        fft_backend = os.environ.get(
+            "WAVEFORM_TPU_FFT_BACKEND",
+            "exact" if jax.default_backend() == "tpu" else "xla")
+    if fft_backend != "exact":
+        return False
+    from ..kernels.exact_pallas import enabled, supports
+    return (supports(cfg.fft_size) and enabled()
+            and os.environ.get("WAVEFORM_TPU_EXACT_FUSED", "auto")
+            != "never")
+
+
 def make_spectrum_step(cfg: ResolvedConfig, rfft_fn=None,
                        fft_backend: str = "auto",
-                       allow_exact_kernel: bool = True):
+                       allow_exact_kernel: bool = True,
+                       stream_shard=None):
     """Build the jit-able spectrum step for a resolved config.
 
     Returns ``step(samples, state, dt, active, input_rms) -> SpectrumState``:
@@ -229,9 +248,28 @@ def make_spectrum_step(cfg: ResolvedConfig, rfft_fn=None,
         g2 = 1.0 - g
 
         # --- full math path for every stream/channel (masked later) ---
-        mag, nz_k = _magnitude_pipeline(
-            cfg, samples, rfft_fn, fft_backend, with_nz=True,
-            allow_exact_kernel=allow_exact_kernel)     # [S, C, nbins]
+        if stream_shard is not None and _exact_kernel_active(
+                cfg, rfft_fn, fft_backend):
+            # mesh-sharded serving: the Pallas kernel has no SPMD
+            # partitioning rule, but the magnitude pipeline is purely
+            # per-stream, so shard_map over the stream axis makes every
+            # kernel call shard-local — pods keep the all-in-VMEM fast
+            # path with zero collectives (the pixel axis, if any, just
+            # replicates this stage, exactly as the XLA path would
+            # before the rebin's tensor-parallel split)
+            from jax import shard_map
+            from jax.sharding import PartitionSpec
+            mesh, axis = stream_shard
+            spec = PartitionSpec(axis)
+            mag, nz_k = shard_map(
+                lambda s: _magnitude_pipeline(cfg, s, rfft_fn, fft_backend,
+                                              with_nz=True),
+                mesh=mesh, in_specs=spec, out_specs=(spec, spec),
+                check_vma=False)(samples)
+        else:
+            mag, nz_k = _magnitude_pipeline(
+                cfg, samples, rfft_fn, fft_backend, with_nz=True,
+                allow_exact_kernel=allow_exact_kernel)  # [S, C, nbins]
 
         if cfg.tsmoothing != TSmoothingMode.NONE:
             old = state.tsmooth

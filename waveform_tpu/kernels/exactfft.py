@@ -528,8 +528,13 @@ def rfft_pair_mag_exact(x, nbins: int | None = None,
             and _os.environ.get("WAVEFORM_TPU_EXACT_FUSED", "auto")
             != "never"):
         # all-in-VMEM kernel: pack, df window multiply, real-split FFT,
-        # and magnitude never round-trip HBM between stages
-        mag, nz = rfft_pair_mag_kernel(x, nbins, window)
+        # and magnitude never round-trip HBM between stages.
+        # WAVEFORM_TPU_EXACT_INTERPRET=1 runs it in Pallas interpret mode
+        # (plain jax ops) — how the CPU test mesh exercises the
+        # shard_map'd kernel plumbing of the sharded serving engine.
+        mag, nz = rfft_pair_mag_kernel(
+            x, nbins, window,
+            interpret=_os.environ.get("WAVEFORM_TPU_EXACT_INTERPRET") == "1")
         return (mag, nz) if with_nz else mag
     if _os.environ.get("WAVEFORM_TPU_EXACT_PACKED", "always") == "never":
         # real-split XLA reference lowering (see _rfft_mag_real_xla)

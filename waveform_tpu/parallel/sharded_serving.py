@@ -53,13 +53,18 @@ class ShardedServingEngine(ServingEngine):
     to ``num_streams`` rows.
     """
 
-    # the Pallas exact kernel is a custom call with no SPMD partitioning
-    # rule — under this engine's sharded jit it would either fail to
-    # partition or force full replication on a pod.  The XLA exact-FFT
-    # lowering partitions cleanly along the stream axis (pure DP, no
-    # collectives), so sharded ticks use it; per-shard shard_map of the
-    # kernel is the future fast path (ROADMAP).
-    _allow_exact_kernel = False
+    def _spectrum_step_kwargs(self) -> dict:
+        # the Pallas exact kernel is a custom call with no SPMD
+        # partitioning rule — under this engine's sharded jit it would
+        # either fail to partition or force full replication on a pod.
+        # The magnitude pipeline is purely per-stream, so the step wraps
+        # it in a stream-axis shard_map (every kernel call shard-local,
+        # zero collectives — FFTW-MPI's per-rank local transforms,
+        # mpi/dft-problem.c); if the kernel is unavailable the
+        # allow_exact_kernel=False fallback keeps the cleanly-
+        # partitioning XLA lowering.
+        return {"allow_exact_kernel": False,
+                "stream_shard": (self.mesh, STREAM_AXIS)}
 
     def __init__(self, cfg: ResolvedConfig, num_streams: int,
                  mesh: Mesh | None = None, pixel_parallel: int = 1, **kw):

@@ -72,10 +72,12 @@ class _PendingStream:
 class ServingEngine:
     """Batched device-resident spectrum serving for S streams."""
 
-    # single-device engines use the all-in-VMEM Pallas exact kernel; the
-    # mesh-sharded subclass overrides this because a pallas_call has no
-    # SPMD partitioning rule (parallel/sharded_serving.py)
-    _allow_exact_kernel = True
+    def _spectrum_step_kwargs(self) -> dict:
+        """Single-device engines use the all-in-VMEM Pallas exact kernel
+        directly; the mesh-sharded subclass overrides this (a pallas_call
+        has no SPMD partitioning rule — parallel/sharded_serving.py wraps
+        it in a stream-axis shard_map instead)."""
+        return {}
 
     def __init__(self, cfg: ResolvedConfig, num_streams: int,
                  hop_budget: int | None = None, rfft_fn=None,
@@ -155,7 +157,7 @@ class ServingEngine:
             self.rms_ring = None
 
         step = make_spectrum_step(
-            cfg, allow_exact_kernel=self._allow_exact_kernel,
+            cfg, **self._spectrum_step_kwargs(),
             **({} if rfft_fn is None else {"rfft_fn": rfft_fn}))
         rebin = make_rebin_fn(cfg, apply_pixel_map=False)
         normalize = self._normalize

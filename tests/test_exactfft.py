@@ -167,3 +167,31 @@ def test_real_split_xla_reference_matches(rng, monkeypatch):
             rel = (np.abs(np.asarray(mag, np.float64) - want).max()
                    / want.max())
             assert rel < 2.5e-7, (name, C, rel)
+
+
+def test_real_split_odd_n2_falls_back_to_packed(rng, monkeypatch):
+    """fft sizes whose N2 factor is odd (336 -> 16x21) have no clean
+    kept-half column split; EXACT_PACKED=never must fall back to the
+    packed path instead of crashing (was: reshape ValueError)."""
+    import waveform_tpu.kernels.exactfft as ex
+    monkeypatch.setenv("WAVEFORM_TPU_EXACT_PACKED", "never")
+    x = (0.5 * rng.standard_normal((2, 2, 336))).astype(np.float32)
+    mag = ex.rfft_mag_exact(jnp.asarray(x))
+    want = np.abs(np.fft.rfft(x.astype(np.float64)))[..., :168]
+    rel = np.abs(np.asarray(mag, np.float64) - want).max() / want.max()
+    assert rel < 2.5e-7, rel
+
+
+def test_mono_kernel_path_honors_interpret_env(rng, monkeypatch):
+    """The odd-channel leftover routes through cfft_exact's kernel branch,
+    which must honor WAVEFORM_TPU_EXACT_INTERPRET like the pair path does
+    (was: mono configs crashed on the CPU test mesh under the sharded
+    engine's forced-kernel mode while stereo worked)."""
+    import waveform_tpu.kernels.exactfft as ex
+    monkeypatch.setenv("WAVEFORM_TPU_EXACT_KERNEL", "always")
+    monkeypatch.setenv("WAVEFORM_TPU_EXACT_INTERPRET", "1")
+    x = (0.5 * rng.standard_normal((2, 1, 1024))).astype(np.float32)
+    mag = ex.rfft_mag_exact(jnp.asarray(x))
+    want = np.abs(np.fft.rfft(x.astype(np.float64)))[..., :512]
+    rel = np.abs(np.asarray(mag, np.float64) - want).max() / want.max()
+    assert rel < 2.5e-7, rel

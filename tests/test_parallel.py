@@ -404,13 +404,18 @@ def test_sharded_engine_shard_maps_the_exact_kernel(monkeypatch):
 
 
 def test_sharded_engine_never_traces_pallas_kernel(monkeypatch):
-    """A pallas_call has no SPMD partitioning rule, so the sharded engine
-    must route the exact FFT through the XLA lowering even when the kernel
-    is force-enabled.  Forcing it on this CPU mesh makes any leak fatal:
-    Mosaic cannot lower for the CPU backend, so the tick would raise."""
+    """Outside the shard_map wrapper, the sharded engine must route the
+    exact FFT through the XLA lowering even when the kernel is
+    force-enabled: with EXACT_FUSED=never the shard_map path disengages
+    (kernel_would_run is False) and only the allow_exact_kernel=False
+    plumbing keeps cfft_exact from tracing a pallas_call under the
+    sharded jit.  Forcing the kernel on this CPU mesh makes any leak
+    fatal — Mosaic cannot lower for the CPU backend — and fft_size=1024
+    is a size supports() admits, so the gate is genuinely load-bearing."""
     monkeypatch.setenv("WAVEFORM_TPU_EXACT_KERNEL", "always")
+    monkeypatch.setenv("WAVEFORM_TPU_EXACT_FUSED", "never")
     monkeypatch.setenv("WAVEFORM_TPU_FFT_BACKEND", "exact")
-    cfg = _cfg(fft_size=256)
+    cfg = _cfg(fft_size=1024)
     S = 8
     eng = ShardedServingEngine(cfg, S, pixel_parallel=2, use_native=False)
     out = _feed_and_tick(eng, np.random.default_rng(3), S, cfg, ticks=2)

@@ -191,7 +191,8 @@ def _magnitude_pipeline(cfg: ResolvedConfig, samples: jnp.ndarray,
 
 def _exact_kernel_active(cfg: ResolvedConfig, rfft_fn, fft_backend) -> bool:
     """True when the magnitude pipeline would route through the Pallas
-    exact kernel (trace-time decision, same gates as _magnitude_pipeline)."""
+    exact kernel (trace-time decision; the size/policy gate itself lives
+    in exact_pallas.kernel_would_run — single source of truth)."""
     import os
     if rfft_fn is not None:
         return False
@@ -201,10 +202,8 @@ def _exact_kernel_active(cfg: ResolvedConfig, rfft_fn, fft_backend) -> bool:
             "exact" if jax.default_backend() == "tpu" else "xla")
     if fft_backend != "exact":
         return False
-    from ..kernels.exact_pallas import enabled, supports
-    return (supports(cfg.fft_size) and enabled()
-            and os.environ.get("WAVEFORM_TPU_EXACT_FUSED", "auto")
-            != "never")
+    from ..kernels.exact_pallas import kernel_would_run
+    return kernel_would_run(cfg.fft_size)
 
 
 def make_spectrum_step(cfg: ResolvedConfig, rfft_fn=None,
@@ -223,6 +222,13 @@ def make_spectrum_step(cfg: ResolvedConfig, rfft_fn=None,
     * ``input_rms`` [S] f32 — volume-normalization RMS (0 if unused)
 
     ``display_decibels(cfg, state)`` of the result is the frame output.
+
+    ``stream_shard`` = (Mesh, stream_axis_name) wraps the magnitude
+    pipeline in a stream-axis shard_map when the Pallas exact kernel is
+    active, making every kernel call shard-local; note it TAKES
+    PRECEDENCE over ``allow_exact_kernel=False``, which only governs the
+    non-shard_map fallback (sharded engines pass both: kernel inside
+    shard_map, XLA lowering otherwise).
     """
     nbins = cfg.fft_size // 2
     C = max(cfg.capture_channels, 1)

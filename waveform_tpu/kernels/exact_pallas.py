@@ -46,7 +46,15 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .exactfft import DIGIT_BITS, FIRST_SHIFT, MAX_T, df_add, df_mul, two_sum
+from .exactfft import (
+    DIGIT_BITS,
+    FIRST_SHIFT,
+    MAX_T,
+    _windowed_df,
+    df_add,
+    df_mul,
+    two_sum,
+)
 
 _N_DIGITS = MAX_T + 1   # digits that participate in kept pairs
 _LANES = 128            # N2 fixed to the lane width: per-stream column
@@ -82,6 +90,36 @@ def _block_streams(n: int) -> int:
     return 1
 
 
+def _digit_planes(a64):
+    """f64 constant -> _N_DIGITS integer digit planes (f32 storage)."""
+    out = np.empty((_N_DIGITS,) + a64.shape, np.float32)
+    r = a64.astype(np.float64)
+    for k in range(_N_DIGITS):
+        sc = 2.0 ** (FIRST_SHIFT + DIGIT_BITS * k)
+        d = np.rint(r * sc)
+        out[k] = d.astype(np.float32)
+        r = r - d / sc
+    return out
+
+
+def _stacked_classes(planes, axis):
+    """Per-weight-class stacked constants: class t is
+    [C_0 | C_1 | .. | C_t] along the contraction axis, so each class
+    runs as ONE dot whose K is (t+1)x deeper — stage-1 K was 2N1
+    (64 at N=4096), only a quarter of the MXU's 256-deep pipe.
+    Classes concatenate into one array; the kernel slices statically."""
+    return np.concatenate(
+        [planes[i] for t in range(_N_DIGITS) for i in range(t + 1)],
+        axis=axis)
+
+
+def _df_tiled(a64, bs):
+    """f64 constant -> bs-column-tiled df32 (hi, lo) pair."""
+    hi = a64.astype(np.float32)
+    lo = (a64 - hi.astype(np.float64)).astype(np.float32)
+    return np.tile(hi, (1, bs)), np.tile(lo, (1, bs))
+
+
 @lru_cache(maxsize=16)
 def _kernel_plan(n: int, bs: int):
     """Digit planes of the DFT block matrices + tiled df twiddles (host)."""
@@ -92,38 +130,13 @@ def _kernel_plan(n: int, bs: int):
     f1b = np.block([[f1.real, -f1.imag], [f1.imag, f1.real]])
     f2b = np.block([[f2.real, f2.imag], [-f2.imag, f2.real]])
 
-    def digit_planes(a64):
-        out = np.empty((_N_DIGITS,) + a64.shape, np.float32)
-        r = a64.astype(np.float64)
-        for k in range(_N_DIGITS):
-            sc = 2.0 ** (FIRST_SHIFT + DIGIT_BITS * k)
-            d = np.rint(r * sc)
-            out[k] = d.astype(np.float32)
-            r = r - d / sc
-        return out
-
-    def stacked_classes(planes, axis):
-        """Per-weight-class stacked constants: class t is
-        [C_0 | C_1 | .. | C_t] along the contraction axis, so each class
-        runs as ONE dot whose K is (t+1)x deeper — stage-1 K was 2N1
-        (64 at N=4096), only a quarter of the MXU's 256-deep pipe.
-        Classes concatenate into one array; the kernel slices statically."""
-        return np.concatenate(
-            [planes[i] for t in range(_N_DIGITS) for i in range(t + 1)],
-            axis=axis)
-
-    def df_tiled(a64):
-        hi = a64.astype(np.float32)
-        lo = (a64 - hi.astype(np.float64)).astype(np.float32)
-        return np.tile(hi, (1, bs)), np.tile(lo, (1, bs))
-
-    twr_hi, twr_lo = df_tiled(tw.real)
-    twi_hi, twi_lo = df_tiled(tw.imag)
+    twr_hi, twr_lo = _df_tiled(tw.real, bs)
+    twi_hi, twi_lo = _df_tiled(tw.imag, bs)
     # stage 1 is C @ X (contract on C's columns); stage 2 is X @ C
     # (contract on C's rows)
     return (n1, n2,
-            stacked_classes(digit_planes(f1b), axis=1),
-            stacked_classes(digit_planes(f2b), axis=0),
+            _stacked_classes(_digit_planes(f1b), axis=1),
+            _stacked_classes(_digit_planes(f2b), axis=0),
             twr_hi, twr_lo, twi_hi, twi_lo)
 
 
@@ -282,28 +295,8 @@ def _kernel_plan_real(n: int, bs: int):
     f2b_kept = np.block([[f2.real[:, :keep], f2.imag[:, :keep]],
                          [-f2.imag[:, :keep], f2.real[:, :keep]]])
 
-    def digit_planes(a64):
-        out = np.empty((_N_DIGITS,) + a64.shape, np.float32)
-        r = a64.astype(np.float64)
-        for k in range(_N_DIGITS):
-            sc = 2.0 ** (FIRST_SHIFT + DIGIT_BITS * k)
-            d = np.rint(r * sc)
-            out[k] = d.astype(np.float32)
-            r = r - d / sc
-        return out
-
-    def stacked_classes(planes, axis):
-        return np.concatenate(
-            [planes[i] for t in range(_N_DIGITS) for i in range(t + 1)],
-            axis=axis)
-
-    def df_tiled(a64):
-        hi = a64.astype(np.float32)
-        lo = (a64 - hi.astype(np.float64)).astype(np.float32)
-        return np.tile(hi, (1, bs)), np.tile(lo, (1, bs))
-
-    twr_hi, twr_lo = df_tiled(tw.real)
-    twi_hi, twi_lo = df_tiled(tw.imag)
+    twr_hi, twr_lo = _df_tiled(tw.real, bs)
+    twi_hi, twi_lo = _df_tiled(tw.imag, bs)
 
     def vsplit_host(a_f32):
         """Veltkamp split of an f32 array, in f32 arithmetic (the exact
@@ -315,8 +308,8 @@ def _kernel_plan_real(n: int, bs: int):
         return h
 
     return (n1, n2,
-            stacked_classes(digit_planes(f1bd), axis=1),
-            stacked_classes(digit_planes(f2b_kept), axis=0),
+            _stacked_classes(_digit_planes(f1bd), axis=1),
+            _stacked_classes(_digit_planes(f2b_kept), axis=0),
             twr_hi, twr_lo, twi_hi, twi_lo,
             vsplit_host(twr_hi), vsplit_host(twi_hi))
 
@@ -347,7 +340,9 @@ def _kernel_real_mag(n1, n2, bs, x_ref, w_hi_ref, w_lo_ref, sel_ref,
         [jnp.sum(counts[:n1], axis=0, keepdims=True),
          jnp.sum(counts[n1:], axis=0, keepdims=True)], axis=0)
 
-    x_hi, x_lo = _df_window_vmem(xcat, w_hi_ref[:], w_lo_ref[:])
+    # df window multiply — exactfft's helper is pure jnp, so the same
+    # code runs on the VPU here and in the XLA lowering
+    x_hi, x_lo = _windowed_df(xcat, w_hi_ref[:], w_lo_ref[:])
 
     # ---- stage 1: per-channel real-input DFT, digit-exact --------------
     s, s_inv = _pow2_scale_scalar(x_hi)
@@ -428,18 +423,6 @@ def _kernel_real_mag(n1, n2, bs, x_ref, w_hi_ref, w_lo_ref, sel_ref,
             mag_ref[si, c] = mag[r0:r0 + n1, :]
 
 
-def _df_window_vmem(xcat, w_hi, w_lo):
-    """x * (w_hi + w_lo) as df32 (TwoProd + low-word correction), VMEM."""
-    p = xcat * w_hi
-    c4 = jnp.float32(4097.0)
-    t = c4 * xcat
-    xh = t - (t - xcat)
-    xl = xcat - xh
-    t = c4 * w_hi
-    wh = t - (t - w_hi)
-    wl = w_hi - wh
-    e = ((xh * wh - p) + xh * wl + xl * wh) + xl * wl
-    return two_sum(p, e + xcat * w_lo)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -636,3 +619,13 @@ def enabled() -> bool:
     if mode == "always":
         return True
     return jax.default_backend() == "tpu"
+
+
+def kernel_would_run(n: int) -> bool:
+    """Single source of truth for "will rfft_pair_mag_exact route into the
+    Pallas kernel": size support, backend policy, and the EXACT_FUSED
+    ablation gate.  exactfft's dispatch and spectrum's shard_map decision
+    both consult this — keep the gate here only."""
+    return (supports(n) and enabled()
+            and os.environ.get("WAVEFORM_TPU_EXACT_FUSED", "auto")
+            != "never")

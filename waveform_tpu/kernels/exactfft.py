@@ -311,7 +311,9 @@ def cfft_exact(re, im, allow_kernel: bool = True):
     # rfft_pair_mag_exact (sharded-mesh callers).
     from .exact_pallas import cfft_exact_kernel, enabled, supports
     if allow_kernel and supports(n) and enabled():
-        return cfft_exact_kernel(re, im)
+        return cfft_exact_kernel(
+            re, im,
+            interpret=_os.environ.get("WAVEFORM_TPU_EXACT_INTERPRET") == "1")
 
     n1, n2, f1d, stage2 = _exact_plan(n)
     f1d = [jnp.asarray(d).astype(DIGIT_DTYPE) for d in f1d]
@@ -408,6 +410,9 @@ def _real_split_plan(n: int):
     twiddle arithmetic, as in _exact_plan.
     """
     n1, n2 = _split_factors(n)
+    if n2 % 2:
+        raise ValueError(f"real-split needs an even N2 factor; {n} splits "
+                         f"as {n1}x{n2} — use the packed path")
     f1 = np.exp(-2j * np.pi * np.outer(np.arange(n1), np.arange(n1)) / n1)
     f2 = np.exp(-2j * np.pi * np.outer(np.arange(n2), np.arange(n2)) / n2)
     tw = np.exp(-2j * np.pi * np.outer(np.arange(n1), np.arange(n2)) / n)
@@ -518,15 +523,13 @@ def rfft_pair_mag_exact(x, nbins: int | None = None,
     n = x.shape[-1]
     nbins = n // 2 if nbins is None else nbins
 
-    from .exact_pallas import rfft_pair_mag_kernel, enabled, supports
+    from .exact_pallas import kernel_would_run, rfft_pair_mag_kernel
     nz = None
     # ``allow_kernel=False`` routes around the Pallas kernel regardless of
     # env: a pallas_call has no SPMD partitioning rule, so computations
     # that jit under a sharded mesh (parallel/sharded_serving.py) must use
     # this XLA lowering, which partitions cleanly along the stream axis
-    if (allow_kernel and supports(n) and enabled()
-            and _os.environ.get("WAVEFORM_TPU_EXACT_FUSED", "auto")
-            != "never"):
+    if allow_kernel and kernel_would_run(n):
         # all-in-VMEM kernel: pack, df window multiply, real-split FFT,
         # and magnitude never round-trip HBM between stages.
         # WAVEFORM_TPU_EXACT_INTERPRET=1 runs it in Pallas interpret mode
@@ -536,8 +539,11 @@ def rfft_pair_mag_exact(x, nbins: int | None = None,
             x, nbins, window,
             interpret=_os.environ.get("WAVEFORM_TPU_EXACT_INTERPRET") == "1")
         return (mag, nz) if with_nz else mag
-    if _os.environ.get("WAVEFORM_TPU_EXACT_PACKED", "always") == "never":
-        # real-split XLA reference lowering (see _rfft_mag_real_xla)
+    if (_os.environ.get("WAVEFORM_TPU_EXACT_PACKED", "always") == "never"
+            and _split_factors(n)[1] % 2 == 0):
+        # real-split XLA reference lowering (see _rfft_mag_real_xla);
+        # odd-N2 factorizations (e.g. 336 -> 16x21) have no clean
+        # kept-half column split, so they stay on the packed path
         mag = _rfft_mag_real_xla(x, nbins, window)
         if with_nz:
             return mag, jnp.any(x != 0.0, axis=-1)
@@ -587,13 +593,12 @@ def rfft_mag_exact(x, nbins: int | None = None,
     c, n = x.shape[-2], x.shape[-1]
     nbins = n // 2 if nbins is None else nbins
 
-    from .exact_pallas import enabled, supports
-    if not (allow_kernel and supports(n) and enabled()
-            and _os.environ.get("WAVEFORM_TPU_EXACT_FUSED", "auto")
-            != "never"):
+    from .exact_pallas import kernel_would_run
+    if not (allow_kernel and kernel_would_run(n)):
         # the real-split XLA reference is channel-count agnostic: one
         # call covers stereo, mono, and any multichannel layout
-        if _os.environ.get("WAVEFORM_TPU_EXACT_PACKED", "always") == "never":
+        if (_os.environ.get("WAVEFORM_TPU_EXACT_PACKED", "always")
+                == "never" and _split_factors(n)[1] % 2 == 0):
             mag = _rfft_mag_real_xla(x, nbins, window)
             if with_nz:
                 return mag, jnp.any(x != 0.0, axis=-1)

@@ -219,6 +219,44 @@ def test_property_tooltips():
     assert tooltip("nonexistent_key") == ""
 
 
+def test_locale_full_coverage():
+    """All three key classes — property labels, enum-value labels, and
+    tooltips — are natively present in every locale, matching the
+    reference's ~104-key-per-language ini files
+    (/root/reference/data/locale/zh-TW.ini:1-20, en-US.ini:114-133)."""
+    import enum as _enum
+
+    from waveform_tpu.core import enums as E
+    from waveform_tpu.core.locale import LOCALES, enum_label, tooltip
+    from waveform_tpu.core.properties import PROPERTY_MAP
+
+    enum_values = {m.value for n in dir(E)
+                   for c in [getattr(E, n)]
+                   if isinstance(c, type) and issubclass(c, _enum.Enum)
+                   for m in c}
+    enum_values |= {"output_bus", "source_name"}
+    tip_keys = {f"{k}_desc" for k, p in PROPERTY_MAP.items() if p.tooltip}
+
+    for loc, table in LOCALES.items():
+        for cls, keys in (("label", set(PROPERTY_MAP)),
+                          ("enum", enum_values), ("tooltip", tip_keys)):
+            missing = keys - set(table)
+            assert not missing, f"{loc} missing {cls} keys {sorted(missing)}"
+
+    # translated, not aliased: spot-check one key per class per language
+    assert enum_label(E.DisplayMode.CURVE, "zh-CN") == "曲线"
+    assert enum_label("stereo", "zh-TW") == "立體聲"
+    assert enum_label("output_bus", "it-IT") == "Bus di uscita"
+    assert tooltip("gravity", "zh-CN") != tooltip("gravity")
+    assert tooltip("gravity", "zh-TW") != tooltip("gravity", "zh-CN")
+    assert tooltip("gravity", "it-IT").startswith("Quanto")
+    # every tooltip translated in every non-English locale (no en fallback)
+    en = LOCALES["en-US"]
+    for loc in ("zh-CN", "zh-TW", "it-IT"):
+        for k in tip_keys:
+            assert LOCALES[loc][k] != en[k], f"{loc} {k} untranslated"
+
+
 def test_demo_wav_reader(tmp_path):
     import wave
     from waveform_tpu.demo import read_wav

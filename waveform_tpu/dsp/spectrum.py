@@ -111,6 +111,19 @@ def gravity_coefficient(cfg: ResolvedConfig, dt: jnp.ndarray) -> jnp.ndarray:
     return jnp.float32(cfg.gravity)
 
 
+def resolve_fft_backend(fft_backend: str = "auto") -> str:
+    """Resolve "auto" to a concrete backend name — the single source of
+    truth consulted by both the magnitude pipeline and the shard_map
+    routing decision (they must agree, or a sharded engine could trace an
+    unpartitionable pallas_call / wrap shard_map around the XLA path)."""
+    if fft_backend == "auto":
+        import os
+        fft_backend = os.environ.get(
+            "WAVEFORM_TPU_FFT_BACKEND",
+            "exact" if jax.default_backend() == "tpu" else "xla")
+    return fft_backend
+
+
 def _magnitude_pipeline(cfg: ResolvedConfig, samples: jnp.ndarray,
                         rfft_fn, fft_backend: str = "auto",
                         with_nz: bool = False,
@@ -127,11 +140,7 @@ def _magnitude_pipeline(cfg: ResolvedConfig, samples: jnp.ndarray,
     ``rfft_fn`` overrides.
     """
     nbins = cfg.fft_size // 2
-    if fft_backend == "auto":
-        import os
-        fft_backend = os.environ.get(
-            "WAVEFORM_TPU_FFT_BACKEND",
-            "exact" if jax.default_backend() == "tpu" else "xla")
+    fft_backend = resolve_fft_backend(fft_backend)
 
     if rfft_fn is None and fft_backend == "exact":
         # the window multiply itself costs ~3e-4 dB at deep nulls in f32,
@@ -193,14 +202,9 @@ def _exact_kernel_active(cfg: ResolvedConfig, rfft_fn, fft_backend) -> bool:
     """True when the magnitude pipeline would route through the Pallas
     exact kernel (trace-time decision; the size/policy gate itself lives
     in exact_pallas.kernel_would_run — single source of truth)."""
-    import os
     if rfft_fn is not None:
         return False
-    if fft_backend == "auto":
-        fft_backend = os.environ.get(
-            "WAVEFORM_TPU_FFT_BACKEND",
-            "exact" if jax.default_backend() == "tpu" else "xla")
-    if fft_backend != "exact":
+    if resolve_fft_backend(fft_backend) != "exact":
         return False
     from ..kernels.exact_pallas import kernel_would_run
     return kernel_would_run(cfg.fft_size)

@@ -9,8 +9,8 @@ scaling, digit slicing, the weight-class GEMMs, compensated recombination,
 the double-float twiddle, and the second stage — resident in VMEM, reading
 the windowed df32 input once and writing the df32 spectrum once.
 
-Layout follows kernels/fused_spectrum.py's stream-packed variant (streams
-ride the matmul's lane dimension; Mosaic's 2D-dot restriction shapes both):
+Layout packs streams along the matmul's lane dimension (Mosaic's 2D-dot
+restriction shapes both operand layouts):
 
     in  : x2 (hi, lo)  [2N1, S·N2]   — [re; im] rows, stream-s columns
     out : c  (hi, lo)  [S·N1, 2N2]   — stream-major rows, [C_r | C_i]
@@ -84,10 +84,17 @@ def _block_streams(n: int) -> int:
     scoped-vmem OOM on v5e."""
     n1 = n // _LANES
     const = 160 * n1 * n1 + 700_000   # f1 digit planes + f2/selector slack
+    # 15.5 MB measured-usable VMEM on v5e (16 MB minus Mosaic runtime
+    # overhead): bs=1 at N=32768 (14.3 MB estimate) must pass the gate
+    # itself, not fall through it — growth in kernel constants then fails
+    # loudly here instead of OOMing at compile time
     for bs in (16, 8, 4, 2, 1):
-        if 96 * n * bs + const <= 14_000_000:
+        if 96 * n * bs + const <= 15_500_000:
             return bs
-    return 1
+    raise ValueError(
+        f"exact kernel working set exceeds VMEM even at bs=1 for N={n} "
+        f"(estimate {(96 * n + const) / 1e6:.1f} MB); supports() should "
+        "have excluded this size")
 
 
 def _digit_planes(a64):

@@ -39,8 +39,11 @@ import os as _os
 # digit geometry (env-tunable for ablation; defaults are the measured
 # sweet spot on v5e).  Exactness invariants that bound the choices:
 # digits must be exactly representable in bf16 (|d| <= 2^(BITS-1) <= 256)
-# and every accumulated integer partial sum must stay < 2^24 in the f32
-# MXU accumulator (K <= 2^8 rows: BITS <= 8 is safe at 2^22).
+# and every accumulated integer partial sum must stay <= 2^24 in the f32
+# MXU accumulator.  The class-stacked GEMMs contract up to
+# (MAX_T+1) * K_single rows (2^11 at N=65536), so the bound depends on the
+# problem size, not just BITS — _digit_gemm enforces it per call (the
+# int8 path has its own import-time guard below).
 DIGIT_BITS = int(_os.environ.get("WAVEFORM_TPU_DIGIT_BITS", "7"))
 FIRST_SHIFT = int(_os.environ.get("WAVEFORM_TPU_FIRST_SHIFT",
                                   str(DIGIT_BITS - 1)))
@@ -216,6 +219,24 @@ def _digit_gemm(subscripts: str, const_digits, x_digits, scale):
     """
     nc, nx = len(const_digits), len(x_digits)
     ax_c, ax_x = _contract_axes(subscripts)
+    if ACC_DTYPE == jnp.float32:
+        # exact-f32-accumulation invariant, checked against the actual
+        # stacked contraction depth: const digits are host-sliced exact
+        # values <= 2^FIRST_SHIFT; data digits <= 2^(FIRST_SHIFT+1) on
+        # plane 0 (the pow2 scale's one-off log2 misround can double the
+        # range) and <= 2^(DIGIT_BITS-1) beyond.  Every partial sum must
+        # stay an integer <= 2^24 (exactly representable in f32).
+        k_single = const_digits[0].shape[ax_c]
+        k_max = min(MAX_T + 1, nc, nx) * k_single
+        d_const = 2.0 ** max(FIRST_SHIFT, DIGIT_BITS - 1)
+        d_data = 2.0 ** max(FIRST_SHIFT + 1, DIGIT_BITS - 1)
+        if k_max * d_const * d_data > 2.0 ** 24:
+            raise ValueError(
+                "digit geometry breaks exact f32 accumulation: worst-case "
+                f"partial sum {k_max} * 2^{FIRST_SHIFT} * "
+                f"2^{max(FIRST_SHIFT + 1, DIGIT_BITS - 1)} > 2^24 "
+                f"(contraction depth {k_max}); lower WAVEFORM_TPU_DIGIT_BITS"
+                " or use the int8 accumulation path")
     terms = []  # (t, exact f32/int32 class sum)
     for t in range(min(MAX_T, nc + nx - 2) + 1):
         pairs = [(i, t - i) for i in range(nc) if 0 <= t - i < nx]

@@ -127,11 +127,16 @@ class WaveformEngine:
             r, f = src.drain_meter_samples(now_ns, dt, self._meter_windows[i])
             run[i], fresh[i], show[i] = r, f, src.show
             # timeout memset (src/source_generic.cpp:184-199): host zeroes
-            # the ring on the fresh→timeout edge.  The reference skips the
-            # memset for latched streams — a no-op skip, since a latched
-            # stream's ring already holds the silence that latched it —
-            # so tracking the edge host-side replaces the per-tick device
-            # latch readback (31 ms/tick over a relay link).
+            # the ring on the fresh→timeout edge.  The reference keys the
+            # skip on the silence LATCH, not the edge; the two differ only
+            # for a latched stream whose window still held sub-floor
+            # NONZERO samples (latching needs sub-floor output, not zero
+            # input) — there the reference preserves those samples and this
+            # zeroes them, so a resume with a partial ring refill reads a
+            # slightly different RMS.  Accepted divergence: the delta is
+            # bounded by the floor−10 dB gate that latched the stream, and
+            # tracking the edge host-side is what removes the per-tick
+            # device latch readback (31 ms/tick over a relay link).
             if r and not f and self._was_fresh[i]:
                 self._meter_windows[i] = 0.0
             if r:

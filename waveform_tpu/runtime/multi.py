@@ -21,7 +21,7 @@ import numpy as np
 
 from ..core.config import ResolvedConfig
 from .engine import WaveformEngine
-from .serving import ServingEngine
+from .serving import ServingEngine, chunked_put
 
 
 class MultiEngine:
@@ -120,7 +120,10 @@ class MultiEngine:
             for eng, r0 in zip(c["engines"], c["offs"]):
                 eng._bind_external(buf[r0:r0 + eng.S])
                 eng._assemble(now_ns)
-            cohort_dev = jax.device_put(buf)   # the one upload
+            # the one upload — chunked: a large cohort (32 groups × 16
+            # streams ≈ 13 MB) would otherwise cross the >10 MB single-
+            # transfer cliff the engine already measured (serving.py:38-42)
+            cohort_dev = chunked_put(buf)
             outs = [eng.tick_from_cohort(cohort_dev, now_ns)
                     for eng in c["engines"]]
             if c["fence_on"]:

@@ -94,17 +94,112 @@ def test_bus_timeout_gates_active():
     assert (bus.read_decibels(h) == DB_MIN).all()
 
 
-def test_bus_rejects_late_subscribe_and_nonspectrum():
-    from waveform_tpu import DisplayMode
+def test_bus_rejects_late_subscribe():
     cfg = _cfg(fft_size=512)
     bus = OutputBus(cfg.audio)
     bus.subscribe(cfg)
-    with pytest.raises(ValueError, match="spectrum"):
-        bus.subscribe(resolve(Settings(display_mode=DisplayMode.METER),
-                              AudioInfo(SR, 2)))
     bus.tick(now_ns=NS)
     with pytest.raises(RuntimeError, match="subscribe after tick"):
         bus.subscribe(cfg)
+
+
+def _meter_cfg(**kw):
+    from waveform_tpu import DisplayMode
+    return resolve(Settings(display_mode=DisplayMode.METER,
+                            temporal_smoothing=TSmoothingMode.NONE, **kw),
+                   AudioInfo(SR, 2))
+
+
+def _wf_cfg(**kw):
+    from waveform_tpu import DisplayMode
+    return resolve(Settings(display_mode=DisplayMode.WAVEFORM, width=512,
+                            meter_buf=100, **kw), AudioInfo(SR, 2))
+
+
+def test_bus_mixed_consumers_share_ring():
+    """Any source type attaches to the bus (the reference's output_bus
+    capture, src/source.cpp:685-704): spectrum + meter + waveform tick
+    off ONE shared ring with one upload per tick."""
+    spec = _cfg(fft_size=1024, window=FFTWindow.HANN)
+    met = _meter_cfg(rms_mode=True, meter_buf=150)
+    wf = _wf_cfg()
+    bus = OutputBus(spec.audio)
+    hs, hm, hw = bus.subscribe(spec), bus.subscribe(met), bus.subscribe(wf)
+    assert bus.num_groups == 3
+    _run_bus(bus, [hs], _packets(n_ticks=40, freq=SR / 1024 * 24))
+    assert int(np.asarray(bus.ring.buf).shape[0]) == 1   # ONE shared ring
+
+    # spectrum: bin-exact peak
+    db = bus.read_decibels(hs)
+    assert int(np.argmax(db[0])) == 24
+    # meter: RMS of a full-scale sine = 1/sqrt(2) = -3.01 dBFS
+    lv = bus.read_pixels(hm)
+    assert lv.shape == (2,)
+    np.testing.assert_allclose(lv, -3.0103, atol=0.1)
+    # waveform: |sin| in dBFS — peak near 0, all <= 0, finite
+    disp = bus.read_pixels(hw)
+    assert disp.shape == (1, 512)
+    assert np.isfinite(disp).all()
+    assert disp.max() <= 0.0 and disp.max() > -1.0
+
+
+def test_bus_meter_peak_mode_and_timeout_mask():
+    from waveform_tpu import DB_MIN
+    met = _meter_cfg(rms_mode=False, meter_buf=150)
+    bus = OutputBus(met.audio)
+    h = bus.subscribe(met)
+    pkts = [0.5 * p for p in _packets(n_ticks=30)]
+    _run_bus(bus, [h], pkts)
+    steady = bus.read_pixels(h).copy()
+    np.testing.assert_allclose(steady, 20 * np.log10(0.5), atol=0.05)
+
+    # timeout: levels drop to DB_MIN and latch
+    last = NS + 30 * 800 * NS // SR
+    t = last + 600_000_000
+    bus.tick(now_ns=t)
+    assert (bus.read_pixels(h) == DB_MIN).all()
+
+    # resume with ONE packet: pre-timeout ring samples are masked out (the
+    # reference memsets its meter ring, src/source_generic.cpp:184-199),
+    # so the peak rebuilds from fresh samples only — here equal amplitude,
+    # so the level returns; the masked window must NOT read stale history
+    ph = 30 * 800
+    tt = (np.arange(800) + ph) / SR
+    x = (0.25 * np.sin(2 * np.pi * 2250.0 * tt)).astype(np.float32)
+    bus.feed(np.stack([x, x]), t, now_ns=t)
+    t2 = t + 800 * NS // SR
+    bus.tick(now_ns=t2)
+    lv = bus.read_pixels(h)
+    # fresh peak is 0.25-scale: stale 0.5-scale samples didn't leak through
+    assert (lv <= 20 * np.log10(0.25) + 0.1).all()
+    assert (lv > DB_MIN).all()
+
+
+def test_bus_waveform_scrolls_and_blanks():
+    from waveform_tpu import DB_MIN
+    wf = _wf_cfg()
+    bus = OutputBus(wf.audio)
+    h = bus.subscribe(wf)
+    # constant DC 0.5 -> every fresh pixel resolves to dbfs(0.5)
+    pkts = [np.full((2, 800), 0.5, np.float32) for _ in range(40)]
+    _run_bus(bus, [h], pkts)
+    disp = bus.read_pixels(h)
+    np.testing.assert_allclose(disp[0], 20 * np.log10(0.5), atol=1e-4)
+
+    # timeout blanks the display channels and latches
+    last = NS + 40 * 800 * NS // SR
+    bus.tick(now_ns=last + 600_000_000)
+    assert (bus.read_pixels(h) == DB_MIN).all()
+
+
+def test_bus_waveform_silence_blanks():
+    from waveform_tpu import DB_MIN
+    wf = _wf_cfg()
+    bus = OutputBus(wf.audio)
+    h = bus.subscribe(wf)
+    pkts = [np.zeros((2, 800), np.float32) for _ in range(20)]
+    _run_bus(bus, [h], pkts)
+    assert (bus.read_pixels(h) == DB_MIN).all()
 
 
 def test_bus_pixels_shape():

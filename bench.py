@@ -53,6 +53,12 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
+    # wisdom: persistent compiled-program cache (the FFTW-wisdom analog) —
+    # first-ever run pays the compiles, every later run reloads them (the
+    # relay tunnel makes fresh TPU compiles 100-250 s each)
+    from waveform_tpu.utils.wisdom import enable as _wisdom_enable
+    _wisdom_enable()
+
     from waveform_tpu import AudioInfo, Settings, resolve
     from waveform_tpu.core.enums import FFTWindow, InterpMode, TSmoothingMode
     from waveform_tpu.dsp import oracle
@@ -181,6 +187,37 @@ def main() -> int:
     serving_fps = S * reps2 / (time.perf_counter() - t1)
     p99 = float(np.percentile(np.asarray(lat), 99)) * 1e3
 
+    # --- microbatched live serving: the per-dispatch round trip amortizes
+    # over k frames per flush (ServingEngine(microbatch=k), the live-path
+    # analog of the bulk scan; frame semantics identical to k single ticks)
+    k_mb = 4
+    eng2 = ServingEngine(cfg, S, microbatch=k_mb)
+    now = NSC
+    for i in range(2 * k_mb):   # warmup: two flushes (compile)
+        eng2.feed_batch(pkt, now, now_ns=now)
+        now += hop * NSC // SR
+        eng2.tick(now_ns=now)
+    jax.block_until_ready(eng2._last_pixels)
+    frames = 40
+    per_frame_lat: list[float] = []
+    pending: list[float] = []
+    t1 = time.perf_counter()
+    for i in range(frames):
+        t_call = time.perf_counter()
+        eng2.feed_batch(pkt, now, now_ns=now)
+        now += hop * NSC // SR
+        eng2.tick(now_ns=now)
+        pending.append(t_call)
+        if (i + 1) % k_mb == 0:
+            jax.block_until_ready(eng2._last_pixels)
+            t_end = time.perf_counter()
+            per_frame_lat += [t_end - tc for tc in pending]
+            pending = []
+    mb_total = time.perf_counter() - t1
+    mb_amort = mb_total / frames * 1e3
+    mb_p99 = float(np.percentile(np.asarray(per_frame_lat), 99)) * 1e3
+    mb_fps = S * frames / mb_total
+
     print(json.dumps({
         "metric": f"{N}pt_spectrum_frames_per_sec_per_chip",
         "value": round(frames_per_sec, 1),
@@ -195,7 +232,13 @@ def main() -> int:
           f"p99 {dev_p99:.1f} ms (no H2D); "
           f"tunnel-limited per-tick serving (incl. H2D over relay): "
           f"{serving_fps:,.0f} frames/s, p99 buffer->spectrum latency "
-          f"{p99:.1f} ms; backend={jax.default_backend()}",
+          f"{p99:.1f} ms; "
+          f"LIVE microbatch k={k_mb} (incl. H2D): {mb_fps:,.0f} frames/s, "
+          f"amortized {mb_amort:.1f} ms/frame vs 16.7 ms budget, "
+          f"per-frame completion p99 {mb_p99:.1f} ms "
+          f"(device-only amortized {elapsed / (args.reps * T) * 1e3:.2f} "
+          f"ms/frame from the scan; r2 live p99 was 123.3 ms at k=1); "
+          f"backend={jax.default_backend()}",
           file=sys.stderr)
     return 0
 

@@ -173,8 +173,89 @@ def test_kernel_tiny_signal_scaling(rng):
 
 def test_block_streams_fit_vmem():
     """Block sizing accounts for the quadratic stage-1 constants: bs=2 at
-    N=32768 was a 21 MB scoped-vmem OOM on v5e (16 MB limit)."""
+    N=32768 was a 21 MB scoped-vmem OOM on v5e (16 MB limit) under the
+    2-factor split; the 3-factor split's 16x-smaller constants admit
+    bs=2 there and bs=1 at 65536."""
     from waveform_tpu.kernels.exact_pallas import _block_streams
     assert _block_streams(4096) == 16
     assert _block_streams(16384) == 4
-    assert _block_streams(32768) == 1
+    assert _block_streams(32768, split=2) == 1
+    assert _block_streams(32768, split=3) == 2
+    assert _block_streams(65536, split=3) == 1
+
+
+def test_supports_covers_large_fft():
+    """The 3-factor stage-1 split extends the kernel to the reference's
+    large-FFT ceiling (65536, /root/reference/src/source.cpp:359-363);
+    the complex (mono) kernel keeps the 2-factor ceiling."""
+    from waveform_tpu.kernels.exact_pallas import supports, supports_cfft
+    assert supports(32768) and supports(65536)
+    assert not supports(131072)
+    assert supports_cfft(32768) and not supports_cfft(65536)
+
+
+@pytest.mark.parametrize("n", [4096, 8192])
+def test_real_split3_matches_f64(n, rng, monkeypatch):
+    """The 3-factor stage 1 (radix-4 + twiddle-folded DFT_a) matches the
+    f64 reference through the full mag kernel, windowed, forced on at
+    sizes small enough for interpret mode."""
+    monkeypatch.setenv("WAVEFORM_TPU_STAGE1_SPLIT", "3")
+    x = (0.5 * rng.standard_normal((2, 2, n))).astype(np.float32)
+    x[1, 1] = 0.0
+    w64 = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(n) / n)
+    w_hi = w64.astype(np.float32)
+    w_lo = (w64 - w_hi.astype(np.float64)).astype(np.float32)
+    mag, nz = rfft_pair_mag_kernel(
+        jnp.asarray(x), window=(jnp.asarray(w_hi), jnp.asarray(w_lo)),
+        interpret=True)
+    want = np.abs(np.fft.rfft(x.astype(np.float64) * w64))[..., :n // 2]
+    rel = np.abs(np.asarray(mag, np.float64) - want).max() / want.max()
+    assert rel < 2.5e-7, rel
+    np.testing.assert_array_equal(np.asarray(nz), np.any(x != 0, axis=-1))
+
+
+def test_real_split3_matches_2factor(rng, monkeypatch):
+    """Same windowless input, both stage-1 splits: agreement to the
+    shared digit-truncation floor (the splits slice at different points,
+    so not bit-exact)."""
+    n = 4096
+    x = (0.4 * rng.standard_normal((1, 2, n))).astype(np.float32)
+    monkeypatch.setenv("WAVEFORM_TPU_STAGE1_SPLIT", "2")
+    m2, _ = rfft_pair_mag_kernel(jnp.asarray(x), interpret=True)
+    monkeypatch.setenv("WAVEFORM_TPU_STAGE1_SPLIT", "3")
+    m3, _ = rfft_pair_mag_kernel(jnp.asarray(x), interpret=True)
+    scale = np.asarray(m2).max()
+    np.testing.assert_allclose(np.asarray(m3), np.asarray(m2),
+                               atol=3e-7 * scale)
+
+
+def test_real_split3_65536_matches_f64(rng):
+    """The headline gap: N=65536 (the reference's large-FFT flag ceiling)
+    now runs the VMEM kernel.  One stream, interpret mode."""
+    n = 65536
+    from waveform_tpu.kernels.exact_pallas import _stage1_split
+    assert _stage1_split(n) == 3 and supports(n)
+    x = (0.4 * rng.standard_normal((1, 2, n))).astype(np.float32)
+    mag, _ = rfft_pair_mag_kernel(jnp.asarray(x), nbins=n // 2,
+                                  interpret=True)
+    want = np.abs(np.fft.rfft(x.astype(np.float64)))[..., :n // 2]
+    rel = np.abs(np.asarray(mag, np.float64) - want).max() / want.max()
+    assert rel < 2.5e-7, rel
+
+
+@pytest.mark.parametrize("split", [2, 3])
+def test_real_split_int8_digits_bitexact(split, rng):
+    """int8 digit planes (int32 MXU accumulation) are the same exact
+    integers as the bf16 planes — results must be bit-identical."""
+    from waveform_tpu.kernels.exact_pallas import rfft_pair_mag_packed
+    n = 4096
+    x4 = (0.4 * rng.standard_normal((2, 2, n // 128, 128))).astype(
+        np.float32)
+    w = jnp.ones((n,), jnp.float32)
+    wz = jnp.zeros((n,), jnp.float32)
+    mb, nzb = rfft_pair_mag_packed(jnp.asarray(x4), w, wz, interpret=True,
+                                   split=split, ddt="bf16")
+    mi, nzi = rfft_pair_mag_packed(jnp.asarray(x4), w, wz, interpret=True,
+                                   split=split, ddt="int8")
+    np.testing.assert_array_equal(np.asarray(mb), np.asarray(mi))
+    np.testing.assert_array_equal(np.asarray(nzb), np.asarray(nzi))

@@ -410,3 +410,67 @@ def test_multi_engine_cohort_matches_solo_engines(rng):
     np.testing.assert_array_equal(m.read_decibels(a0), ref_a.read_decibels()[0])
     np.testing.assert_array_equal(m.read_decibels(a1), ref_a.read_decibels()[1])
     np.testing.assert_array_equal(m.read_decibels(b0), ref_b.read_decibels()[0])
+
+
+# ---------------------------------------------------------------------------
+# microbatch (k-frame scan flush) live path
+# ---------------------------------------------------------------------------
+
+def _mb_cfg(**kw):
+    return resolve(Settings(fft_size=1024, window=FFTWindow.HANN, **kw),
+                   AudioInfo(SR, 2))
+
+
+def _drive(eng, S, n_ticks, normalize=False, per_stream=False, seed=3):
+    """Feed + tick n_ticks; returns the host pixels after every tick."""
+    rng = np.random.default_rng(seed)
+    now = NS
+    outs = []
+    for k in range(n_ticks):
+        pkt = (0.4 * rng.standard_normal((S, 2, 480))).astype(np.float32)
+        if per_stream:
+            for s in range(S):
+                eng.feed(s, pkt[s], now, now_ns=now)
+        else:
+            eng.feed_batch(pkt, now, now_ns=now)
+        now += 480 * NS // SR
+        eng.tick(now_ns=now)
+        outs.append(None)
+    return np.asarray(eng.read_pixels())
+
+
+def test_microbatch_matches_single_tick():
+    """microbatch=k must be frame-for-frame identical to k single ticks
+    (the flush is a latency amortizer, not a semantics change)."""
+    cfg = _mb_cfg()
+    S, T = 4, 12
+    a = ServingEngine(cfg, S, use_native=False)
+    b = ServingEngine(cfg, S, use_native=False, microbatch=4)
+    pa = _drive(a, S, T)
+    pb = _drive(b, S, T)
+    np.testing.assert_allclose(pb, pa, rtol=0, atol=1e-5)
+    assert b.last_batch_pixels.shape[0] == 4
+
+
+def test_microbatch_matches_with_normalize_and_per_stream_feed():
+    """Non-uniform per-stream counts select the gather-push scan variant;
+    the RMS ring threads through the scan carry."""
+    cfg = _mb_cfg(normalize_volume=True, temporal_smoothing=TSmoothingMode.NONE)
+    S, T = 3, 8
+    a = ServingEngine(cfg, S, use_native=False)
+    b = ServingEngine(cfg, S, use_native=False, microbatch=2)
+    pa = _drive(a, S, T, per_stream=True)
+    pb = _drive(b, S, T, per_stream=True)
+    np.testing.assert_allclose(pb, pa, rtol=0, atol=1e-5)
+
+
+def test_microbatch_sharded_matches():
+    from waveform_tpu.parallel.sharded_serving import ShardedServingEngine
+    cfg = _mb_cfg()
+    S, T = 8, 8
+    a = ServingEngine(cfg, S, use_native=False)
+    b = ShardedServingEngine(cfg, S, pixel_parallel=2, use_native=False,
+                             microbatch=4)
+    pa = _drive(a, S, T)
+    pb = _drive(b, S, T)
+    np.testing.assert_allclose(pb, pa, rtol=0, atol=1e-4)

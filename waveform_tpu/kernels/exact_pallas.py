@@ -66,16 +66,44 @@ def _factors(n: int) -> tuple[int, int]:
     return n // _LANES, _LANES
 
 
+def _stage1_split(n: int) -> int:
+    """Row-side factorization of the kernel's stage 1: 2 = one dense
+    [N1, N1] digit dot (constants quadratic in N1); 3 = N1 = a·4 with an
+    exact radix-4 layer + per-row twiddle + dense [a, a] digit dots
+    (constants quadratic in a = N1/4 — 16x smaller), which is what fits
+    N=65536 in VMEM.  Auto: 3-factor from N=32768 up (where the 2-factor
+    constants crowd out stream blocking), 2-factor below (fewer VPU
+    passes).  WAVEFORM_TPU_STAGE1_SPLIT=2|3 overrides for ablation."""
+    mode = os.environ.get("WAVEFORM_TPU_STAGE1_SPLIT", "auto")
+    if mode in ("2", "3"):
+        return int(mode)
+    return 3 if n >= 32768 else 2
+
+
 def supports(n: int) -> bool:
-    """Kernel preconditions: the default term budget, MXU-friendly factor
-    sizes (N1 a sublane multiple at N2 = 128 lanes), and VMEM-resident
-    stage-1 constants — at N=65536 the four [2N1, 2N1] digit planes alone
-    are 16 MB (the whole VMEM), so 64k windows use the XLA lowering."""
+    """Kernel preconditions: the default term budget and MXU-friendly
+    factor sizes — N1 = n/128 a sublane multiple (and, for the 3-factor
+    stage 1 that large sizes need, a = N1/4 a sublane multiple).  The
+    3-factor split keeps stage-1 constants quadratic only in N1/4, which
+    admits N=65536 (the 2-factor's four [2N1, 2N1] digit planes alone
+    would be 16 MB there — the whole VMEM)."""
+    if not (MAX_T == 3 and n % _LANES == 0 and (n // _LANES) % 8 == 0):
+        return False
+    if _stage1_split(n) == 2:
+        return n <= 32768
+    return (n // _LANES) % 32 == 0 and n <= 65536
+
+
+def supports_cfft(n: int) -> bool:
+    """The complex (mono-channel) kernel still runs the 2-factor stage 1
+    — complex chunks double the 3-factor constants again, and mono 64k is
+    an edge case — so it keeps the 2-factor VMEM ceiling; above it the
+    XLA exact lowering serves (correct, slower)."""
     return (MAX_T == 3 and n % _LANES == 0 and (n // _LANES) % 8 == 0
             and n <= 32768)
 
 
-def _block_streams(n: int) -> int:
+def _block_streams(n: int, split: int | None = None) -> int:
     """Streams per grid block, sized to keep ~12 [2N1, bs·N2] f32 working
     planes PLUS the resident constants under the VMEM budget.  The
     class-stacked stage-1 digit planes are quadratic in N1
@@ -83,17 +111,27 @@ def _block_streams(n: int) -> int:
     which the per-stream term alone missed: bs=2 at N=32768 was a 21 MB
     scoped-vmem OOM on v5e."""
     n1 = n // _LANES
-    const = 160 * n1 * n1 + 700_000   # f1 digit planes + f2/selector slack
+    if split is None:
+        split = _stage1_split(n)
+    if split == 3:
+        # F_ab stacked [2a, 10·2a] bf16 (a = n1/4) + f2/selector slack;
+        # the radix-4 layer adds the column-concat working set (W, its
+        # digits, the class-dot output), ~160 B/sample-block total
+        const = 5 * n1 * n1 + 700_000
+        per_bs = 160 * n + 24 * n   # working planes + bs-tiled twiddles
+    else:
+        const = 160 * n1 * n1 + 700_000  # f1 digit planes + f2 slack
+        per_bs = 96 * n
     # 15.5 MB measured-usable VMEM on v5e (16 MB minus Mosaic runtime
     # overhead): bs=1 at N=32768 (14.3 MB estimate) must pass the gate
     # itself, not fall through it — growth in kernel constants then fails
     # loudly here instead of OOMing at compile time
     for bs in (16, 8, 4, 2, 1):
-        if 96 * n * bs + const <= 15_500_000:
+        if per_bs * bs + const <= 15_500_000:
             return bs
     raise ValueError(
         f"exact kernel working set exceeds VMEM even at bs=1 for N={n} "
-        f"(estimate {(96 * n + const) / 1e6:.1f} MB); supports() should "
+        f"(estimate {(per_bs + const) / 1e6:.1f} MB); supports() should "
         "have excluded this size")
 
 
@@ -156,13 +194,27 @@ def _pow2_scale_scalar(hi):
     return jnp.exp2(e), jnp.exp2(-e)
 
 
-def _slice4(hi, lo, s_inv):
+def _kernel_dtypes(ddt: str):
+    """Digit/accumulator dtype pair for the MXU passes.  bf16 digits are
+    exact (integers <= 64) with exact f32 integer accumulation; int8
+    digits are equally exact at 2x the v5e MXU rate via int32
+    accumulation, but cost an f32->int8 repack per plane on the VPU —
+    which is why the choice is measured, not assumed (the XLA lowering's
+    raw-GEMM ablation saw only ~14% from int8, not the spec-sheet 2x)."""
+    if ddt == "int8":
+        if DIGIT_BITS > 7:
+            raise ValueError("int8 digit planes overflow past DIGIT_BITS=7")
+        return jnp.int8, jnp.int32
+    return jnp.bfloat16, jnp.float32
+
+
+def _slice4(hi, lo, s_inv, dtype=jnp.bfloat16):
     """4-digit slice of a df32 block scaled to [-1, 1] (VMEM-resident).
 
-    Digits come out as bf16: the values are integers <= 64, exactly
-    representable, and bf16 operands keep the MXU dots single-pass —
-    f32 operands at DEFAULT precision lower to the 3-pass bf16x3
-    schedule (measured 2.0x end-to-end on the N=16384 kernel)."""
+    Digits come out as bf16 by default: the values are integers <= 64,
+    exactly representable, and bf16 operands keep the MXU dots
+    single-pass — f32 operands at DEFAULT precision lower to the 3-pass
+    bf16x3 schedule (measured 2.0x end-to-end on the N=16384 kernel)."""
     r = hi * s_inv
     digits = []
     for k in range(_N_DIGITS):
@@ -170,14 +222,14 @@ def _slice4(hi, lo, s_inv):
             r = r + lo * s_inv
         sc = jnp.float32(2.0 ** (FIRST_SHIFT + DIGIT_BITS * k))
         d = jnp.round(r * sc)
-        digits.append(d.astype(jnp.bfloat16))
+        digits.append(d.astype(dtype))
         r = r - d / sc
     return digits
 
 
-def _dot(a, b):
+def _dot(a, b, acc=jnp.float32):
     return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
+                               preferred_element_type=acc)
 
 
 def _digit_stage(const_ref, digits, s, left: bool):
@@ -190,6 +242,7 @@ def _digit_stage(const_ref, digits, s, left: bool):
     partial sums stay <= 4*256*2^12 = 2^22 < 2^24 in the f32
     accumulator.  Mirrors exactfft._digit_gemm for MAX_T=3.
     """
+    acc = jnp.int32 if digits[0].dtype == jnp.int8 else jnp.float32
     k1 = digits[0].shape[0 if left else 1]   # single-plane K
     dots = []
     off = 0
@@ -198,15 +251,15 @@ def _digit_stage(const_ref, digits, s, left: bool):
         xcat = jnp.concatenate([digits[t - i] for i in range(t + 1)],
                                axis=0 if left else 1) if t else digits[0]
         if left:
-            g = _dot(const_ref[:, off:off + w], xcat)
+            g = _dot(const_ref[:, off:off + w], xcat, acc)
         else:
-            g = _dot(xcat, const_ref[off:off + w, :])
+            g = _dot(xcat, const_ref[off:off + w, :], acc)
         off += w
         dots.append(g)
 
     def weighted(t, v):
-        return v * (jnp.float32(2.0 ** -(2 * FIRST_SHIFT + DIGIT_BITS * t))
-                    * s)
+        return v.astype(jnp.float32) * (
+            jnp.float32(2.0 ** -(2 * FIRST_SHIFT + DIGIT_BITS * t)) * s)
 
     v0 = weighted(0, dots[0])
     tail = weighted(3, dots[3])
@@ -321,7 +374,7 @@ def _kernel_plan_real(n: int, bs: int):
             vsplit_host(twr_hi), vsplit_host(twi_hi))
 
 
-def _kernel_real_mag(n1, n2, bs, x_ref, w_hi_ref, w_lo_ref, sel_ref,
+def _kernel_real_mag(n1, n2, bs, ddt, x_ref, w_hi_ref, w_lo_ref, sel_ref,
                      f1d_ref, f2d_ref,
                      twr_hi_ref, twr_lo_ref, twi_hi_ref, twi_lo_ref,
                      twr_h_ref, twi_h_ref,
@@ -352,10 +405,31 @@ def _kernel_real_mag(n1, n2, bs, x_ref, w_hi_ref, w_lo_ref, sel_ref,
     x_hi, x_lo = _windowed_df(xcat, w_hi_ref[:], w_lo_ref[:])
 
     # ---- stage 1: per-channel real-input DFT, digit-exact --------------
+    dtype = _kernel_dtypes(ddt)[0]
     s, s_inv = _pow2_scale_scalar(x_hi)
-    digits = _slice4(x_hi, x_lo, s_inv)
+    digits = _slice4(x_hi, x_lo, s_inv, dtype)
     a_hi, a_lo = _digit_stage(f1d_ref, digits, s, left=True)  # [4n1, bs*n2]
 
+    chans = []
+    for c in (0, 1):
+        chans.append((
+            (a_hi[2 * c * n1:(2 * c + 1) * n1, :],
+             a_lo[2 * c * n1:(2 * c + 1) * n1, :]),
+            (a_hi[(2 * c + 1) * n1:(2 * c + 2) * n1, :],
+             a_lo[(2 * c + 1) * n1:(2 * c + 2) * n1, :])))
+    _real_mag_tail(n1, n2, bs, dtype, chans,
+                   twr_hi_ref, twr_lo_ref, twi_hi_ref, twi_lo_ref,
+                   twr_h_ref, twi_h_ref, f2d_ref, mag_ref)
+
+
+def _real_mag_tail(n1, n2, bs, dtype, chans,
+                   twr_hi_ref, twr_lo_ref, twi_hi_ref, twi_lo_ref,
+                   twr_h_ref, twi_h_ref, f2d_ref, mag_ref):
+    """Shared back half of the real-split kernels: outer twiddle per
+    channel, regroup to stream-major rows, kept-half stage 2, magnitude.
+    ``chans`` is [(ar, ai)] per capture channel, df pairs [n1, bs·n2]
+    (in whatever k1 row order the stage-1 strategy produced — the twiddle
+    refs arrive in the same order, and the caller unscrambles bins)."""
     # twiddle constants arrive with their Veltkamp-high halves precomputed
     # on the host (tw*_h_ref): each df product then splits only the data
     # operand — 4 splits/channel-pair instead of 8 and the constant halves
@@ -380,11 +454,7 @@ def _kernel_real_mag(n1, n2, bs, x_ref, w_hi_ref, w_lo_ref, sel_ref,
 
     # ---- twiddle per channel + regroup to stream-major rows ------------
     rows_hi, rows_lo = [], []
-    for c in (0, 1):
-        ar = (a_hi[2 * c * n1:(2 * c + 1) * n1, :],
-              a_lo[2 * c * n1:(2 * c + 1) * n1, :])
-        ai = (a_hi[(2 * c + 1) * n1:(2 * c + 2) * n1, :],
-              a_lo[(2 * c + 1) * n1:(2 * c + 2) * n1, :])
+    for ar, ai in chans:
         arh, arl = vsplit(ar[0])
         aih, ail = vsplit(ai[0])
         pr = mul_ps(ar[0], ar[1], arh, arl, twr0, twr1, twrh, twrl)
@@ -409,7 +479,7 @@ def _kernel_real_mag(n1, n2, bs, x_ref, w_hi_ref, w_lo_ref, sel_ref,
 
     # ---- stage 2: kept half-spectrum columns only ----------------------
     s2, s2_inv = _pow2_scale_scalar(b_hi)
-    digits2 = _slice4(b_hi, b_lo, s2_inv)
+    digits2 = _slice4(b_hi, b_lo, s2_inv, dtype)
     c_hi, c_lo = _digit_stage(f2d_ref, digits2, s2, left=False)
     # cols [C_r | C_i] of the kept n2/2 bins
     keep = n2 // 2
@@ -432,6 +502,155 @@ def _kernel_real_mag(n1, n2, bs, x_ref, w_hi_ref, w_lo_ref, sel_ref,
 
 
 
+@lru_cache(maxsize=16)
+def _kernel_plan_real3(n: int, bs: int):
+    """Constants for the 3-factor real-split kernel (see
+    _kernel_real_mag3).
+
+    Stage 1 factors N1 = a·4 (j1 = jq·a + jp, k1 = kq + 4·kp): an exact
+    radix-4 butterfly over the four contiguous a-row chunks (ω₄ ∈
+    {±1, ±i} — pure df adds, no digit work), then the ω_{N1}^{jp·kq}
+    twiddle FOLDED into the outer DFT_a constants (G_kq = F_a ⊙ t_kq is
+    just another exact digit-sliced constant), so the whole stage is two
+    class-stacked [4a, 2a] digit dots on REAL operands — chunk pair
+    (0, 2) consumes [u0; u2] and pair (1, 3) consumes [u1; u3], each
+    emitting two complex chunks.  Constants are quadratic in a = N1/4
+    (16x smaller than the 2-factor's F1 planes), which is what lets
+    N=65536 fit in VMEM (/root/reference/src/source.cpp:359-363 is the
+    reference's 64k ceiling).  Output rows come out chunk-major
+    (pos = kq·a + kp ↔ k1 = kq + 4·kp): the outer twiddle rows are
+    host-permuted to match and the caller unscrambles the final bins.
+    """
+    n1, n2 = _factors(n)
+    a = n1 // 4
+    fa = np.exp(-2j * np.pi * np.outer(np.arange(a), np.arange(a)) / a)
+    t = [np.exp(-2j * np.pi * np.arange(a) * kq / n1) for kq in range(4)]
+    g = [fa * t[kq][None, :] for kq in range(4)]        # [a, a] complex
+    # pair (0,2): [A0r; A0i; A2r; A2i] from [u0; u2] (A0 = g0@(u0+u2),
+    # A2 = g2@(u0-u2)); pair (1,3): from [u1; u3] (Y1 = u1 - i·u3,
+    # Y3 = u1 + i·u3)
+    c02 = np.block([[g[0].real, g[0].real],
+                    [g[0].imag, g[0].imag],
+                    [g[2].real, -g[2].real],
+                    [g[2].imag, -g[2].imag]])           # [4a, 2a]
+    c13 = np.block([[g[1].real, g[1].imag],
+                    [g[1].imag, -g[1].real],
+                    [g[3].real, -g[3].imag],
+                    [g[3].imag, g[3].real]])            # [4a, 2a]
+
+    f2 = np.exp(-2j * np.pi * np.outer(np.arange(n2), np.arange(n2)) / n2)
+    keep = n2 // 2
+    f2b_kept = np.block([[f2.real[:, :keep], f2.imag[:, :keep]],
+                         [-f2.imag[:, :keep], f2.real[:, :keep]]])
+
+    # outer twiddle in chunk-major row order
+    k1_of_pos = (np.arange(n1) // a) + 4 * (np.arange(n1) % a)
+    tw = np.exp(-2j * np.pi * np.outer(k1_of_pos, np.arange(n2)) / n)
+    twr_hi, twr_lo = _df_tiled(tw.real, bs)
+    twi_hi, twi_lo = _df_tiled(tw.imag, bs)
+
+    def vsplit_host(a_f32):
+        c = np.float32(4097.0)
+        tt = (c * a_f32).astype(np.float32)
+        return (tt - (tt - a_f32).astype(np.float32)).astype(np.float32)
+
+    return (n1, n2, a,
+            _stacked_classes(_digit_planes(c02), axis=1),
+            _stacked_classes(_digit_planes(c13), axis=1),
+            _stacked_classes(_digit_planes(f2b_kept), axis=0),
+            twr_hi, twr_lo, twi_hi, twi_lo,
+            vsplit_host(twr_hi), vsplit_host(twi_hi))
+
+
+def _kernel_real_mag3(n1, n2, bs, a, ddt, x_ref, w_hi_ref, w_lo_ref,
+                      sel_ref,
+                      c02_ref, c13_ref, f2d_ref,
+                      twr_hi_ref, twr_lo_ref, twi_hi_ref, twi_lo_ref,
+                      twr_h_ref, twi_h_ref, mag_ref, nz_ref):
+    """3-factor variant of _kernel_real_mag: radix-4 + twiddle-folded
+    DFT_a stage 1 (see _kernel_plan_real3), shared tail."""
+    M = bs * n2
+    xcat = jnp.concatenate(
+        [jnp.concatenate([x_ref[si, c] for si in range(bs)], axis=1)
+         for c in (0, 1)], axis=0)                     # [2n1, bs*n2] raw
+
+    mask = (xcat != 0.0).astype(jnp.bfloat16)
+    counts = _dot(mask, sel_ref[:])                    # [2n1, bs] f32 exact
+    nz_ref[0] = jnp.concatenate(
+        [jnp.sum(counts[:n1], axis=0, keepdims=True),
+         jnp.sum(counts[n1:], axis=0, keepdims=True)], axis=0)
+
+    x_hi, x_lo = _windowed_df(xcat, w_hi_ref[:], w_lo_ref[:])
+
+    def dfa(x, y):
+        s0, e = two_sum(x[0], y[0])
+        return two_sum(s0, e + (x[1] + y[1]))
+
+    def dfs(x, y):
+        return dfa(x, (-y[0], -y[1]))
+
+    # ---- radix-4 butterflies (exact df adds), both channels ------------
+    u02, u13 = [], []
+    for c in (0, 1):
+        ch = [(x_hi[c * n1 + q * a:c * n1 + (q + 1) * a],
+               x_lo[c * n1 + q * a:c * n1 + (q + 1) * a]) for q in range(4)]
+        u0 = dfa(ch[0], ch[2])
+        u1 = dfs(ch[0], ch[2])
+        u2 = dfa(ch[1], ch[3])
+        u3 = dfs(ch[1], ch[3])
+        u02.append((jnp.concatenate([u0[0], u2[0]], axis=0),
+                    jnp.concatenate([u0[1], u2[1]], axis=0)))  # [2a, M]
+        u13.append((jnp.concatenate([u1[0], u3[0]], axis=0),
+                    jnp.concatenate([u1[1], u3[1]], axis=0)))
+
+    def ccat(parts):   # channels side by side along columns: [2a, 2M]
+        return (jnp.concatenate([p[0] for p in parts], axis=1),
+                jnp.concatenate([p[1] for p in parts], axis=1))
+
+    U02, U13 = ccat(u02), ccat(u13)
+
+    # ---- two digit dots cover all four chunks of both channels ---------
+    dtype = _kernel_dtypes(ddt)[0]
+    sA, sA_inv = _pow2_scale_scalar(U02[0])
+    a02 = _digit_stage(c02_ref, _slice4(U02[0], U02[1], sA_inv, dtype), sA,
+                       left=True)                      # [4a, 2M]
+    sB, sB_inv = _pow2_scale_scalar(U13[0])
+    a13 = _digit_stage(c13_ref, _slice4(U13[0], U13[1], sB_inv, dtype), sB,
+                       left=True)
+
+    # ---- reassemble chunk-major [n1, M] (re, im) rows per channel ------
+    chans = []
+    for c in (0, 1):
+        col = slice(c * M, (c + 1) * M)
+
+        def rows(src, r0):
+            return (src[0][r0:r0 + a, col], src[1][r0:r0 + a, col])
+
+        def cat4(blocks):
+            return (jnp.concatenate([b[0] for b in blocks], axis=0),
+                    jnp.concatenate([b[1] for b in blocks], axis=0))
+
+        ar = cat4([rows(a02, 0), rows(a13, 0),
+                   rows(a02, 2 * a), rows(a13, 2 * a)])
+        ai = cat4([rows(a02, a), rows(a13, a),
+                   rows(a02, 3 * a), rows(a13, 3 * a)])
+        chans.append((ar, ai))
+
+    _real_mag_tail(n1, n2, bs, dtype, chans,
+                   twr_hi_ref, twr_lo_ref, twi_hi_ref, twi_lo_ref,
+                   twr_h_ref, twi_h_ref, f2d_ref, mag_ref)
+
+
+@lru_cache(maxsize=16)
+def _row_unscramble(n: int) -> np.ndarray:
+    """pos(k1) for the 3-factor chunk-major row order: natural bin k1
+    lives at kernel row (k1 % 4)·a + k1 // 4."""
+    n1 = n // _LANES
+    a = n1 // 4
+    k1 = np.arange(n1)
+    return ((k1 % 4) * a + k1 // 4).astype(np.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def cfft_exact_packed(x2_hi: jnp.ndarray, x2_lo: jnp.ndarray,
                       interpret: bool = False):
@@ -444,7 +663,7 @@ def cfft_exact_packed(x2_hi: jnp.ndarray, x2_lo: jnp.ndarray,
     S, two_n1, n2 = x2_hi.shape
     n1 = two_n1 // 2
     n = n1 * n2
-    bs = _block_streams(n)
+    bs = _block_streams(n, split=2)   # the complex kernel is 2-factor
     while S % bs:
         bs //= 2
     (n1, n2, f1d, f2d, twr_hi, twr_lo, twi_hi, twi_lo) = _kernel_plan(n, bs)
@@ -502,65 +721,94 @@ def _lane_selector(n2: int, bs: int) -> np.ndarray:
     return sel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "split", "ddt"))
 def rfft_pair_mag_packed(x4: jnp.ndarray, w_hi: jnp.ndarray,
-                         w_lo: jnp.ndarray, interpret: bool = False):
+                         w_lo: jnp.ndarray, interpret: bool = False,
+                         split: int = 2, ddt: str = "bf16"):
     """Raw channel-pair windows -> |rFFT| magnitudes + silence counts.
 
     ``x4``: [S, 2, N1, N2] f32 raw samples.  Returns ``(mag4, nzcount)``:
     ``mag4`` [S, 2, N1, N2//2] f32 kept-half magnitudes in block coords
     (flat bin k = k1 + N1*k2), ``nzcount`` [S, 2] f32 per-(stream,
-    channel) raw nonzero counts.
+    channel) raw nonzero counts.  ``split`` is the stage-1 strategy and
+    ``ddt`` the digit dtype for the MXU passes (both static: callers
+    resolve the env reads so they never hide inside a cached trace).
     """
     S, _, n1, n2 = x4.shape
     n = n1 * n2
-    bs = _block_streams(n)
+    bs = _block_streams(n, split=split)
     while S % bs:
         bs //= 2
-    (n1, n2, f1d, f2d, twr_hi, twr_lo,
-     twi_hi, twi_lo, twr_h, twi_h) = _kernel_plan_real(n, bs)
 
     def wtile(w):
         return jnp.tile(w.reshape(n1, n2), (2, bs))
 
     vm = pltpu.VMEM
-    kernel = functools.partial(_kernel_real_mag, n1, n2, bs)
     two_n1 = 2 * n1
     tw_spec = pl.BlockSpec((n1, bs * n2), lambda i: (0, 0), memory_space=vm)
-    mag4, nz = pl.pallas_call(
-        kernel,
-        grid=(S // bs,),
-        in_specs=[
-            pl.BlockSpec((bs, 2, n1, n2), lambda i: (i, 0, 0, 0),
+    common_in = [
+        pl.BlockSpec((bs, 2, n1, n2), lambda i: (i, 0, 0, 0),
+                     memory_space=vm),
+        pl.BlockSpec((two_n1, bs * n2), lambda i: (0, 0), memory_space=vm),
+        pl.BlockSpec((two_n1, bs * n2), lambda i: (0, 0), memory_space=vm),
+        pl.BlockSpec((bs * n2, bs), lambda i: (0, 0), memory_space=vm),
+    ]
+    out_specs = [
+        pl.BlockSpec((bs, 2, n1, n2 // 2), lambda i: (i, 0, 0, 0),
+                     memory_space=vm),
+        pl.BlockSpec((1, 2, bs), lambda i: (i, 0, 0), memory_space=vm),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((S, 2, n1, n2 // 2), jnp.float32),
+        jax.ShapeDtypeStruct((S // bs, 2, bs), jnp.float32),
+    ]
+
+    if split == 3:
+        (n1, n2, a, c02, c13, f2d, twr_hi, twr_lo,
+         twi_hi, twi_lo, twr_h, twi_h) = _kernel_plan_real3(n, bs)
+        kernel = functools.partial(_kernel_real_mag3, n1, n2, bs, a, ddt)
+        const_specs = [
+            pl.BlockSpec((4 * a, 10 * 2 * a), lambda i: (0, 0),
                          memory_space=vm),
-            pl.BlockSpec((two_n1, bs * n2), lambda i: (0, 0),
+            pl.BlockSpec((4 * a, 10 * 2 * a), lambda i: (0, 0),
                          memory_space=vm),
-            pl.BlockSpec((two_n1, bs * n2), lambda i: (0, 0),
+            pl.BlockSpec((10 * 2 * n2, n2), lambda i: (0, 0),
                          memory_space=vm),
-            pl.BlockSpec((bs * n2, bs), lambda i: (0, 0), memory_space=vm),
+        ]
+        cdt = _kernel_dtypes(ddt)[0]
+        consts = (jnp.asarray(c02, cdt), jnp.asarray(c13, cdt),
+                  jnp.asarray(f2d, cdt))
+    else:
+        (n1, n2, f1d, f2d, twr_hi, twr_lo,
+         twi_hi, twi_lo, twr_h, twi_h) = _kernel_plan_real(n, bs)
+        kernel = functools.partial(_kernel_real_mag, n1, n2, bs, ddt)
+        const_specs = [
             pl.BlockSpec((4 * n1, 10 * two_n1), lambda i: (0, 0),
                          memory_space=vm),
             pl.BlockSpec((10 * 2 * n2, n2), lambda i: (0, 0),
                          memory_space=vm),
-            tw_spec, tw_spec, tw_spec, tw_spec, tw_spec, tw_spec,
-        ],
-        out_specs=[
-            pl.BlockSpec((bs, 2, n1, n2 // 2), lambda i: (i, 0, 0, 0),
-                         memory_space=vm),
-            pl.BlockSpec((1, 2, bs), lambda i: (i, 0, 0), memory_space=vm),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((S, 2, n1, n2 // 2), jnp.float32),
-            jax.ShapeDtypeStruct((S // bs, 2, bs), jnp.float32),
-        ],
+        ]
+        cdt = _kernel_dtypes(ddt)[0]
+        consts = (jnp.asarray(f1d, cdt), jnp.asarray(f2d, cdt))
+
+    mag4, nz = pl.pallas_call(
+        kernel,
+        grid=(S // bs,),
+        in_specs=common_in + const_specs
+        + [tw_spec, tw_spec, tw_spec, tw_spec, tw_spec, tw_spec],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(x4, wtile(w_hi), wtile(w_lo),
       jnp.asarray(_lane_selector(n2, bs), jnp.bfloat16),
-      jnp.asarray(f1d, jnp.bfloat16), jnp.asarray(f2d, jnp.bfloat16),
+      *consts,
       jnp.asarray(twr_hi), jnp.asarray(twr_lo),
       jnp.asarray(twi_hi), jnp.asarray(twi_lo),
       jnp.asarray(twr_h), jnp.asarray(twi_h))
 
+    if split == 3:
+        # chunk-major k1 rows -> natural order (see _kernel_plan_real3)
+        mag4 = jnp.take(mag4, jnp.asarray(_row_unscramble(n)), axis=-2)
     return mag4, jnp.swapaxes(nz, 1, 2).reshape(S, 2)
 
 
@@ -582,8 +830,10 @@ def rfft_pair_mag_kernel(x, nbins: int | None = None, window=None,
         w_lo = jnp.zeros((n,), jnp.float32)
     else:
         w_hi, w_lo = window
-    mag4, nzc = rfft_pair_mag_packed(x.reshape(S, 2, n1, n2), w_hi, w_lo,
-                                     interpret=interpret)
+    mag4, nzc = rfft_pair_mag_packed(
+        x.reshape(S, 2, n1, n2), w_hi, w_lo, interpret=interpret,
+        split=_stage1_split(n),
+        ddt=os.environ.get("WAVEFORM_TPU_KERNEL_DIGIT_DTYPE", "bf16"))
     # block coords -> flat bins k = k1 + n1*k2 (kernel keeps k2 < n2//2)
     mag = jnp.swapaxes(mag4, -1, -2).reshape(S, 2, n // 2)
     mag = mag[..., :nbins].reshape(*shp, 2, nbins)

@@ -330,8 +330,8 @@ def cfft_exact(re, im, allow_kernel: bool = True):
     # exact_pallas.py): the XLA lowering below is HBM-bound on the digit
     # slicing and GEMM partials.  ``allow_kernel=False``: see
     # rfft_pair_mag_exact (sharded-mesh callers).
-    from .exact_pallas import cfft_exact_kernel, enabled, supports
-    if allow_kernel and supports(n) and enabled():
+    from .exact_pallas import cfft_exact_kernel, enabled, supports_cfft
+    if allow_kernel and supports_cfft(n) and enabled():
         return cfft_exact_kernel(
             re, im,
             interpret=_os.environ.get("WAVEFORM_TPU_EXACT_INTERPRET") == "1")

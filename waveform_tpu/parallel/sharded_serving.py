@@ -140,6 +140,32 @@ class ShardedServingEngine(ServingEngine):
             in_shardings=(t, t, s, s, r, t, s, s),
             out_shardings=(px_sh, s, s, s))
 
+    def _jit_scan_packed(self, fn):
+        # the slots tuple is k separate [S, W] args: the stream sharding
+        # broadcasts over the tuple as a pytree prefix
+        s, r = self._s_sh, self._r_sh
+        px_sh = NamedSharding(self.mesh, P(None, STREAM_AXIS, None,
+                                           PIXEL_AXIS))
+        return jax.jit(fn, donate_argnums=(1, 2, 4),
+                       in_shardings=(s, s, s, r, s),
+                       out_shardings=(px_sh, s, s, s))
+
+    def _jit_scan_packed_u(self, fn):
+        s, r = self._s_sh, self._r_sh
+        px_sh = NamedSharding(self.mesh, P(None, STREAM_AXIS, None,
+                                           PIXEL_AXIS))
+        return jax.jit(fn, donate_argnums=(1, 2, 4),
+                       in_shardings=(s, s, s, r, s, r),
+                       out_shardings=(px_sh, s, s, s))
+
+    def _prep_mb_slot(self, x):
+        x = np.asarray(x)
+        if jax.process_count() > 1:
+            lo, hi = self._local_rows
+            return from_process_local(self._s_sh, x[lo:hi], x.shape)
+        from ..runtime.serving import chunked_put
+        return chunked_put(x, self._s_sh)
+
     # -- user-facing padding/trimming ------------------------------------
 
     def feed_batch(self, data: np.ndarray, timestamp_ns: int,

@@ -166,7 +166,9 @@ def test_native_packed_assembly_layout(rng):
 
 
 def test_native_packed_without_rms(rng):
-    """with_rms=False leaves the RMS block alone but still writes meta."""
+    """with_rms=False rows carry NO RMS block at all — meta lands right
+    after the samples (the upload is a third narrower at C=2; see
+    ServingEngine.packed_width)."""
     S, C, H = 2, 2, 400
     a = NativeAssembler(S, C, 2048, SR, prefill=False)
     now = NS
@@ -174,10 +176,10 @@ def test_native_packed_without_rms(rng):
     for s in range(S):
         a.feed(s, x[s], now, now_ns=now)
     now += 500 * NS // SR
-    flat = np.full((S, C * H + H + 3), -9.0, np.float32)
+    flat = np.full((S, C * H + 3), -9.0, np.float32)
     a.assemble_hop_packed(now, H, flat, with_rms=False)
-    assert (flat[:, C * H:C * H + H] == -9.0).all()   # rms block untouched
     assert (flat[:, -3] == 400).all()
     assert (flat[:, -2] == 1.0).all()
+    assert (flat[:, -1] == -9.0).all()   # input_rms column host-owned
     np.testing.assert_array_equal(
         flat[:, :C * H].reshape(S, C, H), x[:, :, :400])

@@ -474,3 +474,20 @@ def test_microbatch_sharded_matches():
     pa = _drive(a, S, T)
     pb = _drive(b, S, T)
     np.testing.assert_allclose(pb, pa, rtol=0, atol=1e-4)
+
+
+def test_microbatch_with_native_assembler():
+    """The C++ assembler writes directly into microbatch slot views (meta
+    offset depends on the with_rms row layout) — must match the pure-
+    Python assembly path frame for frame."""
+    from waveform_tpu.native import load_library
+    if load_library() is None:
+        import pytest
+        pytest.skip("no native toolchain")
+    cfg = _mb_cfg()
+    S, T = 3, 8
+    a = ServingEngine(cfg, S, use_native=False, microbatch=4)
+    b = ServingEngine(cfg, S, use_native=True, microbatch=4)
+    pa = _drive(a, S, T, per_stream=True)
+    pb = _drive(b, S, T, per_stream=True)
+    np.testing.assert_allclose(pb, pa, rtol=0, atol=1e-5)

@@ -296,12 +296,15 @@ void wf_assemble_hop_rms(Engine* e, long long now_ns, int H, float* out,
 
 // Packed serving-mode assembly for the single-upload tick
 // (runtime/serving.py _in_buf): each stream writes one row of a
-// [S, row_stride] float buffer — C*H samples, H raw RMS squares (when
-// with_rms), then counts and active as floats at C*H+H and C*H+H+1.
-// One lock pass per stream, zero Python-side repacking.
+// [S, row_stride] float buffer — C*H samples, then (only when with_rms)
+// H raw RMS squares, then counts and active as floats.  Rows without the
+// RMS block are 1/3 narrower at C=2 — the per-tick upload is the live
+// path's dominant cost over thin links, so bytes only ride when the
+// config needs them.  One lock pass per stream, zero Python repacking.
 void wf_assemble_hop_packed(Engine* e, long long now_ns, int H, float* flat,
                             long long row_stride, int with_rms) {
   const int C = e->channels;
+  const size_t meta = (size_t)C * H + (with_rms ? (size_t)H : 0);
   for (int i = 0; i < e->num_streams; ++i) {
     Stream& s = e->streams[i];
     std::lock_guard<std::timed_mutex> lk(s.mtx);
@@ -322,8 +325,8 @@ void wf_assemble_hop_packed(Engine* e, long long now_ns, int H, float* flat,
       size_t got = s.rms_ring.pop(dst, (size_t)take);
       std::memset(dst + got, 0, ((size_t)H - got) * sizeof(float));
     }
-    row[(size_t)C * H + H] = (float)take;
-    row[(size_t)C * H + H + 1] = (float)act;
+    row[meta] = (float)take;
+    row[meta + 1] = (float)act;
   }
 }
 

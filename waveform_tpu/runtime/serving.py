@@ -107,12 +107,15 @@ class ServingEngine:
         self.H = hop_budget or (2 * int(cfg.audio.samples_per_sec / cfg.fps)
                                 + 16)
         self._pending = [_PendingStream() for _ in range(num_streams)]
-        # One packed [S, C*H + H + 3] row per stream — samples, raw RMS
-        # squares, then (counts, active, input_rms) — so a per-tick dispatch
-        # costs ONE host→device transfer instead of five.  Over links where
-        # every transfer pays a round trip (the relay tunnel here; PCIe
-        # doorbells in production) this is the difference between ~5 RTTs
-        # and 1 on the latency-critical path.
+        self._normalize = cfg.normalize_volume
+        # One packed row per stream — C*H samples, the H raw RMS squares
+        # ONLY when volume normalization needs them (the upload is the
+        # live path's dominant cost over thin links; at C=2 the optional
+        # block is a third of the row), then (counts, active, input_rms) —
+        # so a per-tick dispatch costs ONE host→device transfer instead of
+        # five.  Over links where every transfer pays a round trip (the
+        # relay tunnel here; PCIe doorbells in production) this is the
+        # difference between ~5 RTTs and 1 on the latency-critical path.
         #
         # The buffer is DOUBLE-buffered with a completion fence: jit-argument
         # transfers may be consumed asynchronously after dispatch returns
@@ -122,8 +125,7 @@ class ServingEngine:
         # memory a still-in-flight tick reads.  Alternating two buffers and
         # blocking on the output of the tick that last used a buffer before
         # rewriting it makes reuse safe while keeping one tick in flight.
-        CH, H = self.C * self.H, self.H
-        self._bufs = [np.zeros((num_streams, CH + H + 3), np.float32)
+        self._bufs = [np.zeros((num_streams, self.packed_width), np.float32)
                       for _ in range(2)]
         self._fences: list = [None, None]
         self._flip = 0
@@ -205,7 +207,7 @@ class ServingEngine:
             push instead of the batched gather (see dsp/devring.py)."""
             s = flat.shape[0]
             new = flat[:, :C * H].reshape(s, C, H)
-            rms_sq = flat[:, C * H:C * H + H]
+            rms_sq = (flat[:, C * H:C * H + H] if normalize else None)
             counts = (flat[:, -3].astype(jnp.int32) if ucount is None
                       else ucount)
             active = flat[:, -2] > 0.5
@@ -293,11 +295,7 @@ class ServingEngine:
         if fence is not None:
             jax.block_until_ready(fence)
             self._fences[i] = None
-        CH, H = self.C * self.H, self.H
-        self._in_buf = self._bufs[i]
-        self._push_buf = self._in_buf[:, :CH].reshape(-1, self.C, H)
-        self._rms_buf = self._in_buf[:, CH:CH + H]
-        self._meta_buf = self._in_buf[:, CH + H:]
+        self._bind_external(self._bufs[i])
 
     # -- hooks the sharded engine overrides (parallel/sharded_serving.py) --
 
@@ -668,8 +666,10 @@ class ServingEngine:
 
     @property
     def packed_width(self) -> int:
-        """Row width of the packed per-tick upload: C*H + H + 3."""
-        return self.C * self.H + self.H + 3
+        """Row width of the packed per-tick upload: C*H samples, the H
+        RMS squares only under volume normalization, 3 meta columns."""
+        return (self.C * self.H
+                + (self.H if self._normalize else 0) + 3)
 
     def bind_cohort(self, row0: int) -> None:
         """Compile the cohort tick: this engine's rows live at
@@ -696,10 +696,11 @@ class ServingEngine:
         (a row slice of a cohort buffer; the caller owns double-buffering
         and fences)."""
         CH, H = self.C * self.H, self.H
+        R = H if self._normalize else 0
         self._in_buf = view
         self._push_buf = view[:, :CH].reshape(-1, self.C, H)
-        self._rms_buf = view[:, CH:CH + H]
-        self._meta_buf = view[:, CH + H:]
+        self._rms_buf = view[:, CH:CH + R]
+        self._meta_buf = view[:, CH + R:]
 
     def tick_from_cohort(self, cohort_dev, now_ns: int,
                          dt: float | None = None):

@@ -299,3 +299,50 @@ def test_demo_cli_all_mode_classes(tmp_path):
         assert rc == 0
         import os
         assert any(f.endswith(".png") for f in os.listdir(out)), mode
+
+
+def test_measured_plans_guide_kernel_choices(tmp_path, monkeypatch):
+    """utils/plans.py is the FFTW measure-and-pick analog: a stored plan
+    entry steers the stage-1 split and digit dtype; env overrides win;
+    invalid entries fall back to the heuristic."""
+    import json
+    import os as _os
+
+    from waveform_tpu.kernels.exact_pallas import (
+        _digit_dtype_choice,
+        _stage1_split,
+    )
+    from waveform_tpu.utils import plans
+
+    pf = tmp_path / "plans.json"
+    monkeypatch.setenv("WAVEFORM_TPU_PLAN_FILE", str(pf))
+    monkeypatch.delenv("WAVEFORM_TPU_STAGE1_SPLIT", raising=False)
+    monkeypatch.delenv("WAVEFORM_TPU_KERNEL_DIGIT_DTYPE", raising=False)
+
+    # no plan file: heuristic defaults
+    assert _stage1_split(4096) == 2
+    assert _stage1_split(65536) == 3
+    assert _digit_dtype_choice(4096) == "bf16"
+
+    pf.write_text(json.dumps({"4096": {"split": 3, "ddt": "int8"}}))
+    _os.utime(pf, (1, 1))   # distinct mtime for the lookup cache
+    assert _stage1_split(4096) == 3
+    assert _digit_dtype_choice(4096) == "int8"
+
+    # env override beats the plan
+    monkeypatch.setenv("WAVEFORM_TPU_STAGE1_SPLIT", "2")
+    monkeypatch.setenv("WAVEFORM_TPU_KERNEL_DIGIT_DTYPE", "bf16")
+    assert _stage1_split(4096) == 2
+    assert _digit_dtype_choice(4096) == "bf16"
+    monkeypatch.delenv("WAVEFORM_TPU_STAGE1_SPLIT")
+    monkeypatch.delenv("WAVEFORM_TPU_KERNEL_DIGIT_DTYPE")
+
+    # a split the size cannot run falls back (65536 needs the 3-factor)
+    pf.write_text(json.dumps({"65536": {"split": 2}}))
+    _os.utime(pf, (2, 2))
+    assert _stage1_split(65536) == 3
+
+    # record() round-trips through plan_for()
+    plans.record(8192, {"split": 3, "ddt": "bf16", "us_per_frame": 1.0})
+    assert plans.plan_for(8192)["split"] == 3
+    assert plans.plan_for(999) is None

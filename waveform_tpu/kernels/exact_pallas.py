@@ -69,14 +69,23 @@ def _factors(n: int) -> tuple[int, int]:
 def _stage1_split(n: int) -> int:
     """Row-side factorization of the kernel's stage 1: 2 = one dense
     [N1, N1] digit dot (constants quadratic in N1); 3 = N1 = a·4 with an
-    exact radix-4 layer + per-row twiddle + dense [a, a] digit dots
+    exact radix-4 layer + twiddle-folded dense [a, a] digit dots
     (constants quadratic in a = N1/4 — 16x smaller), which is what fits
-    N=65536 in VMEM.  Auto: 3-factor from N=32768 up (where the 2-factor
-    constants crowd out stream blocking), 2-factor below (fewer VPU
-    passes).  WAVEFORM_TPU_STAGE1_SPLIT=2|3 overrides for ablation."""
+    N=65536 in VMEM.  Resolution order: WAVEFORM_TPU_STAGE1_SPLIT=2|3
+    env override, then a measured plan entry (utils/plans.py — the FFTW
+    measure-and-pick analog), then the heuristic default (3-factor from
+    N=32768 up, where the 2-factor constants crowd out stream
+    blocking)."""
     mode = os.environ.get("WAVEFORM_TPU_STAGE1_SPLIT", "auto")
     if mode in ("2", "3"):
         return int(mode)
+    from ..utils.plans import plan_for
+    p = plan_for(n)
+    if p is not None and p.get("split") in (2, 3):
+        split = p["split"]
+        n1 = n // _LANES
+        if (split == 2 and n <= 32768) or (split == 3 and n1 % 32 == 0):
+            return split
     return 3 if n >= 32768 else 2
 
 
@@ -641,6 +650,20 @@ def _kernel_real_mag3(n1, n2, bs, a, ddt, x_ref, w_hi_ref, w_lo_ref,
                    twr_h_ref, twi_h_ref, f2d_ref, mag_ref)
 
 
+def _digit_dtype_choice(n: int) -> str:
+    """bf16 vs int8 digit planes: env override, then the measured plan
+    (utils/plans.py), then bf16 (results are bit-identical either way —
+    this is purely a speed plan)."""
+    env = os.environ.get("WAVEFORM_TPU_KERNEL_DIGIT_DTYPE")
+    if env in ("bf16", "int8"):
+        return env
+    from ..utils.plans import plan_for
+    p = plan_for(n)
+    if p is not None and p.get("ddt") in ("bf16", "int8"):
+        return p["ddt"]
+    return "bf16"
+
+
 @lru_cache(maxsize=16)
 def _row_unscramble(n: int) -> np.ndarray:
     """pos(k1) for the 3-factor chunk-major row order: natural bin k1
@@ -832,8 +855,7 @@ def rfft_pair_mag_kernel(x, nbins: int | None = None, window=None,
         w_hi, w_lo = window
     mag4, nzc = rfft_pair_mag_packed(
         x.reshape(S, 2, n1, n2), w_hi, w_lo, interpret=interpret,
-        split=_stage1_split(n),
-        ddt=os.environ.get("WAVEFORM_TPU_KERNEL_DIGIT_DTYPE", "bf16"))
+        split=_stage1_split(n), ddt=_digit_dtype_choice(n))
     # block coords -> flat bins k = k1 + n1*k2 (kernel keeps k2 < n2//2)
     mag = jnp.swapaxes(mag4, -1, -2).reshape(S, 2, n // 2)
     mag = mag[..., :nbins].reshape(*shp, 2, nbins)

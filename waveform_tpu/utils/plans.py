@@ -1,0 +1,175 @@
+"""Measured kernel-plan selection — the FFTW planner's measure-and-pick.
+
+FFTW's planner times candidate solver trees and keeps the fastest, then
+persists the choice as wisdom (/root/reference/deps/fftw-3.3.11/kernel/
+planner.c:572 ``search``, api/export-wisdom-to-file.c).  XLA owns codegen
+here, but the exact Pallas kernel still has real per-size plan choices the
+compiler cannot make:
+
+* the stage-1 split (2-factor dense vs 3-factor radix-4, exact_pallas
+  ``_stage1_split``), and
+* the digit dtype for the MXU passes (bf16/f32-acc vs int8/int32-acc —
+  bit-identical results, different VPU/MXU balance).
+
+:func:`measure` times every candidate interleaved in one process (tunnel
+slow phases hit all variants equally) and :func:`record` persists the
+winner to a plan file; ``exact_pallas`` consults :func:`plan_for` when no
+env override is set.  Run ``python -m waveform_tpu.utils.plans 4096
+16384`` on the target hardware to tune.  Heuristic defaults apply when no
+plan entry exists, so plans are an optimization, never a requirement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from functools import lru_cache
+
+import numpy as np
+
+
+def plan_path() -> str:
+    return os.environ.get(
+        "WAVEFORM_TPU_PLAN_FILE",
+        os.path.join(os.path.expanduser("~"), ".cache", "waveform_tpu",
+                     "plans.json"))
+
+
+@lru_cache(maxsize=8)
+def _load(path: str, mtime: float) -> dict:
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def plan_for(n: int) -> dict | None:
+    """The stored plan entry for fft_size ``n``, or None."""
+    path = plan_path()
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        return None
+    return _load(path, mtime).get(str(n))
+
+
+def record(n: int, entry: dict) -> None:
+    path = plan_path()
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    try:
+        with open(path) as f:
+            plans = json.load(f)
+    except (OSError, ValueError):
+        plans = {}
+    plans[str(n)] = entry
+    with open(path, "w") as f:
+        json.dump(plans, f, indent=1, sort_keys=True)
+
+
+def _candidates(n: int) -> list[tuple[int, str]]:
+    from ..kernels.exact_pallas import _LANES, supports
+    out = []
+    for split in (2, 3):
+        if split == 2 and n <= 32768 and (n // _LANES) % 8 == 0:
+            pass
+        elif split == 3 and (n // _LANES) % 32 == 0 and n <= 65536:
+            pass
+        else:
+            continue
+        if not supports(n):
+            continue
+        for ddt in ("bf16", "int8"):
+            out.append((split, ddt))
+    return out
+
+
+def measure(n: int, streams: int = 64, ticks: int = 8, reps: int = 8,
+            verbose: bool = True) -> dict:
+    """Time every kernel candidate (and the XLA lowering) interleaved;
+    persist and return the winning plan entry."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..kernels import exactfft
+    from ..kernels.exact_pallas import rfft_pair_mag_packed
+
+    n1, n2 = n // 128, 128
+    S = streams
+    w = jnp.ones((n,), jnp.float32)
+    wz = jnp.zeros((n,), jnp.float32)
+
+    def build(tag):
+        if tag == "xla":
+            def mag_fn(x4):
+                x = x4.reshape(S, 2, n)
+                m = exactfft.rfft_pair_mag_exact(x, allow_kernel=False)
+                return m.reshape(S, 2, n2 // 2, n1).swapaxes(-1, -2)
+        else:
+            split, ddt = tag
+
+            def mag_fn(x4):
+                return rfft_pair_mag_packed(x4, w, wz, split=split,
+                                            ddt=ddt)[0]
+
+        def run(x4):
+            def body(carry, _):
+                mag = mag_fn(carry)
+                d = jnp.concatenate([mag, mag], axis=-1)
+                return (carry * jnp.float32(0.9999)
+                        + d * jnp.float32(1e-6)), mag[0, 0, 0, 0]
+            return jax.lax.scan(body, x4, None, length=ticks)
+
+        return jax.jit(run)
+
+    tags = _candidates(n) + ["xla"]
+    fns = {t: build(t) for t in tags}
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(0.3 * rng.standard_normal((S, 2, n1, n2)), jnp.float32)
+    for t, f in fns.items():
+        t0 = time.perf_counter()
+        jax.block_until_ready(f(x0))
+        if verbose:
+            print(f"compile {t}: {time.perf_counter() - t0:.0f}s",
+                  flush=True)
+    times = {t: [] for t in tags}
+    for _ in range(reps):
+        for t in tags:
+            t0 = time.perf_counter()
+            jax.block_until_ready(fns[t](x0))
+            times[t].append((time.perf_counter() - t0)
+                            / (ticks * S) * 1e6)
+    mins = {t: float(np.min(v)) for t, v in times.items()}
+    kern = [t for t in tags if t != "xla"]
+    entry: dict = {"xla_us_per_frame": round(mins["xla"], 3),
+                   "streams": S}
+    if kern:
+        best = min(kern, key=lambda t: mins[t])
+        entry.update({"split": best[0], "ddt": best[1],
+                      "us_per_frame": round(mins[best], 3)})
+    record(n, entry)
+    if verbose:
+        for t in tags:
+            print(f"{t}: min {mins[t]:.2f} us/frame")
+        print(f"plan[{n}] = {entry}")
+    return entry
+
+
+def main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("sizes", type=int, nargs="+")
+    ap.add_argument("--streams", type=int, default=64)
+    ap.add_argument("--ticks", type=int, default=8)
+    ap.add_argument("--reps", type=int, default=8)
+    args = ap.parse_args()
+    from .wisdom import enable
+    enable()
+    for n in args.sizes:
+        measure(n, args.streams, args.ticks, args.reps)
+
+
+if __name__ == "__main__":
+    main()

@@ -127,12 +127,20 @@ def measure(n: int, streams: int = 64, ticks: int = 8, reps: int = 8,
     fns = {t: build(t) for t in tags}
     rng = np.random.default_rng(0)
     x0 = jnp.asarray(0.3 * rng.standard_normal((S, 2, n1, n2)), jnp.float32)
-    for t, f in fns.items():
+    for t in list(fns):
         t0 = time.perf_counter()
-        jax.block_until_ready(f(x0))
+        try:
+            jax.block_until_ready(fns[t](x0))
+        except Exception as e:   # candidate unlowerable on this backend
+            if verbose:
+                print(f"candidate {t} failed to compile: "
+                      f"{type(e).__name__}: {str(e)[:200]}", flush=True)
+            del fns[t]
+            continue
         if verbose:
             print(f"compile {t}: {time.perf_counter() - t0:.0f}s",
                   flush=True)
+    tags = list(fns)
     times = {t: [] for t in tags}
     for _ in range(reps):
         for t in tags:

@@ -220,3 +220,33 @@ def test_bus_read_before_tick_raises_clearly():
         bus.read_pixels(h)
     with pytest.raises(RuntimeError, match="tick"):
         bus.read_decibels(h)
+
+
+def test_bus_rms_window_survives_push_longer_than_window():
+    """A single tick can push more samples than the 1 s RMS window (big
+    hop_budget / low fps); the window must then become exactly the last R
+    samples — positional updates would hit duplicate ring slots and
+    permanently desync the running sum."""
+    cfg = _cfg(fft_size=512, normalize_volume=True)
+    R = cfg.input_rms_size
+    bus = OutputBus(cfg.audio, hop_budget=R + 512)
+    bus.subscribe(cfg)
+    rng = np.random.default_rng(11)
+    big = (0.5 * rng.standard_normal((2, R + 512))).astype(np.float32)
+    now = NS
+    bus.feed(big, now, now_ns=now)
+    now += big.shape[-1] * NS // SR
+    bus.tick(now_ns=now)
+    # invariant: the running sum tracks the window contents exactly
+    assert np.isclose(bus._rms_sum, bus._rms_win.sum(dtype=np.float64),
+                      rtol=1e-6)
+    want = (np.max(np.abs(big[:, -R:]), axis=0).astype(np.float32)
+            .astype(np.float64) ** 2).sum()
+    assert np.isclose(bus._rms_sum, want, rtol=1e-5)
+    # and a following small push keeps it consistent
+    small = (0.5 * rng.standard_normal((2, 480))).astype(np.float32)
+    bus.feed(small, now, now_ns=now)
+    now += 480 * NS // SR
+    bus.tick(now_ns=now)
+    assert np.isclose(bus._rms_sum, bus._rms_win.sum(dtype=np.float64),
+                      rtol=1e-6)

@@ -452,6 +452,30 @@ def test_microbatch_matches_single_tick():
     assert b.last_batch_pixels.shape[0] == 4
 
 
+def test_microbatch_per_frame_dt_matches():
+    """Each accumulated tick keeps its own dt: under time-varying EMA a
+    microbatch engine fed jittery frame times must match microbatch=1
+    ticks fed the same dts (the flush scan consumes a [k] dt vector, not
+    the flush call's dt)."""
+    cfg = _mb_cfg(temporal_smoothing=TSmoothingMode.TVEXPONENTIAL)
+    S, T = 3, 8
+    dts = [1 / 60, 1 / 20, 1 / 60, 1 / 30, 1 / 75, 1 / 60, 1 / 25, 1 / 50]
+    a = ServingEngine(cfg, S, use_native=False)
+    b = ServingEngine(cfg, S, use_native=False, microbatch=4)
+    rng = np.random.default_rng(7)
+    pkts = [(0.4 * rng.standard_normal((S, 2, 480))).astype(np.float32)
+            for _ in range(T)]
+    for eng in (a, b):
+        now = NS
+        for k in range(T):
+            eng.feed_batch(pkts[k], now, now_ns=now)
+            now += 480 * NS // SR
+            eng.tick(now_ns=now, dt=dts[k])
+    np.testing.assert_allclose(np.asarray(b.read_pixels()),
+                               np.asarray(a.read_pixels()),
+                               rtol=0, atol=1e-5)
+
+
 def test_microbatch_matches_with_normalize_and_per_stream_feed():
     """Non-uniform per-stream counts select the gather-push scan variant;
     the RMS ring threads through the scan carry."""

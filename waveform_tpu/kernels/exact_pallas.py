@@ -89,16 +89,18 @@ def _stage1_split(n: int) -> int:
     return 3 if n >= 32768 else 2
 
 
-def supports(n: int) -> bool:
+def supports(n: int, split: int | None = None) -> bool:
     """Kernel preconditions: the default term budget and MXU-friendly
     factor sizes — N1 = n/128 a sublane multiple (and, for the 3-factor
     stage 1 that large sizes need, a = N1/4 a sublane multiple).  The
     3-factor split keeps stage-1 constants quadratic only in N1/4, which
     admits N=65536 (the 2-factor's four [2N1, 2N1] digit planes alone
-    would be 16 MB there — the whole VMEM)."""
+    would be 16 MB there — the whole VMEM).  ``split`` checks a specific
+    stage-1 split (the plan tuner probes both); default resolves the
+    env/plan/heuristic choice."""
     if not (MAX_T == 3 and n % _LANES == 0 and (n // _LANES) % 8 == 0):
         return False
-    if _stage1_split(n) == 2:
+    if (split if split in (2, 3) else _stage1_split(n)) == 2:
         return n <= 32768
     return (n // _LANES) % 32 == 0 and n <= 65536
 
@@ -195,9 +197,10 @@ def _kernel_plan(n: int, bs: int):
 
 
 def _pow2_scale_scalar(hi):
-    """Power-of-two scale >= max|hi| (exp2 of an integer float is exact; a
-    one-off log2 misrounding only widens digit range to <=128, still exact
-    in bf16)."""
+    """Power-of-two scale >= max|hi|, so scaled values stay in [-1, 1]
+    and plane-0 digits <= 2^FIRST_SHIFT.  The +1 margin makes the bound
+    robust: even if log2 misrounds by a full ulp, ceil(log2 m) + 1 >
+    log2 m, so s >= m always (exp2 of an integer float is exact)."""
     m = jnp.max(jnp.abs(hi))
     e = jnp.ceil(jnp.log2(jnp.maximum(m, jnp.float32(1e-30)))) + 1.0
     return jnp.exp2(e), jnp.exp2(-e)
@@ -211,8 +214,13 @@ def _kernel_dtypes(ddt: str):
     which is why the choice is measured, not assumed (the XLA lowering's
     raw-GEMM ablation saw only ~14% from int8, not the spec-sheet 2x)."""
     if ddt == "int8":
-        if DIGIT_BITS > 7:
-            raise ValueError("int8 digit planes overflow past DIGIT_BITS=7")
+        if DIGIT_BITS > 7 or FIRST_SHIFT > 6:
+            # plane-0 data digits reach 2^FIRST_SHIFT (see
+            # _pow2_scale_scalar: s >= max|hi| holds even under a 1-ulp
+            # log2 misround), later planes 2^(DIGIT_BITS-1); both must
+            # fit int8's +127
+            raise ValueError("int8 digit planes overflow at DIGIT_BITS > 7"
+                             " or FIRST_SHIFT > 6")
         return jnp.int8, jnp.int32
     return jnp.bfloat16, jnp.float32
 

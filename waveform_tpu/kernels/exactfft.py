@@ -66,9 +66,13 @@ N_SLICES = int(_os.environ.get("WAVEFORM_TPU_N_SLICES", str(MAX_T + 1)))
 # runs at 2x MXU rate, but costs f32->int8 repacking on the VPU; set
 # WAVEFORM_TPU_DIGIT_DTYPE=int8 to flip.
 if _os.environ.get("WAVEFORM_TPU_DIGIT_DTYPE", "bf16") == "int8":
-    if DIGIT_BITS > 7:
+    if DIGIT_BITS > 7 or FIRST_SHIFT > 6:
+        # plane-0 data digits reach 2^FIRST_SHIFT (the pow2 scale
+        # guarantees |x| <= 1) and later planes 2^(DIGIT_BITS-1);
+        # both must fit int8's +127
         raise ValueError("int8 digit planes overflow at DIGIT_BITS > 7 "
-                         "(digits reach ±2^(DIGIT_BITS-1) inclusive)")
+                         "or FIRST_SHIFT > 6 (plane-0 digits reach "
+                         "2^FIRST_SHIFT, later planes ±2^(DIGIT_BITS-1))")
     DIGIT_DTYPE = jnp.int8
     ACC_DTYPE = jnp.int32
 else:

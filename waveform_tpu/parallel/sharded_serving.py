@@ -88,43 +88,47 @@ class ShardedServingEngine(ServingEngine):
         if self.rms_ring is not None:
             self.rms_ring = shard_state(self.mesh, self.rms_ring)
 
-    def _prep(self, x):
+    def _placed(self, x, sharding, row_axis: int, put):
+        """Mesh placement for one host batch: multi-host processes
+        contribute only the stream rows their devices own (FFTW-MPI's
+        per-rank block, mpi/block.c) — no host ever materializes or
+        uploads the full batch; a single process ships the whole array
+        via ``put``."""
         x = np.asarray(x)
         if jax.process_count() > 1:
-            # multi-host ingestion: each process contributes only the rows
-            # its devices own (FFTW-MPI's per-rank block, mpi/block.c) —
-            # no host ever materializes or uploads the full batch
             lo, hi = self._local_rows
-            return from_process_local(self._s_sh, x[lo:hi], x.shape)
-        return jax.device_put(x, self._s_sh)
+            sl = x[lo:hi] if row_axis == 0 else x[:, lo:hi]
+            return from_process_local(sharding, sl, x.shape)
+        return put(x, sharding)
+
+    def _prep(self, x):
+        return self._placed(x, self._s_sh, 0, jax.device_put)
 
     def _prep_scan(self, x):
-        x = np.asarray(x)
-        if jax.process_count() > 1:
-            lo, hi = self._local_rows
-            return from_process_local(self._scan_sh, x[:, lo:hi], x.shape)
         from ..runtime.serving import chunked_put
-        return chunked_put(x, self._scan_sh)
+        return self._placed(x, self._scan_sh, 1, chunked_put)
 
     def _constrain_pixels(self, pixels):
         return pixel_constraint(self.mesh, pixels)
 
-    def _jit_tick_packed(self, packed_tick):
+    def _jit_sharded_step(self, fn, scan: bool, uniform: bool):
+        """Shared jit wrapper for the four packed step variants: ``scan``
+        adds the leading k/T pixel axis, ``uniform`` appends a replicated
+        trailing count argument.  Prefix pytrees: one sharding covers
+        every leaf of ring/state."""
         s, r = self._s_sh, self._r_sh
-        px_sh = NamedSharding(self.mesh, P(STREAM_AXIS, None, PIXEL_AXIS))
-        # prefix pytrees: one sharding covers every leaf of ring/state
+        px = (P(None, STREAM_AXIS, None, PIXEL_AXIS) if scan
+              else P(STREAM_AXIS, None, PIXEL_AXIS))
+        ins = (s, s, s, r, s) + ((r,) if uniform else ())
         return jax.jit(
-            packed_tick, donate_argnums=(1, 2, 4),
-            in_shardings=(s, s, s, r, s),
-            out_shardings=(px_sh, s, s, s))
+            fn, donate_argnums=(1, 2, 4), in_shardings=ins,
+            out_shardings=(NamedSharding(self.mesh, px), s, s, s))
+
+    def _jit_tick_packed(self, packed_tick):
+        return self._jit_sharded_step(packed_tick, scan=False, uniform=False)
 
     def _jit_tick_packed_u(self, packed_tick):
-        s, r = self._s_sh, self._r_sh
-        px_sh = NamedSharding(self.mesh, P(STREAM_AXIS, None, PIXEL_AXIS))
-        return jax.jit(
-            packed_tick, donate_argnums=(1, 2, 4),
-            in_shardings=(s, s, s, r, s, r),
-            out_shardings=(px_sh, s, s, s))
+        return self._jit_sharded_step(packed_tick, scan=False, uniform=True)
 
     def _uniform_counts_T(self, T: int, hop: int):
         # [T, S] (not [T]) so the bulk-path counts keep the stream-sharded
@@ -143,28 +147,14 @@ class ShardedServingEngine(ServingEngine):
     def _jit_scan_packed(self, fn):
         # the slots tuple is k separate [S, W] args: the stream sharding
         # broadcasts over the tuple as a pytree prefix
-        s, r = self._s_sh, self._r_sh
-        px_sh = NamedSharding(self.mesh, P(None, STREAM_AXIS, None,
-                                           PIXEL_AXIS))
-        return jax.jit(fn, donate_argnums=(1, 2, 4),
-                       in_shardings=(s, s, s, r, s),
-                       out_shardings=(px_sh, s, s, s))
+        return self._jit_sharded_step(fn, scan=True, uniform=False)
 
     def _jit_scan_packed_u(self, fn):
-        s, r = self._s_sh, self._r_sh
-        px_sh = NamedSharding(self.mesh, P(None, STREAM_AXIS, None,
-                                           PIXEL_AXIS))
-        return jax.jit(fn, donate_argnums=(1, 2, 4),
-                       in_shardings=(s, s, s, r, s, r),
-                       out_shardings=(px_sh, s, s, s))
+        return self._jit_sharded_step(fn, scan=True, uniform=True)
 
     def _prep_mb_slot(self, x):
-        x = np.asarray(x)
-        if jax.process_count() > 1:
-            lo, hi = self._local_rows
-            return from_process_local(self._s_sh, x[lo:hi], x.shape)
         from ..runtime.serving import chunked_put
-        return chunked_put(x, self._s_sh)
+        return self._placed(x, self._s_sh, 0, chunked_put)
 
     # -- user-facing padding/trimming ------------------------------------
 

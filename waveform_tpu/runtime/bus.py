@@ -53,6 +53,7 @@ from ..dsp.spectrum import (
     make_spectrum_step,
 )
 from ..rebin.apply import make_rebin_fn
+from .serving import DeviceScalarCache
 from .waveform_host import ts_to_frames
 
 
@@ -111,8 +112,8 @@ class OutputBus:
         # columns (counts, active, input_rms) — ONE host→device transfer per
         # tick (the serving-engine pattern; dt is a cached device scalar)
         self._push_buf = np.zeros((1, self.C, self.H + 3), np.float32)
-        self._dt_cache: dict[float, jnp.ndarray] = {}
-        self._count_cache: dict[int, jnp.ndarray] = {}
+        self._dt_scalar = DeviceScalarCache(jnp.float32, 64)
+        self._count_scalar = DeviceScalarCache(jnp.int32, 4096)
         # shared volume-normalization RMS (1 s window of per-timepoint
         # max-channel squares over the synced pushes, src/source.cpp:810-835)
         self._need_rms = any(c.normalize_volume for c in self._groups)
@@ -295,12 +296,22 @@ class OutputBus:
                         axis=0).astype(np.float32) ** 2
             R = self._rms_R
             k = sq.shape[0]
-            pos = (self._rms_pos + np.arange(k)) % R
-            self._rms_sum += (float(sq.sum(dtype=np.float64))
-                              - float(self._rms_win[pos]
-                                      .sum(dtype=np.float64)))
-            self._rms_win[pos] = sq
-            self._rms_pos = (self._rms_pos + k) % R
+            if k >= R:
+                # a single push covering the whole window (hop_budget
+                # longer than the RMS window, e.g. low fps): the window
+                # IS the last R samples — positional updates would hit
+                # duplicate slots and desync the running sum
+                tail = sq[k - R:]
+                self._rms_win[:] = tail
+                self._rms_sum = float(tail.sum(dtype=np.float64))
+                self._rms_pos = 0
+            else:
+                pos = (self._rms_pos + np.arange(k)) % R
+                self._rms_sum += (float(sq.sum(dtype=np.float64))
+                                  - float(self._rms_win[pos]
+                                          .sum(dtype=np.float64)))
+                self._rms_win[pos] = sq
+                self._rms_pos = (self._rms_pos + k) % R
         return float(np.sqrt(max(self._rms_sum, 0.0) / self._rms_R))
 
     # -- ticking ---------------------------------------------------------
@@ -344,11 +355,7 @@ class OutputBus:
                     g["invalid_before"] = self._synced
         self._was_active = active
 
-        dtv = self._dt_cache.get(dt)
-        if dtv is None:
-            if len(self._dt_cache) > 64:
-                self._dt_cache.clear()
-            dtv = self._dt_cache[dt] = jnp.float32(dt)
+        dtv = self._dt_scalar(dt)
         # fresh copy: the staging buffer is rewritten next tick and argument
         # transfers may be consumed after dispatch returns (a ~13 KB buffer
         # — copying beats fencing here); ONE upload carries samples + meta
@@ -372,14 +379,6 @@ class OutputBus:
                     self.ring, g["buf"], g["latch"], back,
                     self._count_scalar(n), active_dev[0], rms_dev)
                 g["pixels"] = g["buf"][:, :g["D"]]
-
-    def _count_scalar(self, c: int):
-        d = self._count_cache.get(c)
-        if d is None:
-            if len(self._count_cache) > 4096:
-                self._count_cache.clear()
-            d = self._count_cache[c] = jnp.int32(c)
-        return d
 
     def _waveform_host(self, cfg, g, reserve: int):
         """Host half of a waveform tick: fresh pixel count + per-pixel

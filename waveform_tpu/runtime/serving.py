@@ -54,6 +54,26 @@ def chunked_put(x: np.ndarray, sharding=None):
     return jnp.concatenate(parts, axis=0)
 
 
+class DeviceScalarCache:
+    """Host value → cached device scalar, so steady-state ticks re-upload
+    nothing but the packed input rows.  Bounded: clears wholesale past
+    ``limit`` entries (shared by the serving engine and the output bus)."""
+
+    __slots__ = ("_dtype", "_limit", "_map")
+
+    def __init__(self, dtype, limit: int):
+        self._dtype, self._limit = dtype, limit
+        self._map: dict = {}
+
+    def __call__(self, v):
+        d = self._map.get(v)
+        if d is None:
+            if len(self._map) > self._limit:
+                self._map.clear()
+            d = self._map[v] = self._dtype(v)
+        return d
+
+
 class _PendingStream:
     """Host bookkeeping for one stream: queued packets + sync timestamps."""
 
@@ -96,6 +116,7 @@ class ServingEngine:
         self._mb_fill = 0
         self._mb_slots: list = []
         self._mb_uniform: list = []
+        self._mb_dts: list = []
         self._mb_bufs = None
         self._mb_fences: list = [None, None]
         self._mb_flip = 0
@@ -137,8 +158,8 @@ class ServingEngine:
         # CPU.  The two-buffer rotation itself stays on everywhere.
         self._fence_on = jax.default_backend() == "cpu"
         self._bind_buf(0)
-        self._dt_cache: dict[float, jnp.ndarray] = {}
-        self._count_cache: dict[int, jnp.ndarray] = {}
+        self._dt_scalar = DeviceScalarCache(jnp.float32, 64)
+        self._count_scalar = DeviceScalarCache(jnp.int32, 4096)
         # feed_batch fast path (shared sync state)
         self._batch_chunks: deque[np.ndarray] = deque()
         self._batch_queued = 0
@@ -261,25 +282,27 @@ class ServingEngine:
         # dispatch path and the whole flush is ONE round trip — eager
         # per-slot device_puts measured 4 extra RTTs per flush on the
         # relay (77.7 vs 19.9 ms/frame amortized at k=4, S=256)
-        def scan_packed(slots, ring, state, dt, rms_ring=None):
-            def body(carry, flat):
+        def scan_packed(slots, ring, state, dts, rms_ring=None):
+            def body(carry, xs):
                 ring, state, rms_ring = carry
+                flat, dt = xs
                 px, ring, state, rms_ring = pt(flat, ring, state, dt,
                                                rms_ring)
                 return (ring, state, rms_ring), px
             (ring, state, rms_ring), pxs = jax.lax.scan(
-                body, (ring, state, rms_ring), jnp.stack(slots))
+                body, (ring, state, rms_ring), (jnp.stack(slots), dts))
             return pxs, ring, state, rms_ring
 
-        def scan_packed_u(slots, ring, state, dt, rms_ring, ucounts):
+        def scan_packed_u(slots, ring, state, dts, rms_ring, ucounts):
             def body(carry, xs):
                 ring, state, rms_ring = carry
-                flat, uc = xs
+                flat, dt, uc = xs
                 px, ring, state, rms_ring = pt(flat, ring, state, dt,
                                                rms_ring, uc)
                 return (ring, state, rms_ring), px
             (ring, state, rms_ring), pxs = jax.lax.scan(
-                body, (ring, state, rms_ring), (jnp.stack(slots), ucounts))
+                body, (ring, state, rms_ring), (jnp.stack(slots), dts,
+                                                ucounts))
             return pxs, ring, state, rms_ring
 
         self._scan_packed = self._jit_scan_packed(scan_packed)
@@ -329,23 +352,6 @@ class ServingEngine:
         mesh/process-local placement instead)."""
         return x if x.nbytes <= H2D_CHUNK_BYTES else chunked_put(x)
 
-    def _dt_scalar(self, dt: float):
-        """Device-cached dt so steady-state ticks re-upload nothing but the
-        packed input row block."""
-        d = self._dt_cache.get(dt)
-        if d is None:
-            if len(self._dt_cache) > 64:
-                self._dt_cache.clear()
-            d = self._dt_cache[dt] = jnp.float32(dt)
-        return d
-
-    def _count_scalar(self, c: int):
-        """Device-cached uniform advance count (values are 0..H, so the
-        cache is naturally bounded)."""
-        d = self._count_cache.get(c)
-        if d is None:
-            d = self._count_cache[c] = jnp.int32(c)
-        return d
 
     def _place_buffers(self) -> None:
         """Final placement of ring/state after construction (no-op single
@@ -528,9 +534,10 @@ class ServingEngine:
         path analog of ``tick_many`` for links where every dispatch pays
         a round trip (the relay tunnel; production per-launch overhead)."""
         now_ns = time.monotonic_ns() if now_ns is None else now_ns
-        dtv = self._dt_scalar((1.0 / self.cfg.fps) if dt is None else dt)
+        dt_f = (1.0 / self.cfg.fps) if dt is None else float(dt)
         if self._mb > 1:
-            return self._tick_microbatch(now_ns, dtv)
+            return self._tick_microbatch(now_ns, dt_f)
+        dtv = self._dt_scalar(dt_f)
         self._flip ^= 1
         self._bind_buf(self._flip)
         self._assemble(now_ns)
@@ -552,8 +559,11 @@ class ServingEngine:
             self._fences[self._flip] = pixels
         return pixels
 
-    def _tick_microbatch(self, now_ns: int, dtv):
-        """Accumulate one assembled frame; flush k frames as one scan."""
+    def _tick_microbatch(self, now_ns: int, dt_f: float):
+        """Accumulate one assembled frame; flush k frames as one scan.
+        Each accumulated tick keeps its own dt (the scan consumes a [k]
+        vector), so gravity/EMA trails match k microbatch=1 ticks fed the
+        same per-frame dts exactly."""
         k = self._mb
         if self._mb_bufs is None:
             self._mb_bufs = [
@@ -567,11 +577,13 @@ class ServingEngine:
                 self._mb_fences[self._mb_flip] = None
             self._mb_slots = []
             self._mb_uniform = []
+            self._mb_dts = []
         slot = self._mb_bufs[self._mb_flip][self._mb_fill]
         self._bind_external(slot)
         self._assemble(now_ns)
         self._mb_uniform.append(self._uniform_count())
         self._mb_slots.append(slot)
+        self._mb_dts.append(dt_f)
         self._mb_fill += 1
         if self._mb_fill < k:
             return self._last_pixels
@@ -580,14 +592,15 @@ class ServingEngine:
             self._build_scan_packed()
         slots = tuple(self._prep_mb_slot(s) for s in self._mb_slots)
         self._mb_slots = []
+        dts = jnp.asarray(np.asarray(self._mb_dts, np.float32))
         if all(u for u, _ in self._mb_uniform):
             ucounts = jnp.asarray(
                 np.array([c for _, c in self._mb_uniform], np.int32))
             pxs, self.ring, self.state, self.rms_ring = self._scan_packed_u(
-                slots, self.ring, self.state, dtv, self.rms_ring, ucounts)
+                slots, self.ring, self.state, dts, self.rms_ring, ucounts)
         else:
             pxs, self.ring, self.state, self.rms_ring = self._scan_packed(
-                slots, self.ring, self.state, dtv, self.rms_ring)
+                slots, self.ring, self.state, dts, self.rms_ring)
         self._last_batch = pxs
         self._last_pixels = pxs[-1]
         if self._fence_on:

@@ -69,16 +69,14 @@ def record(n: int, entry: dict) -> None:
 
 
 def _candidates(n: int) -> list[tuple[int, str]]:
-    from ..kernels.exact_pallas import _LANES, supports
+    from ..kernels.exact_pallas import supports
     out = []
     for split in (2, 3):
-        if split == 2 and n <= 32768 and (n // _LANES) % 8 == 0:
-            pass
-        elif split == 3 and (n // _LANES) % 32 == 0 and n <= 65536:
-            pass
-        else:
-            continue
-        if not supports(n):
+        # probe each split on its own merits: supports(n) without the
+        # explicit split resolves the env/plan default, which must not
+        # veto the *other* candidate (an existing plan entry or env
+        # override would otherwise drop lowerable candidates)
+        if not supports(n, split=split):
             continue
         for ddt in ("bf16", "int8"):
             out.append((split, ddt))
@@ -149,9 +147,13 @@ def measure(n: int, streams: int = 64, ticks: int = 8, reps: int = 8,
             times[t].append((time.perf_counter() - t0)
                             / (ticks * S) * 1e6)
     mins = {t: float(np.min(v)) for t, v in times.items()}
+    if not mins:
+        raise RuntimeError(f"no plan candidate compiled for n={n} on "
+                           f"this backend — nothing to record")
     kern = [t for t in tags if t != "xla"]
-    entry: dict = {"xla_us_per_frame": round(mins["xla"], 3),
-                   "streams": S}
+    entry: dict = {"streams": S}
+    if "xla" in mins:   # the baseline itself can fail to lower
+        entry["xla_us_per_frame"] = round(mins["xla"], 3)
     if kern:
         best = min(kern, key=lambda t: mins[t])
         entry.update({"split": best[0], "ddt": best[1],

@@ -195,3 +195,39 @@ def test_mono_kernel_path_honors_interpret_env(rng, monkeypatch):
     want = np.abs(np.fft.rfft(x.astype(np.float64)))[..., :512]
     rel = np.abs(np.asarray(mag, np.float64) - want).max() / want.max()
     assert rel < 2.5e-7, rel
+
+
+def test_mono_kernel_batch_pairing(rng, monkeypatch):
+    """Mono rides the PAIR kernel by pairing the batch axis (two streams
+    stand in for the channel pair); an odd stream count pads one zero row
+    that must not leak into the results, and the nz predicate must follow
+    the re-pairing."""
+    import waveform_tpu.kernels.exactfft as ex
+    monkeypatch.setenv("WAVEFORM_TPU_EXACT_KERNEL", "always")
+    monkeypatch.setenv("WAVEFORM_TPU_EXACT_INTERPRET", "1")
+    n = 1024
+    for s in (3, 4, 1):
+        x = (0.5 * rng.standard_normal((s, 1, n))).astype(np.float32)
+        x[0] = 0.0  # silent stream: nz must be False exactly there
+        mag, nz = ex.rfft_mag_exact(jnp.asarray(x), with_nz=True)
+        assert mag.shape == (s, 1, n // 2) and nz.shape == (s, 1)
+        want = np.abs(np.fft.rfft(x.astype(np.float64)))[..., :n // 2]
+        rel = np.abs(np.asarray(mag, np.float64) - want).max() / max(
+            want.max(), 1e-30)
+        assert rel < 2.5e-7, (s, rel)
+        np.testing.assert_array_equal(
+            np.asarray(nz), np.any(x != 0.0, axis=-1))
+
+
+def test_odd_channel_leftover_uses_pair_kernel(rng, monkeypatch):
+    """C=3: the first two channels pair normally; the leftover third
+    channel batch-pairs across streams through the same kernel."""
+    import waveform_tpu.kernels.exactfft as ex
+    monkeypatch.setenv("WAVEFORM_TPU_EXACT_KERNEL", "always")
+    monkeypatch.setenv("WAVEFORM_TPU_EXACT_INTERPRET", "1")
+    n = 1024
+    x = (0.5 * rng.standard_normal((2, 3, n))).astype(np.float32)
+    mag = ex.rfft_mag_exact(jnp.asarray(x))
+    want = np.abs(np.fft.rfft(x.astype(np.float64)))[..., :n // 2]
+    rel = np.abs(np.asarray(mag, np.float64) - want).max() / want.max()
+    assert rel < 2.5e-7, rel

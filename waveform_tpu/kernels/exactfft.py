@@ -641,16 +641,39 @@ def rfft_mag_exact(x, nbins: int | None = None,
         outs.append(r)
     if c % 2:
         xc = x[..., -1, :]
-        if window is not None:
-            re = _windowed_df(xc, *window)
+        if allow_kernel and kernel_would_run(n):
+            # the leftover (or only, for mono capture) channel rides the
+            # pair kernel by pairing the BATCH axis: the real-split kernel
+            # treats its two channel rows as fully independent real
+            # transforms (exact_pallas._kernel_real_mag), so two streams
+            # stand in for the channel pair.  Mono thereby gets the
+            # all-in-VMEM kernel — including the 3-factor N=65536 range
+            # the complex kernel lacks (supports_cfft caps at 32768) — at
+            # half the transforms of the cfft(x, 0) embedding below.
+            lead = xc.shape[:-1]
+            s_flat = int(np.prod(lead)) if lead else 1
+            flat = xc.reshape(s_flat, n)
+            if s_flat % 2:
+                flat = jnp.concatenate(
+                    [flat, jnp.zeros((1, n), flat.dtype)], axis=0)
+            m2, nz2 = rfft_pair_mag_exact(
+                flat.reshape(-1, 2, n), nbins, window, with_nz=True,
+                allow_kernel=True)
+            m = m2.reshape(-1, nbins)[:s_flat]
+            outs.append(m.reshape(*lead, 1, nbins))
+            if with_nz:
+                nzs.append(nz2.reshape(-1)[:s_flat].reshape(*lead, 1))
         else:
-            re = xc
-        zr, zi = cfft_exact(re, jnp.zeros_like(xc),
-                            allow_kernel=allow_kernel)
-        m = _df_mag(_df_head(zr, nbins), _df_head(zi, nbins))
-        outs.append(m[..., None, :])
-        if with_nz:
-            nzs.append(jnp.any(xc != 0.0, axis=-1)[..., None])
+            if window is not None:
+                re = _windowed_df(xc, *window)
+            else:
+                re = xc
+            zr, zi = cfft_exact(re, jnp.zeros_like(xc),
+                                allow_kernel=allow_kernel)
+            m = _df_mag(_df_head(zr, nbins), _df_head(zi, nbins))
+            outs.append(m[..., None, :])
+            if with_nz:
+                nzs.append(jnp.any(xc != 0.0, axis=-1)[..., None])
     mag = jnp.concatenate(outs, axis=-2)
     if with_nz:
         return mag, jnp.concatenate(nzs, axis=-1)

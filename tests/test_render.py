@@ -258,9 +258,10 @@ def test_single_channel_end_to_end(rng):
 
 
 def test_radial_bilinear_smooth_arcs():
-    """The radial warp samples bilinearly (GPU-sampler semantics behind
-    gradient.effect:43-59): alpha along a mid-ring varies smoothly instead
-    of snapping 0/1 like a nearest-neighbor gather."""
+    """Radial edges are antialiased (analytic coverage at the polar
+    coordinates; at least as smooth as the GPU sampler behind
+    gradient.effect:43-59): alpha along a mid-ring varies smoothly
+    instead of snapping 0/1 like a nearest-neighbor gather."""
     cfg = cfg_for(fft_size=256, width=100, height=200, radial_layout=True,
                   deadzone=10.0, floor=-100, ceiling=0,
                   interp_mode=InterpMode.POINT)

@@ -281,3 +281,88 @@ def test_radial_bilinear_smooth_arcs():
     assert frac.sum() > 50, "no fractional-alpha pixels: not interpolating"
     assert len(np.unique(img[..., 3].round(3))) > 4, \
         "alpha is binary: nearest-neighbor staircase"
+
+
+@pytest.mark.parametrize("kw", [
+    dict(display_mode=DisplayMode.BAR, bar_width=12, bar_gap=4,
+         rounded_caps=True),
+    dict(display_mode=DisplayMode.STEPPED_BAR, bar_width=12, bar_gap=4,
+         step_width=4, step_gap=2),
+    dict(render_mode=RenderMode.LINE),
+    dict(display_mode=DisplayMode.BAR, bar_width=12, bar_gap=4,
+         channel_mode=ChannelMode.STEREO),
+])
+def test_radial_modes_render(kw):
+    """Every radial-capable display mode renders through the direct polar
+    rasterizer: right canvas, empty deadzone, lit ring, finite values.
+    (Meter mode forces radial OFF, matching src/source.cpp:1116 — covered
+    by test_radial_meter_mode_disabled.)"""
+    mode = kw.pop("display_mode", DisplayMode.CURVE)
+    cfg = cfg_for(fft_size=256, width=120, height=150, radial_layout=True,
+                  deadzone=12.0, floor=-100, ceiling=0,
+                  display_mode=mode, interp_mode=InterpMode.POINT, **kw)
+    render = make_renderer(cfg)
+    db = flat_db(cfg, -20.0)
+    img = np.asarray(render(db))
+    side = int((cfg.height + cfg.deadzone_px) * 2)
+    assert img.shape == (side, side, 4)
+    assert np.isfinite(img).all()
+    c = side // 2
+    assert img[c, c, 3] == 0                      # deadzone empty
+    assert (img[..., 3] > 0.5).sum() > 100        # solidly lit content
+
+
+def test_radial_partial_arc_and_rotation():
+    """A half-arc leaves the other half of the canvas dark; rotating the
+    arc moves the lit sector."""
+    def lit_mask(rotation):
+        cfg = cfg_for(fft_size=256, width=100, height=120,
+                      radial_layout=True, deadzone=10.0, radial_arc=180.0,
+                      radial_rotation=rotation, floor=-100, ceiling=0,
+                      interp_mode=InterpMode.POINT)
+        img = np.asarray(make_renderer(cfg)(flat_db(cfg, -10.0)))
+        return img[..., 3] > 0.5
+
+    a = lit_mask(0.0)
+    b = lit_mask(180.0)
+    # each sector is roughly half the full-circle coverage and they
+    # barely overlap
+    assert a.sum() > 1000 and b.sum() > 1000
+    overlap = (a & b).sum() / min(a.sum(), b.sum())
+    assert overlap < 0.05, overlap
+
+
+def test_radial_invert_flips_radius():
+    """invert maps the graph top (the curve value) to the inner radius:
+    with a quiet signal a normal radial is lit OUTSIDE (low y = top of
+    graph stays dark near... ) — assert the two orientations differ and
+    both stay inside the rim."""
+    base = dict(fft_size=256, width=100, height=120, radial_layout=True,
+                deadzone=10.0, floor=-100, ceiling=0,
+                interp_mode=InterpMode.POINT)
+    cfg_n = cfg_for(**base)
+    cfg_i = cfg_for(**base, invert_direction=True)
+    img_n = np.asarray(make_renderer(cfg_n)(flat_db(cfg_n, -30.0)))
+    img_i = np.asarray(make_renderer(cfg_i)(flat_db(cfg_i, -30.0)))
+    c = img_n.shape[0] // 2
+    # radial alpha profile along a ray (to the right of center)
+    ray_n = img_n[c, c:, 3]
+    ray_i = img_i[c, c:, 3]
+    assert not np.allclose(ray_n, ray_i)
+    # normal: lit band hugs the rim side of the value; invert flips the
+    # band toward the deadzone. Compare centroids of lit radii.
+    rn = np.nonzero(ray_n > 0.5)[0]
+    ri = np.nonzero(ray_i > 0.5)[0]
+    assert len(rn) and len(ri)
+    assert rn.mean() > ri.mean()
+
+
+def test_radial_meter_mode_disabled():
+    """Meter mode forces the radial flag off (src/source.cpp:1116): the
+    render stays rectangular."""
+    cfg = cfg_for(display_mode=DisplayMode.METER, radial_layout=True,
+                  width=60, height=90, bar_width=24, bar_gap=6)
+    assert not cfg.radial
+    img = np.asarray(make_renderer(cfg)(
+        np.array([[-6.0, -30.0]], np.float32)))
+    assert img.shape == (90, 60, 4)

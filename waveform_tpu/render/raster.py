@@ -22,7 +22,7 @@ Geometry parity:
   same elementwise mask math as the rectangular path plus two small
   gathers from the [W]-vector of values.  Measured on v5e at 800x400:
   169 frames/s for the old bilinear inverse-warp resample (image gathers
-  of ~700k scattered texels dominated) vs 3,609 frames/s direct — 21x.
+  of ~700k scattered texels dominated) vs 3,782 frames/s direct — 22x.
   Edges are analytically antialiased (coverage from signed distances,
   angular edge width scaled by the local pixel footprint XSCALE), which
   is smoother than the GPU sampler's bilinear post-filter, not coarser.)
@@ -71,8 +71,9 @@ def _polar_fields(cfg: ResolvedConfig, g: dict) -> dict:
     coordinates; inverting it per OUTPUT pixel depends only on config, so
     everything — the graph-space y (YG), the fractional column (XQ with
     floor/ceil/frac for value interpolation), the column footprint of one
-    output pixel (XS, for angular-edge antialiasing), and the rim
-    coverage (VCOV) — precomputes to host numpy once per renderer."""
+    output pixel (XS, for angular-edge antialiasing), and the angular
+    seam coverage (ACOV) — precomputes to host numpy once per
+    renderer."""
     Hh, Ww = g["height"], g["width"]
     dz = cfg.deadzone_px
     R = Hh + dz
@@ -88,14 +89,18 @@ def _polar_fields(cfg: ResolvedConfig, g: dict) -> dict:
     if cfg.invert:
         yg = Hh - yg
     rho_safe = np.maximum(rho, 1.0)
-    # rim coverage: radial edges have unit gradient per output pixel;
-    # angular seams scale with rho (arc-length px per radian)
-    vcov = (np.clip(yg + 0.5, 0.0, 1.0)
-            * np.clip(Hh - yg + 0.5, 0.0, 1.0)
-            * np.clip(rho - dz + 0.5, 0.0, 1.0))
+    # angular-seam coverage for partial arcs (edge width scales with rho,
+    # the arc-length px per radian).  The radial rims need NO separate
+    # coverage term: every mask's y-interval is clamped to the canvas
+    # [0, Hh] before coverage, so the rim feather is computed exactly
+    # once — a product of per-edge coverages double-counted the falloff
+    # wherever a mask edge coincided with the canvas edge (a visibly
+    # darker ring: alpha 0.25 instead of 0.5 on the deadzone boundary).
     if cfg.radial_arc < 1.0:
-        vcov = (vcov * np.clip((arc - ang) * rho_safe + 0.5, 0.0, 1.0)
+        acov = (np.clip((arc - ang) * rho_safe + 0.5, 0.0, 1.0)
                 * np.clip(ang * rho_safe + 0.5, 0.0, 1.0))
+    else:
+        acov = np.ones_like(rho)
     x0 = np.clip(np.floor(xg), 0, Ww - 1).astype(np.int32)
     x1 = np.minimum(x0 + 1, Ww - 1).astype(np.int32)
     fx = np.clip(xg, 0, Ww - 1) - x0
@@ -107,7 +112,7 @@ def _polar_fields(cfg: ResolvedConfig, g: dict) -> dict:
                 X0=jnp.asarray(x0), X1=jnp.asarray(x1),
                 FX=jnp.asarray(fx.astype(asf)),
                 XS=jnp.asarray(xscale.astype(asf)),
-                VCOV=jnp.asarray(vcov.astype(asf)))
+                ACOV=jnp.asarray(acov.astype(asf)))
 
 
 def make_renderer(cfg: ResolvedConfig):
@@ -215,8 +220,17 @@ def make_renderer(cfg: ResolvedConfig):
 
     def _channel_cov_polar(vals_px, channel):
         """Polar analog of _channel_mask: fractional coverage [side, side]
-        evaluated directly at the graph coordinates (YG, XQ)."""
+        evaluated directly at the graph coordinates (YG, XQ).  Every
+        y-interval is clamped to the canvas [0, Hh] so the radial rim
+        feather is part of the SAME interval coverage — a separate rim
+        coverage term would double-count the falloff wherever a mask edge
+        lands on the canvas edge."""
         YG, XQ, XS = P["YG"], P["XQ"], P["XS"]
+
+        def ycov(a, b):
+            return _interval_cov(jnp.maximum(a, 0.0),
+                                 jnp.minimum(b, float(Hh)), YG)
+
         if curve_like:
             v0 = jnp.take(vals_px, P["X0"])
             v1 = jnp.take(vals_px, P["X1"])
@@ -225,11 +239,11 @@ def make_renderer(cfg: ResolvedConfig):
             if line_mode:
                 lo = jnp.minimum(v0, v1) - 0.5
                 hi = jnp.maximum(v0, v1) + 0.5
-                return _interval_cov(lo, hi, YG)
+                return ycov(lo, hi)
             ytop = v0 * (1.0 - P["FX"]) + v1 * P["FX"]
             if channel == 0:
-                return _interval_cov(ytop, cpos - channel_offset, YG)
-            return _interval_cov(cpos + channel_offset, ytop, YG)
+                return ycov(ytop, cpos - channel_offset)
+            return ycov(cpos + channel_offset, ytop)
 
         # bars / stepped bars / meters
         bar_idx = jnp.floor(XQ / bar_stride)
@@ -250,8 +264,8 @@ def make_renderer(cfg: ResolvedConfig):
             j = jnp.floor(d / step_stride)
             dc = d - j * step_stride
             covc = _interval_cov(0.0, float(cfg.settings.step_width), dc)
-            lit = ((j >= 0) & (j * step_stride < maxheight)
-                   & (d >= -0.5)).astype(jnp.float32)
+            lit = ((j >= 0)
+                   & (j * step_stride < maxheight)).astype(jnp.float32)
             return covx * covc * lit * in_bar_n
 
         offset = g["cap_radius"] + channel_offset
@@ -259,11 +273,11 @@ def make_renderer(cfg: ResolvedConfig):
             or cfg.channel_spacing > 0
         if channel == 0:
             bot_y = cpos - offset if use_off else cpos
-            cov = _interval_cov(val, bot_y, YG)
+            cov = ycov(val, bot_y)
         else:
             topv = bottom - val
             bot_y = cpos + offset if use_off else cpos
-            cov = _interval_cov(bot_y, topv, YG)
+            cov = ycov(bot_y, topv)
 
         if cfg.rounded_caps:
             r = g["cap_radius"]
@@ -328,7 +342,7 @@ def make_renderer(cfg: ResolvedConfig):
             img = jnp.zeros((P["side"], P["side"], 4), jnp.float32)
             for ch in range(D if not cfg.meter_mode else 1):
                 v = vals[ch] if not cfg.meter_mode else vals[0]
-                cov = _channel_cov_polar(v, ch) * P["VCOV"]
+                cov = _channel_cov_polar(v, ch) * P["ACOV"]
                 img = img + (colors - img) * cov[..., None]
             return img
 

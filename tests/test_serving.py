@@ -515,3 +515,26 @@ def test_microbatch_with_native_assembler():
     pa = _drive(a, S, T, per_stream=True)
     pb = _drive(b, S, T, per_stream=True)
     np.testing.assert_allclose(pb, pa, rtol=0, atol=1e-5)
+
+
+def test_render_frames_batched():
+    """render_frames rasterizes every stream in one jitted dispatch and
+    blanks silence-latched streams under hide_on_silent (the reference's
+    per-source render() early return, src/source.cpp:1349-1350)."""
+    cfg = resolve(Settings(fft_size=1024, width=64, height=48,
+                           hide_on_silent=True), AudioInfo(SR, 2))
+    eng = ServingEngine(cfg, 2, use_native=False)
+    now = NS
+    phase = 0
+    for _ in range(30):
+        t = (np.arange(800) + phase) / SR
+        x = np.sin(2 * np.pi * 2000.0 * t).astype(np.float32)
+        eng.feed(0, np.stack([x, x]), now, now_ns=now)  # stream 1: silent
+        phase += 800
+        now += 800 * NS // SR
+        eng.tick(now_ns=now)
+    imgs = np.asarray(eng.render_frames())
+    assert imgs.shape == (2, 48, 64, 4)
+    assert np.isfinite(imgs).all()
+    assert imgs[0].max() > 0.5              # fed stream renders content
+    assert imgs[1].max() == 0.0             # latched stream fully blank

@@ -267,6 +267,7 @@ class ServingEngine:
 
         self._scan_ticks = self._jit_scan(scan_ticks)
         self._last_pixels = None
+        self._render_batch = None
         self._place_buffers()
 
     def _build_scan_packed(self):
@@ -764,6 +765,31 @@ class ServingEngine:
 
     def read_decibels(self) -> np.ndarray:
         return np.asarray(display_decibels(self.cfg, self.state))
+
+    def render_frames(self) -> jnp.ndarray:
+        """RGBA frames for ALL streams in ONE jitted dispatch.
+
+        Returns [S, outH, outW, 4] f32 on device — the batched analog of
+        the reference's per-source render() draw call
+        (src/source.cpp:1346-1358), vmapped over the stream axis so a
+        whole scene rasterizes without per-stream Python dispatch.  With
+        ``hide_on_silent``, latched streams render fully transparent (the
+        reference's render() early return, src/source.cpp:1349-1350).
+        """
+        if self._render_batch is None:
+            from ..render.raster import make_renderer
+            render = make_renderer(self.cfg)
+
+            def batch(state):
+                imgs = jax.vmap(render)(display_decibels(self.cfg, state))
+                if self.cfg.settings.hide_on_silent:
+                    keep = ~state.last_silent
+                    imgs = imgs * keep[:, None, None, None].astype(
+                        imgs.dtype)
+                return imgs
+
+            self._render_batch = jax.jit(batch)
+        return self._render_batch(self.state)
 
     @property
     def last_silent(self) -> np.ndarray:

@@ -366,3 +366,20 @@ def test_radial_meter_mode_disabled():
     img = np.asarray(make_renderer(cfg)(
         np.array([[-6.0, -30.0]], np.float32)))
     assert img.shape == (90, 60, 4)
+
+
+def test_radial_waveform_render():
+    """Waveform display keeps radial (only meter mode forces it off,
+    src/source.cpp:1106-1143): the time-domain pixel buffer renders as a
+    polar ring."""
+    cfg = cfg_for(display_mode=DisplayMode.WAVEFORM, width=120, height=150,
+                  radial_layout=True, deadzone=12.0, floor=-100, ceiling=0)
+    assert cfg.radial
+    db = np.full((cfg.display_channels, cfg.width), -30.0, np.float32)
+    img = np.asarray(make_renderer(cfg)(db))
+    side = int((cfg.height + cfg.deadzone_px) * 2)
+    assert img.shape == (side, side, 4)
+    assert np.isfinite(img).all()
+    c = side // 2
+    assert img[c, c, 3] == 0
+    assert (img[..., 3] > 0.5).sum() > 1000

@@ -538,3 +538,38 @@ def test_render_frames_batched():
     assert np.isfinite(imgs).all()
     assert imgs[0].max() > 0.5              # fed stream renders content
     assert imgs[1].max() == 0.0             # latched stream fully blank
+
+
+def test_multi_engine_render_frames():
+    """Whole-scene rasterization: one vmapped dispatch per group, frame
+    shapes following each stream's own config (the OBS scene composite,
+    one render() per source, src/source.cpp:1346-1358)."""
+    from waveform_tpu import DisplayMode
+    from waveform_tpu.runtime.multi import MultiEngine
+    cfg_curve = resolve(Settings(fft_size=1024, width=80, height=60),
+                        AudioInfo(SR, 2))
+    cfg_meter = resolve(Settings(display_mode=DisplayMode.METER,
+                                 meter_buf=100, width=40, height=90,
+                                 bar_width=16, bar_gap=4),
+                        AudioInfo(SR, 2))
+    m = MultiEngine()
+    a = m.add_stream(cfg_curve)
+    b = m.add_stream(cfg_meter)
+    c = m.add_stream(cfg_curve)
+    now = NS
+    for k in range(40):
+        t = (np.arange(480) + k * 480) / SR
+        x = np.sin(2 * np.pi * 2000.0 * t).astype(np.float32)
+        m.feed(a, np.stack([x, x]), now, now_ns=now)
+        m.feed(c, np.stack([x, x]), now, now_ns=now)
+        m.feed(b, np.full((2, 480), 0.5, np.float32), now, now_ns=now)
+        now += 480 * NS // SR
+        m.tick(now_ns=now)
+    frames = m.render_frames()
+    assert set(frames) == {a, b, c}
+    assert frames[a].shape == (60, 80, 4)
+    assert frames[b].shape == (90, 40, 4)
+    assert frames[c].shape == (60, 80, 4)
+    for sid in (a, b, c):
+        assert np.isfinite(frames[sid]).all()
+        assert frames[sid][..., 3].max() > 0.5   # every look renders content

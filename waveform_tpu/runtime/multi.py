@@ -44,6 +44,7 @@ class MultiEngine:
         self._next_id = 0
         self._cohorts: list[dict] = []
         self._solo: list = []    # engines ticking the classic way
+        self._renderers: dict[ResolvedConfig, object] = {}
 
     def add_stream(self, cfg: ResolvedConfig) -> int:
         """Register a stream; returns its handle.  Streams must be added
@@ -137,6 +138,39 @@ class MultiEngine:
         if isinstance(eng, ServingEngine):
             return eng.read_decibels()[idx]
         return eng.render_values()[idx]
+
+    def render_frames(self) -> dict[int, np.ndarray]:
+        """RGBA frames for EVERY stream in the scene: one jitted vmapped
+        render dispatch per distinct config (frame shapes differ across
+        groups, so the result maps stream handle -> [H, W, 4] f32).
+
+        The whole-scene analog of OBS compositing all sources per video
+        frame (one render() callback per source,
+        /root/reference/src/source.cpp:1346-1358): spectrum groups render
+        from device state (ServingEngine.render_frames), meter/waveform
+        groups from their host display values; hide_on_silent blanks
+        latched streams in both.
+        """
+        if not self._engines:
+            self._build()
+        out: dict[int, np.ndarray] = {}
+        for cfg, eng in self._engines.items():
+            ids = self._groups[cfg]
+            if isinstance(eng, ServingEngine):
+                imgs = np.asarray(eng.render_frames())
+            else:
+                rend = self._renderers.get(cfg)
+                if rend is None:
+                    from ..render.raster import make_renderer
+                    rend = jax.jit(jax.vmap(make_renderer(cfg)))
+                    self._renderers[cfg] = rend
+                imgs = np.asarray(rend(eng.render_values()))
+                if cfg.settings.hide_on_silent:
+                    imgs = imgs * (~eng.last_silent).astype(
+                        imgs.dtype)[:, None, None, None]
+            for i, sid in enumerate(ids):
+                out[sid] = imgs[i]
+        return out
 
     def config_of(self, stream_id: int) -> ResolvedConfig:
         return self._streams[stream_id][0]

@@ -222,17 +222,49 @@ def align_down16(v: int) -> int:
     return v & ~15
 
 
+def _clamp_to_property_ranges(s: Settings) -> Settings:
+    """Clamp numeric settings to the property-sheet slider ranges
+    (core/properties.py, mirroring src/source.cpp:176-463).
+
+    The reference trusts its UI sliders to bound these values, but scene
+    JSON arrives unbounded — a hand-edited file with width=-4 would feed
+    negative geometry straight into the renderer.  The resolver enforces
+    the same contract the dialog does.  fft_size and the cutoffs keep
+    their bespoke rules (enable_large_fft unlocks sizes past the slider
+    max, src/source.cpp:359-363; inverted cutoffs RESET rather than
+    clamp, :567-577).
+    """
+    from .properties import PROPERTIES
+    skip = {"fft_size", "cutoff_low", "cutoff_high"}
+    updates = {}
+    for p in PROPERTIES:
+        if p.kind not in ("int", "float") or p.key in skip:
+            continue
+        if p.minimum is None and p.maximum is None:
+            continue
+        v = getattr(s, p.key, None)
+        if v is None:
+            continue
+        lo = -math.inf if p.minimum is None else p.minimum
+        hi = math.inf if p.maximum is None else p.maximum
+        c = min(max(v, lo), hi)
+        if c != v:
+            updates[p.key] = int(c) if p.kind == "int" else float(c)
+    return dataclasses.replace(s, **updates) if updates else s
+
+
 def resolve(settings: Settings, audio: AudioInfo | None = None,
             video: VideoInfo | None = None) -> ResolvedConfig:
     """Apply every validation/clamp/fixup rule of the reference ``update()``.
 
     Reference walkthrough: src/source.cpp:501-674 (get_settings clamps),
     1088-1167 (channel counts, meter/waveform fixups, auto FFT size),
-    1269-1276 (bar count).
+    1269-1276 (bar count); numeric settings clamp to the property-sheet
+    slider ranges first (see _clamp_to_property_ranges).
     """
     audio = audio or AudioInfo()
     video = video or VideoInfo()
-    s = settings
+    s = _clamp_to_property_ranges(settings)
 
     width = int(s.width)
     height = int(s.height)

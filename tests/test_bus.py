@@ -250,3 +250,32 @@ def test_bus_rms_window_survives_push_longer_than_window():
     bus.tick(now_ns=now)
     assert np.isclose(bus._rms_sum, bus._rms_win.sum(dtype=np.float64),
                       rtol=1e-6)
+
+
+def test_bus_render_frame_all_modes():
+    """Every consumer mode renders an RGBA frame from its bus state; two
+    consumers sharing a config share one compiled renderer."""
+    from waveform_tpu import DisplayMode
+    cfg_s = _cfg(fft_size=1024, width=80, height=60)
+    cfg_m = _cfg(display_mode=DisplayMode.METER, meter_buf=100,
+                 width=40, height=90, bar_width=16, bar_gap=4)
+    cfg_w = _cfg(display_mode=DisplayMode.WAVEFORM, width=100, height=50,
+                 meter_buf=100)
+    bus = OutputBus(AudioInfo(SR, 2))
+    hs = bus.subscribe(cfg_s)
+    hs2 = bus.subscribe(cfg_s)      # same config -> shared renderer
+    hm = bus.subscribe(cfg_m)
+    hw = bus.subscribe(cfg_w)
+    _run_bus(bus, [hs, hm, hw], _packets())
+    img_s = bus.render_frame(hs)
+    img_s2 = bus.render_frame(hs2)
+    img_m = bus.render_frame(hm)
+    img_w = bus.render_frame(hw)
+    assert img_s.shape == (60, 80, 4)
+    assert img_m.shape == (90, 40, 4)
+    assert img_w.shape == (50, 100, 4)
+    for img in (img_s, img_m, img_w):
+        assert np.isfinite(img).all()
+        assert img[..., 3].max() > 0.5
+    np.testing.assert_array_equal(img_s, img_s2)
+    assert len(bus._renderers) == 3

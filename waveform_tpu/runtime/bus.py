@@ -80,6 +80,7 @@ class OutputBus:
         self._push_buf = None
         self._synced = 0        # samples pushed to the device ring so far
         self._was_active = True
+        self._renderers: dict[ResolvedConfig, object] = {}
 
     # -- subscription --------------------------------------------------
 
@@ -432,6 +433,31 @@ class OutputBus:
         if g["mode"] == "spectrum":
             return np.asarray(display_decibels(cfg, g["state"]))[0]
         return np.asarray(g["pixels"])[0]
+
+    def render_frame(self, handle: int) -> np.ndarray:
+        """RGBA frame [H, W, 4] for one consumer's current tick.
+
+        The renderer jits once per distinct config and is shared by every
+        consumer subscribed with that config — like the bus analysis
+        groups themselves.  All three consumer modes render: spectrum
+        from device dB state, meters from their level values, waveforms
+        from the device scroll buffer (the reference's render() per
+        source, src/source.cpp:1346-1358).
+        """
+        cfg = self._handles[handle]
+        g = self._group(handle)
+        rend = self._renderers.get(cfg)
+        if rend is None:
+            from ..render.raster import make_renderer
+            rend = jax.jit(make_renderer(cfg))
+            self._renderers[cfg] = rend
+        if g["mode"] == "spectrum":
+            vals = display_decibels(cfg, g["state"])[0]
+        elif g["mode"] == "meter":
+            vals = jnp.asarray(self.read_pixels(handle))[None, :]
+        else:
+            vals = g["pixels"][0]
+        return np.asarray(rend(vals))
 
     @property
     def num_groups(self) -> int:

@@ -346,3 +346,39 @@ def test_measured_plans_guide_kernel_choices(tmp_path, monkeypatch):
     plans.record(8192, {"split": 3, "ddt": "bf16", "us_per_frame": 1.0})
     assert plans.plan_for(8192)["split"] == 3
     assert plans.plan_for(999) is None
+
+
+def test_packaged_plan_fallback(tmp_path, monkeypatch):
+    """The measured v5e plan table ships with the package: it fills in
+    for sizes the user's plan file lacks, the user file wins where both
+    have entries, and on non-TPU backends the table is inert (tests run
+    on CPU, so the real _packaged_plans must return nothing here)."""
+    import json
+
+    from waveform_tpu.utils import plans
+
+    # the real gate: CPU backend -> packaged table unused
+    plans._packaged_plans.cache_clear()
+    assert plans._packaged_plans() == {}
+
+    # the shipped file itself parses and carries the measured entries
+    import os
+
+    import waveform_tpu
+    path = os.path.join(os.path.dirname(waveform_tpu.__file__),
+                        "data", "plans_v5e.json")
+    with open(path) as f:
+        shipped = json.load(f)
+    for n in ("4096", "16384", "32768", "65536"):
+        assert shipped[n]["ddt"] in ("bf16", "int8")
+        assert shipped[n]["split"] in (2, 3)
+
+    # precedence: user plan file entry > packaged entry > None
+    pf = tmp_path / "plans.json"
+    monkeypatch.setenv("WAVEFORM_TPU_PLAN_FILE", str(pf))
+    monkeypatch.setattr(plans, "_packaged_plans",
+                        lambda: {"4096": {"split": 3, "ddt": "int8"}})
+    assert plans.plan_for(4096) == {"split": 3, "ddt": "int8"}
+    pf.write_text(json.dumps({"4096": {"split": 2, "ddt": "bf16"}}))
+    assert plans.plan_for(4096) == {"split": 2, "ddt": "bf16"}
+    assert plans.plan_for(1024) is None

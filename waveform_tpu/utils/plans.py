@@ -45,14 +45,41 @@ def _load(path: str, mtime: float) -> dict:
         return {}
 
 
+@lru_cache(maxsize=1)
+def _packaged_plans() -> dict:
+    """Plans measured on TPU v5e, shipped with the package as a fallback
+    for machines that have not run the tuner (FFTW ships no wisdom and
+    pays heuristics everywhere; here the target hardware is known, so the
+    measured table travels with the code).  Only consulted on a TPU
+    backend — CPU runs (tests, interpret mode) keep the heuristics so the
+    v5e table cannot skew non-TPU behavior."""
+    import jax
+    try:
+        if jax.default_backend() != "tpu":
+            return {}
+    except Exception:
+        return {}
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "data", "plans_v5e.json")
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
 def plan_for(n: int) -> dict | None:
-    """The stored plan entry for fft_size ``n``, or None."""
+    """The stored plan entry for fft_size ``n``: the user's tuned plan
+    file first, then the packaged v5e table (TPU only), else None."""
     path = plan_path()
     try:
         mtime = os.path.getmtime(path)
     except OSError:
-        return None
-    return _load(path, mtime).get(str(n))
+        return _packaged_plans().get(str(n))
+    entry = _load(path, mtime).get(str(n))
+    if entry is not None:
+        return entry
+    return _packaged_plans().get(str(n))
 
 
 def record(n: int, entry: dict) -> None:
@@ -83,12 +110,21 @@ def _candidates(n: int) -> list[tuple[int, str]]:
     return out
 
 
-def measure(n: int, streams: int = 64, ticks: int = 8, reps: int = 8,
+def measure(n: int, streams: int = 64, ticks: int = 0, reps: int = 8,
             verbose: bool = True) -> dict:
     """Time every kernel candidate (and the XLA lowering) interleaved;
-    persist and return the winning plan entry."""
+    persist and return the winning plan entry.
+
+    ``ticks <= 0`` auto-sizes the scan so each timed dispatch carries
+    ~0.5 GB·frames of work (≈ 0.3–1 s on v5e): over the relay tunnel a
+    single dispatch costs ~30 ms of round trip, which at small N swamps
+    the per-frame compute unless the scan amortizes it (measured: N=2048
+    at ticks=16 reported 7.7 µs/frame for every candidate — pure RTT)."""
     import jax
     import jax.numpy as jnp
+
+    if ticks <= 0:
+        ticks = max(8, (1 << 31) // (n * streams))
 
     from ..kernels import exactfft
     from ..kernels.exact_pallas import rfft_pair_mag_packed
@@ -172,7 +208,9 @@ def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("sizes", type=int, nargs="+")
     ap.add_argument("--streams", type=int, default=64)
-    ap.add_argument("--ticks", type=int, default=8)
+    ap.add_argument("--ticks", type=int, default=0,
+                    help="scan length per dispatch (0 = auto-size so the "
+                         "dispatch round trip is amortized)")
     ap.add_argument("--reps", type=int, default=8)
     args = ap.parse_args()
     from .wisdom import enable

@@ -369,9 +369,13 @@ def test_packaged_plan_fallback(tmp_path, monkeypatch):
                         "data", "plans_v5e.json")
     with open(path) as f:
         shipped = json.load(f)
-    for n in ("4096", "16384", "32768", "65536"):
-        assert shipped[n]["ddt"] in ("bf16", "int8")
-        assert shipped[n]["split"] in (2, 3)
+    assert sorted(map(int, shipped)) == [1024, 2048, 4096, 8192,
+                                         16384, 32768, 65536]
+    for n, e in shipped.items():
+        assert e["ddt"] in ("bf16", "int8")
+        assert e["split"] in (2, 3)
+        # a plan that claims to lose to XLA should not ship at all
+        assert e["us_per_frame"] < e["xla_us_per_frame"]
 
     # precedence: user plan file entry > packaged entry > None
     pf = tmp_path / "plans.json"

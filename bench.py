@@ -53,6 +53,38 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
+    # Device-discovery watchdog: the axon relay's backend init BLOCKS on
+    # the tunnel socket, so an outage turns jax.devices() into an
+    # indefinite hang (observed: >20 min with zero progress).  Probe it on
+    # a daemon thread with a generous bound — normal tunneled init is
+    # ~10-20 s — and fail LOUDLY with a diagnostic JSON line instead of
+    # eating the harness timeout in silence.
+    import threading
+    probe: dict = {}
+
+    def _probe():
+        try:
+            probe["devices"] = jax.devices()
+        except Exception as e:   # pragma: no cover - backend-dependent
+            probe["error"] = f"{type(e).__name__}: {e}"
+
+    import os
+    init_bound = float(os.environ.get(
+        "WAVEFORM_TPU_BENCH_INIT_TIMEOUT", "600"))
+    th = threading.Thread(target=_probe, daemon=True)
+    th.start()
+    th.join(timeout=init_bound)
+    if "devices" not in probe:
+        print(json.dumps({
+            "metric": "tpu_unavailable",
+            "value": 0.0, "unit": "frames/s", "vs_baseline": 0.0,
+            "error": probe.get(
+                "error", f"jax.devices() hung >{init_bound:.0f}s: "
+                         "relay tunnel down"),
+        }))
+        sys.stdout.flush()
+        os._exit(1)   # daemon probe thread may hold the backend lock
+
     # wisdom: persistent compiled-program cache (the FFTW-wisdom analog) —
     # first-ever run pays the compiles, every later run reloads them (the
     # relay tunnel makes fresh TPU compiles 100-250 s each)

@@ -25,7 +25,11 @@ if "XLA_FLAGS" not in os.environ:
 import numpy as np  # noqa: E402
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", os.environ.get("JAX_PLATFORMS", "cpu"))
+# env vars alone are too late once a sitecustomize has imported jax, so
+# mirror JAX_PLATFORMS into the live config — but only when it is set:
+# on a real pod with no override this must NOT pin the demo to CPU
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 import waveform_tpu as wt  # noqa: E402
 from waveform_tpu.parallel.sharded_serving import ShardedServingEngine  # noqa: E402

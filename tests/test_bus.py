@@ -278,4 +278,66 @@ def test_bus_render_frame_all_modes():
         assert np.isfinite(img).all()
         assert img[..., 3].max() > 0.5
     np.testing.assert_array_equal(img_s, img_s2)
-    assert len(bus._renderers) == 3
+    # the three configs land in the process-wide shared renderer cache
+    from waveform_tpu.render import raster
+    assert all((c, False) in raster._JITTED for c in (cfg_s, cfg_m, cfg_w))
+
+
+def test_bus_render_frame_hide_on_silent():
+    """hide_on_silent blanks silent spectrum and meter consumers to full
+    transparency (the reference's render() early return,
+    src/source.cpp:1349-1350) but never waveform consumers — the
+    reference's tick_waveform never updates m_last_silent
+    (source_generic.cpp:271-390)."""
+    from waveform_tpu import DisplayMode
+    cfg_s = _cfg(fft_size=1024, width=80, height=60, hide_on_silent=True)
+    cfg_m = _cfg(display_mode=DisplayMode.METER, meter_buf=100,
+                 width=40, height=90, bar_width=16, bar_gap=4,
+                 hide_on_silent=True)
+    cfg_w = _cfg(display_mode=DisplayMode.WAVEFORM, width=100, height=50,
+                 meter_buf=100, hide_on_silent=True)
+    bus = OutputBus(AudioInfo(SR, 2))
+    hs, hm, hw = (bus.subscribe(c) for c in (cfg_s, cfg_m, cfg_w))
+    # loud audio first: nothing blanks
+    _run_bus(bus, [hs, hm, hw], _packets(n_ticks=20))
+    assert bus.render_frame(hs)[..., 3].max() > 0.5
+    assert bus.render_frame(hm)[..., 3].max() > 0.5
+    assert bus.render_frame(hw)[..., 3].max() > 0.5
+    # then sustained silence: spectrum + meter latch and blank
+    zeros = [np.zeros((2, 800), np.float32) for _ in range(40)]
+    now = NS + 40 * 800 * NS // SR
+    for x in zeros:
+        bus.feed(x, now, now_ns=now)
+        now += x.shape[-1] * NS // SR
+        bus.tick(now_ns=now)
+    img_s, img_m, img_w = (bus.render_frame(h) for h in (hs, hm, hw))
+    assert img_s.max() == 0.0, "silent spectrum consumer must blank"
+    assert img_m.max() == 0.0, "silent meter consumer must blank"
+    # waveform has no hide path (the reference's tick_waveform never sets
+    # m_last_silent) — its silent frame is empty anyway because every
+    # display value sits at DB_MIN below the floor, not because of the
+    # flag (the loud-phase assert above is what pins the no-hide branch)
+    assert np.isfinite(img_w).all()
+
+
+def test_resolve_clamps_cutoffs_and_survives_zero_cutoff_high():
+    """Scene-JSON cutoffs clamp to the 0-24000 sliders, and the
+    cutoff_high=0 + roll-off corner saturates like the reference's IEEE
+    float division (source.cpp:898-918) instead of raising."""
+    from waveform_tpu.dsp import oracle
+    cfg = resolve(Settings(cutoff_low=-5, cutoff_high=30000),
+                  AudioInfo(SR, 2))
+    assert cfg.cutoff_low == 0 and cfg.cutoff_high == 24000
+    cfg0 = resolve(Settings(cutoff_low=0, cutoff_high=0, rolloff_q=1.0,
+                            rolloff_rate=12.0, fft_size=512,
+                            temporal_smoothing=TSmoothingMode.NONE),
+                   AudioInfo(SR, 2))
+    assert cfg0.cutoff_high == 0
+    x = np.sin(2 * np.pi * 440.0 * np.arange(512) / SR)[None].repeat(2, 0)
+    db, _ = oracle.spectrum_frame(x, None, cfg0, dt=1 / 60)
+    from waveform_tpu import DB_MIN
+    # infinite roll-off clamps every bin to the floor — except bin 0,
+    # which the reference leaves unattenuated (m_rolloff_modifiers[0]=0,
+    # source.cpp:907)
+    assert np.all(db[:, 1:] == DB_MIN)
+    assert np.isfinite(db).all()

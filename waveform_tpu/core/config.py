@@ -229,13 +229,14 @@ def _clamp_to_property_ranges(s: Settings) -> Settings:
     The reference trusts its UI sliders to bound these values, but scene
     JSON arrives unbounded — a hand-edited file with width=-4 would feed
     negative geometry straight into the renderer.  The resolver enforces
-    the same contract the dialog does.  fft_size and the cutoffs keep
-    their bespoke rules (enable_large_fft unlocks sizes past the slider
-    max, src/source.cpp:359-363; inverted cutoffs RESET rather than
-    clamp, :567-577).
+    the same contract the dialog does.  fft_size keeps its bespoke rule
+    (enable_large_fft unlocks sizes past the slider max,
+    src/source.cpp:359-363); the cutoffs clamp to their 0–24000 sliders
+    here and the inverted pair additionally RESETS in resolve()
+    (:567-577).
     """
     from .properties import PROPERTIES
-    skip = {"fft_size", "cutoff_low", "cutoff_high"}
+    skip = {"fft_size"}
     updates = {}
     for p in PROPERTIES:
         if p.kind not in ("int", "float") or p.key in skip:

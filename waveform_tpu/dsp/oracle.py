@@ -76,9 +76,16 @@ def rolloff_modifiers(fft_size: int, samples_per_sec: int, cutoff_low: int,
     for i in range(1, sz):
         freq = i * coeff
         rl = freq_low / freq
-        rh = freq / freq_high
+        # the reference divides in float, so cutoff_high == 0 yields IEEE
+        # +inf and an infinite attenuation (clamped to DB_MIN downstream,
+        # source_generic.cpp:169-179) — Python float division would raise
+        # ZeroDivisionError instead, so saturate explicitly.  With
+        # rate == 0 the reference computes 0·inf = NaN; that NaN feeds
+        # undefined vertex math, so the zero-rate guard below (a no-op
+        # roll-off either way) is the one deliberate divergence.
+        rh = freq / freq_high if freq_high > 0.0 else math.inf
         low_att = rate * math.log2(rl) if rl > 1.0 else 0.0
-        high_att = rate * math.log2(rh) if rh > 1.0 else 0.0
+        high_att = rate * math.log2(rh) if rh > 1.0 and rate > 0.0 else 0.0
         out[i] = low_att + high_att
     return out
 

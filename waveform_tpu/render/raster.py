@@ -359,3 +359,25 @@ def make_renderer(cfg: ResolvedConfig):
         return img
 
     return render
+
+
+_JITTED: dict = {}
+
+
+def jitted_renderer(cfg: ResolvedConfig, batched: bool = False):
+    """Process-wide compiled-renderer cache shared by every consumer of a
+    config — OutputBus, MultiEngine, and direct callers all reuse ONE
+    compiled program per (config, batched) instead of each keeping a
+    private jit cache (the reference shares one effect shader across all
+    sources, src/source.cpp:939-943).
+
+    ``batched=True`` vmaps over a leading stream axis.
+    """
+    import jax
+    key = (cfg, batched)
+    fn = _JITTED.get(key)
+    if fn is None:
+        fn = make_renderer(cfg)
+        fn = jax.jit(jax.vmap(fn) if batched else fn)
+        _JITTED[key] = fn
+    return fn

@@ -80,7 +80,6 @@ class OutputBus:
         self._push_buf = None
         self._synced = 0        # samples pushed to the device ring so far
         self._was_active = True
-        self._renderers: dict[ResolvedConfig, object] = {}
 
     # -- subscription --------------------------------------------------
 
@@ -446,18 +445,32 @@ class OutputBus:
         """
         cfg = self._handles[handle]
         g = self._group(handle)
-        rend = self._renderers.get(cfg)
-        if rend is None:
-            from ..render.raster import make_renderer
-            rend = jax.jit(make_renderer(cfg))
-            self._renderers[cfg] = rend
+        from ..render.raster import jitted_renderer
+        rend = jitted_renderer(cfg)
+        hidden = None
         if g["mode"] == "spectrum":
             vals = display_decibels(cfg, g["state"])[0]
+            if cfg.settings.hide_on_silent:
+                hidden = g["state"].last_silent[0]
         elif g["mode"] == "meter":
-            vals = jnp.asarray(self.read_pixels(handle))[None, :]
+            # levels live on device already — no host round trip
+            vals = g["pixels"][0][None, :]
+            if cfg.settings.hide_on_silent:
+                # the reference latches meter silence when every channel
+                # sits under floor−10 dB (source_generic.cpp:263-268)
+                hidden = jnp.all(vals < jnp.float32(cfg.floor - 10))
         else:
+            # reference parity: tick_waveform never updates m_last_silent
+            # (source_generic.cpp:271-390), so hide_on_silent cannot
+            # blank a waveform consumer
             vals = g["pixels"][0]
-        return np.asarray(rend(vals))
+        img = rend(vals)
+        if hidden is not None:
+            # hide_on_silent: the reference's render() early return
+            # (src/source.cpp:1349-1350) — blank to transparent on device,
+            # matching ServingEngine.render_frames
+            img = img * (~hidden).astype(img.dtype)
+        return np.asarray(img)
 
     @property
     def num_groups(self) -> int:

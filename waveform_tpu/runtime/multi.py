@@ -17,6 +17,7 @@ from __future__ import annotations
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..core.config import ResolvedConfig
@@ -44,7 +45,6 @@ class MultiEngine:
         self._next_id = 0
         self._cohorts: list[dict] = []
         self._solo: list = []    # engines ticking the classic way
-        self._renderers: dict[ResolvedConfig, object] = {}
 
     def add_stream(self, cfg: ResolvedConfig) -> int:
         """Register a stream; returns its handle.  Streams must be added
@@ -153,21 +153,25 @@ class MultiEngine:
         """
         if not self._engines:
             self._build()
-        out: dict[int, np.ndarray] = {}
+        from ..render.raster import jitted_renderer
+        # dispatch every group's render first, read back after — device
+        # work for group B overlaps group A's D2H instead of serializing
+        # behind it (the async-dispatch discipline tick() follows)
+        pending: list[tuple[list[int], jnp.ndarray]] = []
         for cfg, eng in self._engines.items():
             ids = self._groups[cfg]
             if isinstance(eng, ServingEngine):
-                imgs = np.asarray(eng.render_frames())
+                imgs = eng.render_frames()
             else:
-                rend = self._renderers.get(cfg)
-                if rend is None:
-                    from ..render.raster import make_renderer
-                    rend = jax.jit(jax.vmap(make_renderer(cfg)))
-                    self._renderers[cfg] = rend
-                imgs = np.asarray(rend(eng.render_values()))
+                imgs = jitted_renderer(cfg, batched=True)(
+                    eng.render_values())
                 if cfg.settings.hide_on_silent:
-                    imgs = imgs * (~eng.last_silent).astype(
-                        imgs.dtype)[:, None, None, None]
+                    imgs = imgs * jnp.asarray(
+                        ~eng.last_silent, imgs.dtype)[:, None, None, None]
+            pending.append((ids, imgs))
+        out: dict[int, np.ndarray] = {}
+        for ids, dimgs in pending:
+            imgs = np.asarray(dimgs)
             for i, sid in enumerate(ids):
                 out[sid] = imgs[i]
         return out

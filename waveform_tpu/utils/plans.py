@@ -51,13 +51,21 @@ def _packaged_plans() -> dict:
     for machines that have not run the tuner (FFTW ships no wisdom and
     pays heuristics everywhere; here the target hardware is known, so the
     measured table travels with the code).  Only consulted on a TPU
-    backend — CPU runs (tests, interpret mode) keep the heuristics so the
-    v5e table cannot skew non-TPU behavior."""
+    backend whose device kind looks like v5e — CPU runs (tests, interpret
+    mode) and other TPU generations (different VMEM/MXU balance) keep the
+    heuristics so the v5e table cannot skew their behavior.
+
+    Backend probing may RAISE mid-init; lru_cache does not cache
+    exceptions, so a transient failure retries on the next call instead
+    of latching an empty table for the life of the process — plan_for
+    treats the raise as "no table this time"."""
     import jax
-    try:
-        if jax.default_backend() != "tpu":
-            return {}
-    except Exception:
+    if jax.default_backend() != "tpu":   # may raise during backend init
+        return {}
+    kind = (getattr(jax.devices()[0], "device_kind", "") or "").lower()
+    kind = kind.replace("-", " ").replace("_", " ")
+    if not ("v5e" in kind or "v5 lite" in kind
+            or os.environ.get("PALLAS_AXON_TPU_GEN", "").startswith("v5e")):
         return {}
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "data", "plans_v5e.json")
@@ -70,16 +78,22 @@ def _packaged_plans() -> dict:
 
 def plan_for(n: int) -> dict | None:
     """The stored plan entry for fft_size ``n``: the user's tuned plan
-    file first, then the packaged v5e table (TPU only), else None."""
+    file first, then the packaged v5e table (v5e TPU only), else None."""
+    def packaged() -> dict:
+        try:
+            return _packaged_plans()
+        except Exception:
+            return {}   # transient backend-init failure: no table this time
+
     path = plan_path()
     try:
         mtime = os.path.getmtime(path)
     except OSError:
-        return _packaged_plans().get(str(n))
+        return packaged().get(str(n))
     entry = _load(path, mtime).get(str(n))
     if entry is not None:
         return entry
-    return _packaged_plans().get(str(n))
+    return packaged().get(str(n))
 
 
 def record(n: int, entry: dict) -> None:

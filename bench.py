@@ -1,301 +1,9 @@
-"""Waveform-TPU benchmark harness.
-
-Headline metric (BASELINE.md north star): 4096-pt spectrum frames processed
-per second per chip — one "frame" = one stream's full tick (device ring
-advance → Hann window → rFFT → magnitude → EMA → silence gating → dBFS →
-log-axis Lanczos rebin to 800 px), batched over S concurrent streams and
-scan-batched T ticks per dispatch (runtime/serving.py bulk mode).
-
-Methodology, mirroring FFTW's self-benchmark (deps/fftw-3.3.11/tests/README —
-inputs generated in-process, transform throughput measured):
-
-* Audio is synthesized on device per tick (jax PRNG noise) so the metric is
-  the chip's analysis throughput.  This container reaches the TPU through a
-  relay tunnel whose transfers are pathological and erratic (measured:
-  scalar D2H 31 ms; 52 MB H2D 42 ms or 1000+ ms run to run) — including
-  them would benchmark the tunnel, not the chip.  A secondary stderr line
-  reports the transfer-inclusive serving number for reference.
-* The full stateful pipeline runs every tick: ring advance, EMA state chain,
-  silence gating, rebin.  Nothing is constant-folded away (fresh PRNG audio
-  each tick, state threaded through the scan).
-
-An accuracy gate runs first (FFTW-style verify-before-benchmark): max |dB
-err| vs the float64 oracle must stay < 1e-4 above the -120 dBFS render
-floor or no throughput is reported — the BASELINE.json north-star bound,
-met by the digit-sliced exact-accumulation FFT (kernels/exactfft.py,
-~2e-6 dB measured on v5e) which is also the fastest backend at N=4096.
-
-Target: ≥10,000 frames/s/chip (BASELINE.json); vs_baseline = value / 10000.
-
-Usage: python bench.py [--streams 256] [--fft 4096] [--scan 32] [--reps 10]
-"""
-
-from __future__ import annotations
-
-import argparse
-import json
+"""Repo-root shim: the driver runs ``python bench.py`` here; the
+implementation ships inside the package so the ``waveform-tpu-bench``
+console script works from a pip install too."""
 import sys
-import time
 
-import numpy as np
-
-
-def main() -> int:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--streams", type=int, default=256)
-    ap.add_argument("--fft", type=int, default=4096)
-    ap.add_argument("--width", type=int, default=800)
-    ap.add_argument("--scan", type=int, default=32, help="ticks per dispatch")
-    ap.add_argument("--reps", type=int, default=10)
-    ap.add_argument("--warmup", type=int, default=2)
-    args = ap.parse_args()
-
-    import jax
-    import jax.numpy as jnp
-
-    # Device-discovery watchdog: the axon relay's backend init BLOCKS on
-    # the tunnel socket, so an outage turns jax.devices() into an
-    # indefinite hang (observed: >20 min with zero progress).  Probe it on
-    # a daemon thread with a generous bound — normal tunneled init is
-    # ~10-20 s — and fail LOUDLY with a diagnostic JSON line instead of
-    # eating the harness timeout in silence.
-    import threading
-    probe: dict = {}
-
-    def _probe():
-        try:
-            probe["devices"] = jax.devices()
-        except Exception as e:   # pragma: no cover - backend-dependent
-            probe["error"] = f"{type(e).__name__}: {e}"
-
-    import os
-    init_bound = float(os.environ.get(
-        "WAVEFORM_TPU_BENCH_INIT_TIMEOUT", "600"))
-    th = threading.Thread(target=_probe, daemon=True)
-    th.start()
-    th.join(timeout=init_bound)
-    if "devices" not in probe:
-        print(json.dumps({
-            "metric": "tpu_unavailable",
-            "value": 0.0, "unit": "frames/s", "vs_baseline": 0.0,
-            "error": probe.get(
-                "error", f"jax.devices() hung >{init_bound:.0f}s: "
-                         "relay tunnel down"),
-        }))
-        sys.stdout.flush()
-        os._exit(1)   # daemon probe thread may hold the backend lock
-
-    # wisdom: persistent compiled-program cache (the FFTW-wisdom analog) —
-    # first-ever run pays the compiles, every later run reloads them (the
-    # relay tunnel makes fresh TPU compiles 100-250 s each)
-    from waveform_tpu.utils.wisdom import enable as _wisdom_enable
-    _wisdom_enable()
-
-    from waveform_tpu import AudioInfo, Settings, resolve
-    from waveform_tpu.core.enums import FFTWindow, InterpMode, TSmoothingMode
-    from waveform_tpu.dsp import oracle
-    from waveform_tpu.dsp.devring import init_ring, push
-    from waveform_tpu.dsp.spectrum import (
-        display_decibels,
-        init_state,
-        make_spectrum_step,
-    )
-    from waveform_tpu.rebin.apply import make_rebin_fn
-
-    S, N, W, T = args.streams, args.fft, args.width, args.scan
-    SR = 48000
-    cfg = resolve(Settings(fft_size=N, width=W, window=FFTWindow.HANN,
-                           interp_mode=InterpMode.LANCZOS,
-                           enable_large_fft=True),
-                  AudioInfo(SR, 2))
-    step = make_spectrum_step(cfg)
-    rebin = make_rebin_fn(cfg, apply_pixel_map=False)
-    hop = int(SR / cfg.fps)
-
-    def bench_dispatch(key, ring, state, dt, active, rms):
-        """T full ticks; fresh on-device PRNG audio per tick."""
-        def body(carry, k):
-            ring, state = carry
-            # uniform audio in [-0.5, 0.5) from raw bits: the DSP work is
-            # identical to gaussian input, without paying erf_inv on the
-            # VPU every tick (the synthetic source is not the system
-            # under test)
-            bits = jax.random.bits(k, (S, 2, hop), jnp.uint32)
-            new = bits.astype(jnp.float32) * jnp.float32(2.0 ** -32) - 0.5
-            ring = push(ring, new, jnp.int32(hop))
-            state = step(ring.buf, state, dt, active, rms)
-            px = rebin(display_decibels(cfg, state))
-            # carry a cheap reduction so nothing is dead code
-            return (ring, state), px.mean()
-        keys = jax.random.split(key, T)
-        (ring, state), sums = jax.lax.scan(body, (ring, state), keys)
-        return sums, ring, state
-
-    fn = jax.jit(bench_dispatch, donate_argnums=(1, 2))
-    ring = init_ring(S, 2, N)
-    state = init_state(cfg, S)
-    dt = jnp.float32(1 / 60)
-    active = jnp.ones(S, bool)
-    rms = jnp.zeros(S, jnp.float32)
-    key = jax.random.key(0)
-
-    for i in range(args.warmup):
-        sums, ring, state = fn(jax.random.fold_in(key, i), ring, state, dt,
-                               active, rms)
-    jax.block_until_ready(sums)
-
-    # --- accuracy gate vs float64 oracle on the current ring window ---
-    window = np.asarray(ring.buf[0]).astype(np.float64)
-    acc_cfg = resolve(Settings(fft_size=N, width=W, window=FFTWindow.HANN,
-                               temporal_smoothing=TSmoothingMode.NONE,
-                               enable_large_fft=True), AudioInfo(SR, 2))
-    want, _ = oracle.spectrum_frame(window, None, acc_cfg, dt=1 / 60)
-    step2 = jax.jit(make_spectrum_step(acc_cfg))
-    st2 = step2(jnp.asarray(window[None], jnp.float32), init_state(acc_cfg, 1),
-                dt, jnp.ones(1, bool), jnp.zeros(1, jnp.float32))
-    got = np.asarray(display_decibels(acc_cfg, st2))[0]
-    vis = want > -120.0
-    max_err = float(np.abs(got[vis] - want[vis]).max())
-    if max_err > 1e-4:
-        print(json.dumps({"metric": "accuracy_gate_failed",
-                          "value": max_err, "unit": "dB", "vs_baseline": 0.0}))
-        return 1
-
-    # --- measured: chip analysis throughput ---
-    # best of 3 rounds: the relay tunnel's multi-minute slow phases hit
-    # per-dispatch overhead 2x run to run; the fastest round is the chip's
-    # number (FFTW's harness likewise reports the minimum over repeats,
-    # deps/fftw-3.3.11/libbench2/report.c time_min)
-    elapsed = float("inf")
-    for r in range(3):
-        t0 = time.perf_counter()
-        for i in range(args.reps):
-            sums, ring, state = fn(jax.random.fold_in(key, 100 + 16 * r + i),
-                                   ring, state, dt, active, rms)
-        jax.block_until_ready(sums)
-        elapsed = min(elapsed, time.perf_counter() - t0)
-    frames_per_sec = S * T * args.reps / elapsed
-
-    # --- device-only per-tick latency: on-device PRNG audio, no H2D ---
-    # Isolates buffer→spectrum compute+dispatch from transfer cost; the
-    # reference's real-time budget is per-frame (src/source.cpp:1156-1167).
-    def single_tick(k, ring, state, dt, active, rms):
-        bits = jax.random.bits(k, (S, 2, hop), jnp.uint32)
-        new = bits.astype(jnp.float32) * jnp.float32(2.0 ** -32) - 0.5
-        ring = push(ring, new, jnp.int32(hop))
-        state = step(ring.buf, state, dt, active, rms)
-        px = rebin(display_decibels(cfg, state))
-        return px.mean(), ring, state
-
-    single = jax.jit(single_tick, donate_argnums=(1, 2))
-    m, ring, state = single(key, ring, state, dt, active, rms)
-    jax.block_until_ready(m)
-    lat_dev = []
-    for i in range(20):
-        t2 = time.perf_counter()
-        m, ring, state = single(jax.random.fold_in(key, 500 + i), ring,
-                                state, dt, active, rms)
-        jax.block_until_ready(m)
-        lat_dev.append(time.perf_counter() - t2)
-    dev_p50 = float(np.percentile(lat_dev, 50)) * 1e3
-    dev_p99 = float(np.percentile(lat_dev, 99)) * 1e3
-
-    # --- secondary: transfer-inclusive serving tick (tunnel-limited) ---
-    from waveform_tpu.runtime.serving import ServingEngine
-    NSC = 1_000_000_000
-    # tight hop budget: the bench feeder is metronomic, so the default 2x
-    # jitter headroom only pads the upload with zeros — hop+16 halves the
-    # per-tick bytes honestly (a real engine parameter, not a bench hack)
-    hb = hop + 16
-    eng = ServingEngine(cfg, S, hop_budget=hb)
-    pkt = np.asarray(0.5 * np.random.default_rng(0).standard_normal(
-        (S, 2, hop)), np.float32)
-    now = NSC
-    for k in range(3):
-        eng.feed_batch(pkt, now, now_ns=now)
-        now += hop * NSC // SR
-        px = eng.tick(now_ns=now)
-    jax.block_until_ready(px)
-    # best-of-3 rounds: the relay tunnel has multi-minute slow phases that
-    # vary 2x run to run; taking the fastest round measures the engine, not
-    # the tunnel weather (FFTW's harness likewise keeps the minimum over
-    # repeats, deps/fftw-3.3.11/libbench2/report.c time_min)
-    reps2 = 10
-    serving_fps, p99 = 0.0, float("inf")
-    for _ in range(3):
-        lat = []
-        t1 = time.perf_counter()
-        for k in range(reps2):
-            t2 = time.perf_counter()
-            eng.feed_batch(pkt, now, now_ns=now)
-            now += hop * NSC // SR
-            px = eng.tick(now_ns=now)
-            jax.block_until_ready(px)   # buffer->spectrum completion
-            lat.append(time.perf_counter() - t2)
-        fps = S * reps2 / (time.perf_counter() - t1)
-        if fps > serving_fps:
-            serving_fps = fps
-            p99 = float(np.percentile(np.asarray(lat), 99)) * 1e3
-
-    # --- microbatched live serving: the per-dispatch round trip amortizes
-    # over k frames per flush (ServingEngine(microbatch=k), the live-path
-    # analog of the bulk scan; frame semantics identical to k single ticks)
-    k_mb = 4
-    eng2 = ServingEngine(cfg, S, microbatch=k_mb, hop_budget=hb)
-    now = NSC
-    for i in range(2 * k_mb):   # warmup: two flushes (compile)
-        eng2.feed_batch(pkt, now, now_ns=now)
-        now += hop * NSC // SR
-        eng2.tick(now_ns=now)
-    jax.block_until_ready(eng2._last_pixels)
-    frames = 40
-    mb_amort, mb_p99, mb_fps = float("inf"), float("inf"), 0.0
-    for _ in range(3):   # best-of-3 (same tunnel-phase rationale as above)
-        per_frame_lat: list[float] = []
-        pending: list[float] = []
-        t1 = time.perf_counter()
-        for i in range(frames):
-            t_call = time.perf_counter()
-            eng2.feed_batch(pkt, now, now_ns=now)
-            now += hop * NSC // SR
-            eng2.tick(now_ns=now)
-            pending.append(t_call)
-            if (i + 1) % k_mb == 0:
-                jax.block_until_ready(eng2._last_pixels)
-                t_end = time.perf_counter()
-                per_frame_lat += [t_end - tc for tc in pending]
-                pending = []
-        mb_total = time.perf_counter() - t1
-        if mb_total / frames * 1e3 < mb_amort:
-            mb_amort = mb_total / frames * 1e3
-            mb_p99 = float(np.percentile(np.asarray(per_frame_lat), 99)) * 1e3
-            mb_fps = S * frames / mb_total
-
-    print(json.dumps({
-        "metric": f"{N}pt_spectrum_frames_per_sec_per_chip",
-        "value": round(frames_per_sec, 1),
-        "unit": "frames/s",
-        "vs_baseline": round(frames_per_sec / 10000.0, 3),
-    }))
-    print(f"# accuracy max|dB err| vs float64 oracle: {max_err:.2e}; "
-          f"S={S} N={N} hop={hop} scan={T} reps={args.reps} "
-          f"elapsed={elapsed:.3f}s "
-          f"({elapsed / (args.reps * T) * 1e3:.2f} ms/tick); "
-          f"device-only per-tick buffer->spectrum p50 {dev_p50:.1f} ms / "
-          f"p99 {dev_p99:.1f} ms (no H2D); "
-          f"tunnel-limited per-tick serving (incl. H2D over relay): "
-          f"{serving_fps:,.0f} frames/s, p99 buffer->spectrum latency "
-          f"{p99:.1f} ms; "
-          f"LIVE microbatch k={k_mb} hop_budget={hb} (incl. H2D): "
-          f"{mb_fps:,.0f} frames/s, "
-          f"amortized {mb_amort:.1f} ms/frame vs 16.7 ms budget, "
-          f"per-frame completion p99 {mb_p99:.1f} ms "
-          f"(device-only amortized {elapsed / (args.reps * T) * 1e3:.2f} "
-          f"ms/frame from the scan; r2 live p99 was 123.3 ms at k=1); "
-          f"backend={jax.default_backend()}",
-          file=sys.stderr)
-    return 0
-
+from waveform_tpu.bench import main
 
 if __name__ == "__main__":
     sys.exit(main())

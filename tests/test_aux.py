@@ -386,3 +386,51 @@ def test_packaged_plan_fallback(tmp_path, monkeypatch):
     pf.write_text(json.dumps({"4096": {"split": 2, "ddt": "bf16"}}))
     assert plans.plan_for(4096) == {"split": 2, "ddt": "bf16"}
     assert plans.plan_for(1024) is None
+
+
+def test_packaged_plans_v5e_gate_and_no_failure_latch(monkeypatch, tmp_path):
+    """The shipped v5e table applies only to v5e-looking TPUs (other
+    generations have a different VMEM/MXU balance), and a transient
+    backend-init failure must not latch an empty table for the process."""
+    import jax
+
+    from waveform_tpu.utils import plans
+
+    monkeypatch.setenv("WAVEFORM_TPU_PLAN_FILE",
+                       str(tmp_path / "missing.json"))
+    monkeypatch.delenv("PALLAS_AXON_TPU_GEN", raising=False)
+
+    class V4:
+        platform, device_kind = "tpu", "TPU v4"
+
+    class V5E:
+        platform, device_kind = "tpu", "TPU v5 lite"
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(jax, "devices", lambda: [V4()])
+    plans._packaged_plans.cache_clear()
+    assert plans._packaged_plans() == {}     # v4: heuristics, no table
+
+    monkeypatch.setattr(jax, "devices", lambda: [V5E()])
+    plans._packaged_plans.cache_clear()
+    assert "4096" in plans._packaged_plans()  # v5e: shipped table applies
+
+    # the relay names the generation via env when device_kind is opaque
+    class Opaque:
+        platform, device_kind = "tpu", ""
+
+    monkeypatch.setattr(jax, "devices", lambda: [Opaque()])
+    monkeypatch.setenv("PALLAS_AXON_TPU_GEN", "v5e:1x1x1")
+    plans._packaged_plans.cache_clear()
+    assert "4096" in plans._packaged_plans()
+
+    # transient init failure: plan_for degrades to None but does NOT latch
+    def boom():
+        raise RuntimeError("backend initializing")
+
+    monkeypatch.setattr(jax, "default_backend", boom)
+    plans._packaged_plans.cache_clear()
+    assert plans.plan_for(4096) is None
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert plans.plan_for(4096) is not None   # recovered, not cached-empty
+    plans._packaged_plans.cache_clear()

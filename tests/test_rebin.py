@@ -126,3 +126,41 @@ def test_band_widths_reference_truncation():
     # diffs: 1.2 -> 1, 0.95 -> max(0,1)=1, 3.85 -> 3
     np.testing.assert_array_equal(w, [1, 1, 3])
     # per-index truncation would give [3-1, 4-3, 7-4] = [2, 1, 3] — wrong
+
+
+def test_dense_interp_matches_gather(monkeypatch):
+    """WAVEFORM_TPU_REBIN=dense routes the interp stage through one
+    [nbins, P] matmul (the MXU-idiomatic form of the per-pixel tap
+    gather); outputs must match the gather+einsum path to f32 ulp
+    across display modes, interp kernels, and mirroring."""
+    import numpy as np
+
+    from waveform_tpu import (
+        AudioInfo,
+        DisplayMode,
+        InterpMode,
+        Settings,
+        resolve,
+    )
+    from waveform_tpu.rebin.apply import make_rebin_fn
+
+    rng = np.random.default_rng(7)
+    cases = [
+        dict(fft_size=1024, width=300, interp_mode=InterpMode.LANCZOS),
+        dict(fft_size=2048, width=257, interp_mode=InterpMode.CATROM,
+             mirror_freq_axis=True),
+        dict(fft_size=512, width=200, display_mode=DisplayMode.BAR,
+             bar_width=8, bar_gap=2, interp_mode=InterpMode.LANCZOS),
+        dict(fft_size=1024, width=320, filter_radius=2.5,
+             interp_mode=InterpMode.LANCZOS),
+    ]
+    for kw in cases:
+        cfg = resolve(Settings(**kw), AudioInfo(48000, 2))
+        db = (-60 + 50 * rng.standard_normal(
+            (3, cfg.display_channels, cfg.num_bins))).astype(np.float32)
+        monkeypatch.delenv("WAVEFORM_TPU_REBIN", raising=False)
+        want = np.asarray(make_rebin_fn(cfg, apply_pixel_map=False)(db))
+        monkeypatch.setenv("WAVEFORM_TPU_REBIN", "dense")
+        got = np.asarray(make_rebin_fn(cfg, apply_pixel_map=False)(db))
+        np.testing.assert_allclose(got, want, atol=2e-4, rtol=0,
+                                   err_msg=str(kw))

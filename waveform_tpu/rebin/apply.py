@@ -9,6 +9,9 @@ and :1505-1564 (bars).
 
 from __future__ import annotations
 
+import os
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -16,6 +19,18 @@ from ..core.config import ResolvedConfig
 from ..core.enums import FilterMode
 from .filter import build_gauss_tables
 from .interp import build_interp_tables, mirror_indices
+
+
+def _interp_matrix(taps: np.ndarray, weights: np.ndarray,
+                   nbins: int) -> np.ndarray:
+    """The interp stage as a dense [nbins, P] matrix: column p carries
+    weight[p, t] at row taps[p, t] (duplicate taps from edge clamping
+    accumulate, matching the gather+einsum sum)."""
+    P, T = taps.shape
+    m = np.zeros((nbins, P), np.float32)
+    np.add.at(m, (taps, np.broadcast_to(np.arange(P)[:, None], (P, T))),
+              weights.astype(np.float32))
+    return m
 
 
 def make_rebin_fn(cfg: ResolvedConfig, *, top: float | None = None,
@@ -33,6 +48,27 @@ def make_rebin_fn(cfg: ResolvedConfig, *, top: float | None = None,
     weights = jnp.asarray(tables.weights)                    # [P, T]
     band = (None if tables.band_matrix is None
             else jnp.asarray(tables.band_matrix))            # [B, P]
+    # WAVEFORM_TPU_REBIN=dense routes the interp stage through one
+    # [nbins, P] f32 matmul on the MXU instead of a VPU gather+einsum —
+    # the TPU-idiomatic form of apply_interp_filter_fma3 (a per-pixel
+    # 8-tap gather IS a sparse matrix; filter_fma3.cpp:77-101).  The 2040
+    # zero rows per column add exactly 0.0 in f32, so only the 8 real
+    # taps reassociate — same ulp class as the einsum.  precision=HIGHEST
+    # keeps the f32 mantissa on the MXU's bf16 passes.  Default stays
+    # "gather" until the dense path measures faster on hardware.
+    dense = os.environ.get("WAVEFORM_TPU_REBIN", "gather") == "dense"
+    if dense:
+        # rows = the caller's actual bin-axis width (waveform mode feeds
+        # its pixel buffer, not num_bins) — static under jit, built once
+        _imats: dict[int, jnp.ndarray] = {}
+
+        def _imat(nbins: int) -> jnp.ndarray:
+            m = _imats.get(nbins)
+            if m is None:
+                m = jnp.asarray(_interp_matrix(
+                    tables.taps, tables.weights, nbins))
+                _imats[nbins] = m
+            return m
 
     n_out = tables.num_outputs
     use_gauss = cfg.filter_mode == FilterMode.GAUSS and not cfg.meter_mode
@@ -49,9 +85,14 @@ def make_rebin_fn(cfg: ResolvedConfig, *, top: float | None = None,
 
     def rebin(db: jnp.ndarray, top: jnp.ndarray | float = 0.0,
               bottom: jnp.ndarray | float = 0.0) -> jnp.ndarray:
-        # interp: gather taps along the bin axis and reduce with the LUT
-        gathered = jnp.take(db, taps, axis=-1)               # [..., P, T]
-        vals = jnp.einsum("...pt,pt->...p", gathered, weights)
+        if dense:
+            # interp as one MXU matmul (see the WAVEFORM_TPU_REBIN note)
+            vals = jnp.matmul(db, _imat(db.shape[-1]),
+                              precision=jax.lax.Precision.HIGHEST)
+        else:
+            # interp: gather taps along the bin axis, reduce with the LUT
+            gathered = jnp.take(db, taps, axis=-1)           # [..., P, T]
+            vals = jnp.einsum("...pt,pt->...p", gathered, weights)
         if band is not None:
             vals = jnp.einsum("...p,bp->...b", vals, band)
         if use_gauss:

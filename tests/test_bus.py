@@ -94,13 +94,55 @@ def test_bus_timeout_gates_active():
     assert (bus.read_decibels(h) == DB_MIN).all()
 
 
-def test_bus_rejects_late_subscribe():
-    cfg = _cfg(fft_size=512)
-    bus = OutputBus(cfg.audio)
-    bus.subscribe(cfg)
-    bus.tick(now_ns=NS)
-    with pytest.raises(RuntimeError, match="subscribe after tick"):
-        bus.subscribe(cfg)
+def test_bus_live_subscribe_and_unsubscribe():
+    """Consumers attach to and detach from a RUNNING bus, like sources
+    connecting to the OBS output bus at any time (src/source.cpp:685-704).
+    A larger late subscriber grows the shared ring with its history
+    carried over, so existing consumers' spectra are unaffected."""
+    from waveform_tpu import DB_MIN
+    cfg_a = _cfg(fft_size=512, window=FFTWindow.HANN)
+    bus = OutputBus(cfg_a.audio)
+    ha = bus.subscribe(cfg_a)
+    freq = SR / 512 * 24        # bin-exact for both sizes
+    pkts = _packets(n_ticks=30, freq=freq)
+    _run_bus(bus, [ha], pkts)
+    L_before = bus.L
+    pre = bus.read_decibels(ha).copy()
+
+    # live attach with a LARGER window: ring grows, history carries
+    cfg_b = _cfg(fft_size=2048, window=FFTWindow.HANN)
+    hb = bus.subscribe(cfg_b)
+    assert bus.L > L_before
+    np.testing.assert_array_equal(bus.read_decibels(ha), pre)
+    # the carried ring history means the big window is ALREADY full of the
+    # tone: the very next tick resolves it bin-exactly
+    now = NS + len(pkts) * 800 * NS // SR
+    ph = len(pkts) * 800
+    t = (np.arange(800) + ph) / SR
+    x = np.sin(2 * np.pi * freq * t).astype(np.float32)
+    bus.feed(np.stack([x, x]), now, now_ns=now)
+    bus.tick(now_ns=now + 800 * NS // SR)
+    db_b = bus.read_decibels(hb)
+    assert int(np.argmax(db_b[0])) == 24 * 4     # same tone, 4x the bins
+    assert db_b[0].max() > -2
+    # existing consumer unaffected by the grow
+    db_a = bus.read_decibels(ha)
+    assert int(np.argmax(db_a[0])) == 24
+
+    # a second subscriber of an existing config shares the group (no-op)
+    ha2 = bus.subscribe(cfg_a)
+    np.testing.assert_array_equal(bus.read_decibels(ha2),
+                                  bus.read_decibels(ha))
+
+    # unsubscribe: the group drops with its last handle
+    bus.unsubscribe(hb)
+    assert bus.num_groups == 1
+    bus.unsubscribe(ha2)
+    assert bus.num_groups == 1   # ha still holds cfg_a
+    with pytest.raises(KeyError):
+        bus.read_decibels(ha2)
+    assert np.isfinite(bus.read_decibels(ha)).all()
+    assert DB_MIN <= bus.read_decibels(ha).max() <= 0.0
 
 
 def _meter_cfg(**kw):

@@ -276,9 +276,10 @@ def test_multi_engine_heterogeneous_configs():
         assert abs(pk - f) < 2 * SR / n, (sid, pk)
     np.testing.assert_allclose(m.read_decibels(d)[0],
                                20 * np.log10(0.5), atol=0.2)
-    import pytest
-    with pytest.raises(RuntimeError, match="add_stream after tick"):
-        m.add_stream(cfg_curve)
+    # live add: a stream joins a running scene (see
+    # test_multi_engine_live_add_remove for the full behavior)
+    e = m.add_stream(cfg_curve)
+    assert m.config_of(e) is cfg_curve
 
 
 def test_multi_engine_16_groups():
@@ -573,3 +574,66 @@ def test_multi_engine_render_frames():
     for sid in (a, b, c):
         assert np.isfinite(frames[sid]).all()
         assert frames[sid][..., 3].max() > 0.5   # every look renders content
+
+
+def test_multi_engine_live_add_remove():
+    """Streams join and leave a RUNNING scene: the group's engine resizes
+    with every surviving row's state carried over (OBS adds/removes
+    sources at any time; the reference rebuilds the affected source
+    wholesale on update(), src/source.cpp:1077-1322, and never touches
+    the others)."""
+    from waveform_tpu.runtime.multi import MultiEngine
+    cfg_a = resolve(Settings(fft_size=1024,
+                             temporal_smoothing=TSmoothingMode.NONE),
+                    AudioInfo(SR, 2))
+    cfg_b = resolve(Settings(fft_size=512, window=FFTWindow.BLACKMAN,
+                             temporal_smoothing=TSmoothingMode.NONE),
+                    AudioInfo(SR, 2))
+
+    def drive(m, sids_freqs, now, ticks, ph0=0):
+        for k in range(ticks):
+            t = (np.arange(480) + ph0 + k * 480) / SR
+            for sid, f in sids_freqs:
+                x = np.sin(2 * np.pi * f * t).astype(np.float32)
+                m.feed(sid, np.stack([x, x]), now, now_ns=now)
+            now += 480 * NS // SR
+            m.tick(now_ns=now)
+        return now
+
+    m = MultiEngine()
+    a = m.add_stream(cfg_a)
+    b = m.add_stream(cfg_b)
+    now = drive(m, [(a, 1125.0), (b, 3000.0)], NS, 30)
+
+    pre_a = m.read_decibels(a).copy()
+
+    # live add into the EXISTING cfg_a group: a's carried state is intact
+    c = m.add_stream(cfg_a)
+    np.testing.assert_array_equal(m.read_decibels(a), pre_a)
+    # live add of a brand-NEW config group
+    d = m.add_stream(cfg_b)
+    now = drive(m, [(a, 1125.0), (b, 3000.0), (c, 6000.0), (d, 1500.0)],
+                now, 30, ph0=30 * 480)
+
+    for sid, f, n in [(a, 1125.0, 1024), (b, 3000.0, 512),
+                      (c, 6000.0, 1024), (d, 1500.0, 512)]:
+        pk = int(np.argmax(m.read_decibels(sid)[0])) * SR / n
+        assert abs(pk - f) < 2 * SR / n, (sid, pk, f)
+
+    # live remove of the FIRST stream in a group: survivors keep state and
+    # keep resolving their own tones (index remap exercised)
+    m.remove_stream(a)
+    pre_c = m.read_decibels(c).copy()
+    now = drive(m, [(b, 3000.0), (c, 6000.0), (d, 1500.0)], now, 20,
+                ph0=60 * 480)
+    for sid, f, n in [(b, 3000.0, 512), (c, 6000.0, 1024), (d, 1500.0, 512)]:
+        pk = int(np.argmax(m.read_decibels(sid)[0])) * SR / n
+        assert abs(pk - f) < 2 * SR / n, (sid, pk, f)
+    assert np.isfinite(pre_c).all()
+
+    # removing the last member of a group drops the group entirely
+    m.remove_stream(c)
+    assert m.num_groups == 1   # only cfg_b remains (b and d)
+    now = drive(m, [(b, 3000.0), (d, 1500.0)], now, 5, ph0=80 * 480)
+    frames = m.render_frames()
+    assert set(frames) == {b, d}

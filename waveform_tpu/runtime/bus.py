@@ -44,7 +44,7 @@ from ..core.config import (
     ResolvedConfig,
 )
 from ..core.ring import audio_frames_to_ns, ns_to_audio_frames
-from ..dsp.devring import init_ring, push
+from ..dsp.devring import DeviceRing, init_ring, push
 from ..dsp.meter import init_meter_state, make_meter_step
 from ..dsp.spectrum import (
     dbfs,
@@ -88,22 +88,71 @@ class OutputBus:
         config share one compiled step and one state (identical input ⇒
         identical output).  Spectrum, meter and waveform configs all ride
         the same ring (the reference attaches any source type to the bus,
-        src/source.cpp:685-704)."""
-        if self._built:
-            raise RuntimeError("subscribe after tick(): the shared ring is "
-                               "sized at first tick; create a new OutputBus")
+        src/source.cpp:685-704) — and like the reference, a consumer may
+        attach to a LIVE bus at any time (:meth:`_attach_group`)."""
         if cfg.capture_channels > self.C:
             raise ValueError("config wants more channels than the bus has")
         h = self._next
         self._next += 1
         self._handles[h] = cfg
+        is_new = cfg not in self._groups
         self._groups.setdefault(cfg, {})
+        if self._built and is_new:
+            self._attach_group(cfg)
         return h
+
+    def unsubscribe(self, handle: int) -> None:
+        """Detach a consumer.  The group's compiled step and state drop
+        with its last handle (the ring keeps its size — a later larger
+        subscriber grows it; the reference likewise leaves the bus
+        connection up while any consumer remains,
+        src/source.cpp:676-720)."""
+        cfg = self._handles.pop(handle)
+        if not any(c == cfg for c in self._handles.values()):
+            self._groups.pop(cfg, None)
 
     def _window_need(self, cfg: ResolvedConfig) -> int:
         if cfg.spectrum_mode or cfg.meter_mode:
             return cfg.fft_size        # meter mode repurposes fft_size as
         return cfg.waveform_samples    # the sample window (config.py)
+
+    def _build_group(self, cfg, g):
+        if cfg.spectrum_mode:
+            self._build_spectrum_group(cfg, g, self.L)
+        elif cfg.meter_mode:
+            self._build_meter_group(cfg, g, self.L)
+        else:
+            self._build_waveform_group(cfg, g, self.L)
+
+    def _attach_group(self, cfg) -> None:
+        """Attach a new consumer config to a LIVE bus (the reference lets
+        any source connect to the output bus at any time,
+        src/source.cpp:685-704).  If the new window outgrows the shared
+        ring, the ring grows with its history carried into the tail and
+        every existing group's step re-jits against the new length — their
+        analysis state (EMA trails, meter levels, scroll buffers, latches)
+        carries across untouched."""
+        need = self._window_need(cfg) + self.H
+        if need > self.L:
+            old = self.ring.buf
+            grown = jnp.zeros((1, self.C, need), jnp.float32)
+            self.ring = DeviceRing(
+                buf=grown.at[..., need - self.L:].set(old))
+            self.L = need
+            for c2, g2 in self._groups.items():
+                if g2:            # existing groups re-jit at the new L
+                    self._build_group(c2, g2)
+        if cfg.normalize_volume:
+            R = cfg.input_rms_size
+            if not self._need_rms or R > self._rms_R:
+                # enable, or grow-and-rewarm: the reference's update()
+                # resets its RMS sync buffer too (src/source.cpp:810-835)
+                self._need_rms = True
+                self._rms_win = np.zeros(R, np.float32)
+                self._rms_pos = 0
+                self._rms_sum = 0.0
+                self._rms_R = R
+        self._build_group(cfg, self._groups[cfg])
 
     def _build(self):
         self.L = max(self._window_need(c) for c in self._groups) + self.H
@@ -124,14 +173,8 @@ class OutputBus:
             self._rms_pos = 0
             self._rms_sum = 0.0
             self._rms_R = R
-        L = self.L
         for cfg, g in self._groups.items():
-            if cfg.spectrum_mode:
-                self._build_spectrum_group(cfg, g, L)
-            elif cfg.meter_mode:
-                self._build_meter_group(cfg, g, L)
-            else:
-                self._build_waveform_group(cfg, g, L)
+            self._build_group(cfg, g)
         H = self.H
 
         def ingest(ring, flat):
@@ -165,8 +208,10 @@ class OutputBus:
 
         g["mode"] = "spectrum"
         g["step"] = jax.jit(group_step, donate_argnums=(1,))
-        g["state"] = init_state(cfg, 1)
-        g["pixels"] = None
+        # re-jits on a live ring grow preserve the carried state
+        if "state" not in g:
+            g["state"] = init_state(cfg, 1)
+            g["pixels"] = None
 
     def _build_meter_group(self, cfg, g, L):
         mstep = make_meter_step(cfg)
@@ -186,9 +231,10 @@ class OutputBus:
 
         g["mode"] = "meter"
         g["step"] = jax.jit(group_step, donate_argnums=(1,))
-        g["state"] = init_meter_state(cfg, 1)
-        g["invalid_before"] = None   # synced-count at the last timeout edge
-        g["pixels"] = None
+        if "state" not in g:
+            g["state"] = init_meter_state(cfg, 1)
+            g["invalid_before"] = None   # synced count at last timeout edge
+            g["pixels"] = None
 
     def _build_waveform_group(self, cfg, g, L):
         W = cfg.fft_size    # display width in pixels (src/source.cpp:1140)
@@ -246,11 +292,12 @@ class OutputBus:
 
         g["mode"] = "waveform"
         g["step"] = jax.jit(group_step, donate_argnums=(1,))
-        g["buf"] = jnp.full((1, O, W), DB_MIN, jnp.float32)
-        g["latch"] = jnp.asarray(False)
-        g["waveform_ts"] = 0
         g["D"] = D
-        g["pixels"] = None
+        if "buf" not in g:
+            g["buf"] = jnp.full((1, O, W), DB_MIN, jnp.float32)
+            g["latch"] = jnp.asarray(False)
+            g["waveform_ts"] = 0
+            g["pixels"] = None
 
     # -- feeding (one mixed stream) -------------------------------------
 

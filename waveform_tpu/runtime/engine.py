@@ -40,6 +40,9 @@ class WaveformEngine:
                  rfft_fn=None, jit: bool = True):
         self.cfg = cfg
         self.S = num_streams
+        # kept for resized(): rebuild with identical construction choices
+        self._rfft_fn = rfft_fn
+        self._jit = jit
         C = max(cfg.capture_channels, 1)
         self.C = C
         self.sources = [StreamSource(cfg) for _ in range(num_streams)]
@@ -177,3 +180,42 @@ class WaveformEngine:
         if self.cfg.display_mode == DisplayMode.WAVEFORM:
             return np.array([s.last_silent for s in self._scrollers])
         return np.asarray(self.state.last_silent)
+
+    def resized(self, num_streams: int,
+                keep: list[int] | None = None) -> "WaveformEngine":
+        """A new engine with ``num_streams`` rows; row ``i`` adopts old row
+        ``keep[i]``'s host source (its ring, sync and retry state move as
+        objects — capture continues uninterrupted) plus its analysis state
+        (EMA/meter/scroll buffers); extra rows start fresh.  The live-scene
+        resize — see :meth:`ServingEngine.resized` for the reference
+        comparison (update() rebuilds everything, src/source.cpp:1077-1322).
+        """
+        if keep is None:
+            keep = list(range(min(self.S, num_streams)))
+        if len(keep) > num_streams:
+            raise ValueError(f"keep ({len(keep)} rows) exceeds "
+                             f"num_streams={num_streams}")
+        eng = WaveformEngine(self.cfg, num_streams, rfft_fn=self._rfft_fn,
+                             jit=self._jit)
+        eng._last_tick_ns = self._last_tick_ns
+        k = len(keep)
+        if not k:
+            return eng
+        for i, j in enumerate(keep):
+            eng.sources[i] = self.sources[j]
+        nk = np.asarray(keep, np.int64)
+
+        def mig(new, old):
+            return new.at[:k].set(old[jnp.asarray(nk.astype(np.int32))])
+
+        if self.cfg.meter_mode:
+            eng.meter_state = jax.tree.map(mig, eng.meter_state,
+                                           self.meter_state)
+            eng._was_fresh[:k] = self._was_fresh[nk]
+            eng._meter_windows[:k] = self._meter_windows[nk]
+        elif self.cfg.display_mode == DisplayMode.WAVEFORM:
+            for i, j in enumerate(keep):
+                eng._scrollers[i] = self._scrollers[j]
+        else:
+            eng.state = jax.tree.map(mig, eng.state, self.state)
+        return eng

@@ -46,26 +46,61 @@ class MultiEngine:
         self._cohorts: list[dict] = []
         self._solo: list = []    # engines ticking the classic way
 
+    def _make_engine(self, cfg: ResolvedConfig, n: int):
+        if cfg.spectrum_mode:
+            return ServingEngine(cfg, n)
+        return WaveformEngine(cfg, n)
+
     def add_stream(self, cfg: ResolvedConfig) -> int:
-        """Register a stream; returns its handle.  Streams must be added
-        before the first tick (engines compile per group size)."""
-        if self._engines:
-            raise RuntimeError("add_stream after tick(): engines are sized "
-                               "at first tick; create a new MultiEngine")
+        """Register a stream; returns its handle.  Works at any time — on a
+        live scene the group's engine resizes in place (state-migrating
+        rebuild, :meth:`ServingEngine.resized`), exactly the operation OBS
+        performs when a user drops a new waveform source into a running
+        scene (each add constructs and update()s a fresh WAVSource,
+        /root/reference/src/source.cpp:87-102, 1077-1322; other sources are
+        untouched — here other *groups* are untouched)."""
         sid = self._next_id
         self._next_id += 1
         members = self._groups.setdefault(cfg, [])
         self._streams[sid] = (cfg, len(members))
         members.append(sid)
+        if self._engines:        # live scene: resize this group's engine
+            eng = self._engines.get(cfg)
+            if eng is None:
+                self._engines[cfg] = self._make_engine(cfg, 1)
+            else:
+                self._engines[cfg] = eng.resized(len(members))
+            self._rebuild_cohorts()
         return sid
+
+    def remove_stream(self, stream_id: int) -> None:
+        """Drop a stream from a live scene; its group's engine shrinks with
+        every other row's state carried over (the OBS remove-source
+        analog: the removed WAVSource is destroyed, the rest never
+        notice)."""
+        cfg, idx = self._streams.pop(stream_id)
+        members = self._groups[cfg]
+        members.pop(idx)
+        for later in members[idx:]:
+            c2, i2 = self._streams[later]
+            self._streams[later] = (c2, i2 - 1)
+        if not members:
+            del self._groups[cfg]
+            if self._engines.pop(cfg, None) is not None:
+                self._rebuild_cohorts()
+            return
+        if self._engines:
+            keep = [i for i in range(len(members) + 1) if i != idx]
+            self._engines[cfg] = self._engines[cfg].resized(
+                len(members), keep=keep)
+            self._rebuild_cohorts()
 
     def _build(self):
         for cfg, members in self._groups.items():
-            if cfg.spectrum_mode:
-                self._engines[cfg] = ServingEngine(cfg, len(members))
-            else:
-                self._engines[cfg] = WaveformEngine(cfg, len(members))
+            self._engines[cfg] = self._make_engine(cfg, len(members))
+        self._rebuild_cohorts()
 
+    def _rebuild_cohorts(self):
         # upload cohorts: spectrum groups sharing a packed row width
         by_width: dict[int, list[ServingEngine]] = {}
         self._solo = []
@@ -78,6 +113,8 @@ class MultiEngine:
         fence_on = jax.default_backend() == "cpu"
         for width, engs in sorted(by_width.items()):
             if len(engs) < 2:     # a lone group gains nothing from fusion
+                # an engine leaving a cohort self-heals: _bind_buf
+                # reallocates its private double buffers on the next tick
                 self._solo.extend(engs)
                 continue
             offs, r0 = [], 0

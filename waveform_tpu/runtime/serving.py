@@ -108,6 +108,9 @@ class ServingEngine:
         self.cfg = cfg
         self.S = num_streams
         self.C = max(cfg.capture_channels, 1)
+        # kept for resized(): rebuild with identical construction choices
+        self._rfft_fn = rfft_fn
+        self._use_native_req = use_native
         # microbatch > 1: ticks accumulate k assembled frames and dispatch
         # them as ONE lax.scan every k-th tick (see :meth:`tick`) — the
         # live-path latency amortizer for links where each dispatch pays a
@@ -797,6 +800,47 @@ class ServingEngine:
         latched streams (the reference's render() early return,
         src/source.cpp:1349-1350)."""
         return np.asarray(self.state.last_silent)
+
+    def resized(self, num_streams: int,
+                keep: list[int] | None = None) -> "ServingEngine":
+        """A new engine with ``num_streams`` rows; row ``i`` carries over
+        old row ``keep[i]``'s analysis state (device window, EMA trail, dB
+        buffer, silence latch, RMS window) and host sync bookkeeping; rows
+        beyond ``len(keep)`` start fresh.  ``keep`` defaults to the first
+        ``min(S, num_streams)`` rows.
+
+        This is the live-scene resize (OBS adds/removes sources at any
+        time).  The reference rebuilds EVERYTHING on any topology or
+        settings change — update() frees and re-allocates every buffer and
+        re-registers capture (src/source.cpp:1077-1322, 1243-1248) — so
+        carrying the device state across is strictly more continuity than
+        the program being matched.  Queued-but-unticked audio does not
+        migrate (the native assembler re-syncs from the next packet; the
+        reference's rebuild likewise restarts capture with a silence
+        prefill)."""
+        if keep is None:
+            keep = list(range(min(self.S, num_streams)))
+        if len(keep) > num_streams:
+            raise ValueError(f"keep ({len(keep)} rows) exceeds "
+                             f"num_streams={num_streams}")
+        eng = type(self)(self.cfg, num_streams, hop_budget=self.H,
+                         rfft_fn=self._rfft_fn,
+                         use_native=self._use_native_req,
+                         microbatch=self._mb)
+        k = len(keep)
+        if k:
+            idx = jnp.asarray(np.asarray(keep, np.int32))
+
+            def mig(new, old):
+                return new.at[:k].set(old[idx])
+
+            eng.ring = jax.tree.map(mig, eng.ring, self.ring)
+            eng.state = jax.tree.map(mig, eng.state, self.state)
+            if self.rms_ring is not None and eng.rms_ring is not None:
+                eng.rms_ring = jax.tree.map(mig, eng.rms_ring, self.rms_ring)
+            for i, j in enumerate(keep):
+                eng._pending[i] = self._pending[j]
+        return eng
 
     # ------------------------------------------------------------------
 

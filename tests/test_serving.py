@@ -637,3 +637,49 @@ def test_multi_engine_live_add_remove():
     now = drive(m, [(b, 3000.0), (d, 1500.0)], now, 5, ph0=80 * 480)
     frames = m.render_frames()
     assert set(frames) == {b, d}
+
+
+def test_multi_engine_update_stream():
+    """update_stream re-configures a live stream (the OBS update()
+    analog): the stream moves to its new config's group with fresh state
+    — the reference's update() likewise drops all analysis state on any
+    settings change (src/source.cpp:1077-1322) — while every OTHER
+    stream's state carries across."""
+    from waveform_tpu.runtime.multi import MultiEngine
+    cfg1 = resolve(Settings(fft_size=1024,
+                            temporal_smoothing=TSmoothingMode.NONE),
+                   AudioInfo(SR, 2))
+    cfg2 = resolve(Settings(fft_size=512, window=FFTWindow.BLACKMAN,
+                            temporal_smoothing=TSmoothingMode.NONE),
+                   AudioInfo(SR, 2))
+    m = MultiEngine()
+    a, b = m.add_stream(cfg1), m.add_stream(cfg1)
+    now, ph = NS, 0
+    for k in range(25):
+        t = (np.arange(480) + ph) / SR
+        ph += 480
+        for sid, f in [(a, 1125.0), (b, 2250.0)]:
+            x = np.sin(2 * np.pi * f * t).astype(np.float32)
+            m.feed(sid, np.stack([x, x]), now, now_ns=now)
+        now += 480 * NS // SR
+        m.tick(now_ns=now)
+    pre_a = m.read_decibels(a).copy()
+
+    m.update_stream(b, cfg2)             # live re-config: 1024 -> 512
+    assert m.config_of(b) is cfg2
+    np.testing.assert_array_equal(m.read_decibels(a), pre_a)  # a untouched
+    for k in range(25):
+        t = (np.arange(480) + ph) / SR
+        ph += 480
+        for sid, f in [(a, 1125.0), (b, 3000.0)]:
+            x = np.sin(2 * np.pi * f * t).astype(np.float32)
+            m.feed(sid, np.stack([x, x]), now, now_ns=now)
+        now += 480 * NS // SR
+        m.tick(now_ns=now)
+    assert abs(int(np.argmax(m.read_decibels(a)[0])) * SR / 1024
+               - 1125.0) < 2 * SR / 1024
+    assert abs(int(np.argmax(m.read_decibels(b)[0])) * SR / 512
+               - 3000.0) < 2 * SR / 512
+    # no-op update keeps everything
+    m.update_stream(a, cfg1)
+    assert m.config_of(a) is cfg1

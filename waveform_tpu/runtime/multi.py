@@ -73,6 +73,32 @@ class MultiEngine:
             self._rebuild_cohorts()
         return sid
 
+    def update_stream(self, stream_id: int, cfg: ResolvedConfig) -> None:
+        """Re-configure one LIVE stream — the OBS ``update()`` analog.
+
+        The reference tears down and rebuilds the source's entire state on
+        ANY settings change (free_bufs + re-alloc + recapture,
+        /root/reference/src/source.cpp:1077-1322), so moving the stream to
+        its new config's group with fresh analysis state is exactly the
+        reference's semantics.  The handle stays valid; other streams in
+        both the old and new groups carry their state across the resizes.
+        """
+        old_cfg, _ = self._streams[stream_id]
+        if old_cfg == cfg:
+            return
+        self.remove_stream(stream_id)
+        # re-attach under the same handle
+        members = self._groups.setdefault(cfg, [])
+        self._streams[stream_id] = (cfg, len(members))
+        members.append(stream_id)
+        if self._engines:
+            eng = self._engines.get(cfg)
+            if eng is None:
+                self._engines[cfg] = self._make_engine(cfg, 1)
+            else:
+                self._engines[cfg] = eng.resized(len(members))
+            self._rebuild_cohorts()
+
     def remove_stream(self, stream_id: int) -> None:
         """Drop a stream from a live scene; its group's engine shrinks with
         every other row's state carried over (the OBS remove-source

@@ -383,3 +383,13 @@ def test_resolve_clamps_cutoffs_and_survives_zero_cutoff_high():
     # source.cpp:907)
     assert np.all(db[:, 1:] == DB_MIN)
     assert np.isfinite(db).all()
+
+
+def test_bus_all_unsubscribed_tick_is_noop():
+    cfg = _cfg(fft_size=512)
+    bus = OutputBus(cfg.audio)
+    h = bus.subscribe(cfg)
+    bus.unsubscribe(h)
+    bus.feed(np.zeros((2, 800), np.float32), NS, now_ns=NS)
+    bus.tick(now_ns=NS + 800 * NS // SR)   # must not crash on max([])
+    assert bus.num_groups == 0

@@ -683,3 +683,49 @@ def test_multi_engine_update_stream():
     # no-op update keeps everything
     m.update_stream(a, cfg1)
     assert m.config_of(a) is cfg1
+
+
+def test_resized_validates_keep_and_sharded_refuses():
+    import pytest
+    cfg = resolve(Settings(fft_size=512), AudioInfo(SR, 2))
+    eng = ServingEngine(cfg, 4, use_native=False)
+    with pytest.raises(ValueError, match="out of range"):
+        eng.resized(4, keep=[0, 9])   # silent gather-clamp would migrate
+    with pytest.raises(ValueError, match="out of range"):
+        WaveformEngine(cfg, 4).resized(4, keep=[-1])
+    from waveform_tpu.parallel.sharded_serving import ShardedServingEngine
+    sh = ShardedServingEngine(cfg, 6, pixel_parallel=1, use_native=False)
+    with pytest.raises(NotImplementedError, match="live resize"):
+        sh.resized(10)
+
+
+def test_resized_native_sync_survives():
+    """resized() migrates the native assembler's per-stream sync
+    timestamps, so surviving streams stay ACTIVE across the swap instead
+    of reading capture_ts=0 and decaying as timed-out for a tick."""
+    from waveform_tpu.native import load_library
+    if load_library() is None:
+        import pytest
+        pytest.skip("native unavailable")
+    from waveform_tpu import DB_MIN
+    cfg = resolve(Settings(fft_size=1024,
+                           temporal_smoothing=TSmoothingMode.NONE),
+                  AudioInfo(SR, 2))
+    eng = ServingEngine(cfg, 2, use_native=True)
+    now, ph = NS, 0
+    for k in range(20):
+        t = (np.arange(800) + ph) / SR
+        ph += 800
+        x = np.sin(2 * np.pi * 1125.0 * t).astype(np.float32)
+        for s in range(2):
+            eng.feed(s, np.stack([x, x]), now, now_ns=now)
+        now += 800 * NS // SR
+        eng.tick(now_ns=now)
+    assert eng.read_decibels().max() > -2
+    eng2 = eng.resized(3)
+    # tick WITHOUT feeding, inside the 500 ms capture window: surviving
+    # streams must not decay toward DB_MIN (their capture_ts migrated)
+    eng2.tick(now_ns=now + 10_000_000)
+    db = eng2.read_decibels()
+    assert db[0].max() > -2 and db[1].max() > -2
+    assert (db[2] == DB_MIN).all()   # the brand-new stream starts silent

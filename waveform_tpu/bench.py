@@ -139,9 +139,9 @@ def main() -> int:
     rms = jnp.zeros(S, jnp.float32)
     key = jax.random.key(0)
 
-    for i in range(args.warmup):
+    for i in range(max(args.warmup, 1)):   # >=1: the accuracy gate below
         sums, ring, state = fn(jax.random.fold_in(key, i), ring, state, dt,
-                               active, rms)
+                               active, rms)   # reads the warmed ring window
     jax.block_until_ready(sums)
 
     # --- accuracy gate vs float64 oracle on the current ring window ---

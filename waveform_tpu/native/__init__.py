@@ -83,6 +83,14 @@ def load_library():
         lib.wf_set_show.argtypes = [ctypes.c_void_p, ctypes.c_int,
                                     ctypes.c_int]
         lib.wf_detach.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.wf_get_sync.argtypes = [
+            ctypes.c_void_p, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_longlong),
+            ctypes.POINTER(ctypes.c_longlong),
+            ctypes.POINTER(ctypes.c_int)]
+        lib.wf_set_sync.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                    ctypes.c_longlong, ctypes.c_longlong,
+                                    ctypes.c_int]
         lib.wf_ring_size.restype = ctypes.c_longlong
         lib.wf_ring_size.argtypes = [ctypes.c_void_p, ctypes.c_int,
                                      ctypes.c_int]
@@ -195,6 +203,20 @@ class NativeAssembler:
 
     def set_show(self, stream: int, show: bool) -> None:
         self._lib.wf_set_show(self._h, stream, 1 if show else 0)
+
+    def get_sync(self, stream: int) -> tuple[int, int, bool]:
+        """(capture_ts, audio_ts, show) — for live-resize migration."""
+        ct = ctypes.c_longlong()
+        at = ctypes.c_longlong()
+        sh = ctypes.c_int()
+        self._lib.wf_get_sync(self._h, stream, ctypes.byref(ct),
+                              ctypes.byref(at), ctypes.byref(sh))
+        return int(ct.value), int(at.value), bool(sh.value)
+
+    def set_sync(self, stream: int, capture_ts: int, audio_ts: int,
+                 show: bool) -> None:
+        self._lib.wf_set_sync(self._h, stream, capture_ts, audio_ts,
+                              1 if show else 0)
 
     def detach(self, stream: int) -> None:
         self._lib.wf_detach(self._h, stream)

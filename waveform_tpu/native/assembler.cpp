@@ -330,6 +330,28 @@ void wf_assemble_hop_packed(Engine* e, long long now_ns, int H, float* flat,
   }
 }
 
+// Sync-state migration for live engine resizes (runtime/serving.py
+// ServingEngine.resized): timestamps and visibility move to the new
+// assembler so surviving streams stay "active" across the swap; ring
+// backlog intentionally does not move (sub-hop gap, see resized()).
+void wf_get_sync(Engine* e, int stream, long long* capture_ts,
+                 long long* audio_ts, int* show) {
+  Stream& s = e->streams[stream];
+  std::lock_guard<std::timed_mutex> lk(s.mtx);
+  *capture_ts = s.capture_ts;
+  *audio_ts = s.audio_ts;
+  *show = s.show;
+}
+
+void wf_set_sync(Engine* e, int stream, long long capture_ts,
+                 long long audio_ts, int show) {
+  Stream& s = e->streams[stream];
+  std::lock_guard<std::timed_mutex> lk(s.mtx);
+  s.capture_ts = capture_ts;
+  s.audio_ts = audio_ts;
+  s.show = show ? 1 : 0;
+}
+
 void wf_set_show(Engine* e, int stream, int show) {
   e->streams[stream].show = (uint8_t)show;
 }

@@ -80,6 +80,18 @@ class ShardedServingEngine(ServingEngine):
         self._local_rows = local_stream_rows(self.mesh, padded)
         super().__init__(cfg, padded, **kw)
 
+    def resized(self, num_streams: int, keep: list[int] | None = None):
+        """Not supported: rows here are mesh-padded and device-placed, and
+        the base implementation could neither rebuild the mesh topology
+        nor tell user rows from padding (padding rows carry stepped-inert
+        state, e.g. a latched silence flag).  Pods re-provision on
+        topology changes — build a new ShardedServingEngine at the new
+        count and load a checkpoint if continuity matters."""
+        raise NotImplementedError(
+            "ShardedServingEngine does not support live resize; construct "
+            "a new engine at the new stream count (save_state/load_state "
+            "carry analysis state across)")
+
     # -- placement hooks -------------------------------------------------
 
     def _place_buffers(self) -> None:

@@ -366,6 +366,8 @@ class OutputBus:
     def tick(self, now_ns: int | None = None, dt: float | None = None):
         """One video frame: push new bus samples once, run every distinct
         config's step off the shared ring."""
+        if not self._groups:
+            return          # every consumer unsubscribed: nothing to run
         if not self._built:
             self._build()
         now_ns = time.monotonic_ns() if now_ns is None else now_ns

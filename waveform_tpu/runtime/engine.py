@@ -195,6 +195,9 @@ class WaveformEngine:
         if len(keep) > num_streams:
             raise ValueError(f"keep ({len(keep)} rows) exceeds "
                              f"num_streams={num_streams}")
+        if any(not 0 <= j < self.S for j in keep):
+            raise ValueError(f"keep indices out of range for S={self.S}: "
+                             f"{keep}")
         eng = WaveformEngine(self.cfg, num_streams, rfft_fn=self._rfft_fn,
                              jit=self._jit)
         eng._last_tick_ns = self._last_tick_ns

@@ -51,6 +51,31 @@ class MultiEngine:
             return ServingEngine(cfg, n)
         return WaveformEngine(cfg, n)
 
+    def _attach_stream(self, sid: int, cfg: ResolvedConfig) -> None:
+        members = self._groups.setdefault(cfg, [])
+        self._streams[sid] = (cfg, len(members))
+        members.append(sid)
+        if self._engines:        # live scene: resize this group's engine
+            eng = self._engines.get(cfg)
+            self._engines[cfg] = (self._make_engine(cfg, 1) if eng is None
+                                  else eng.resized(len(members)))
+
+    def _detach_stream(self, stream_id: int) -> None:
+        cfg, idx = self._streams.pop(stream_id)
+        members = self._groups[cfg]
+        members.pop(idx)
+        for later in members[idx:]:
+            c2, i2 = self._streams[later]
+            self._streams[later] = (c2, i2 - 1)
+        if not members:
+            del self._groups[cfg]
+            self._engines.pop(cfg, None)
+            return
+        if self._engines:
+            keep = [i for i in range(len(members) + 1) if i != idx]
+            self._engines[cfg] = self._engines[cfg].resized(
+                len(members), keep=keep)
+
     def add_stream(self, cfg: ResolvedConfig) -> int:
         """Register a stream; returns its handle.  Works at any time — on a
         live scene the group's engine resizes in place (state-migrating
@@ -61,15 +86,8 @@ class MultiEngine:
         untouched — here other *groups* are untouched)."""
         sid = self._next_id
         self._next_id += 1
-        members = self._groups.setdefault(cfg, [])
-        self._streams[sid] = (cfg, len(members))
-        members.append(sid)
-        if self._engines:        # live scene: resize this group's engine
-            eng = self._engines.get(cfg)
-            if eng is None:
-                self._engines[cfg] = self._make_engine(cfg, 1)
-            else:
-                self._engines[cfg] = eng.resized(len(members))
+        self._attach_stream(sid, cfg)
+        if self._engines:
             self._rebuild_cohorts()
         return sid
 
@@ -86,39 +104,18 @@ class MultiEngine:
         old_cfg, _ = self._streams[stream_id]
         if old_cfg == cfg:
             return
-        self.remove_stream(stream_id)
-        # re-attach under the same handle
-        members = self._groups.setdefault(cfg, [])
-        self._streams[stream_id] = (cfg, len(members))
-        members.append(stream_id)
+        self._detach_stream(stream_id)
+        self._attach_stream(stream_id, cfg)   # same handle, new group
         if self._engines:
-            eng = self._engines.get(cfg)
-            if eng is None:
-                self._engines[cfg] = self._make_engine(cfg, 1)
-            else:
-                self._engines[cfg] = eng.resized(len(members))
-            self._rebuild_cohorts()
+            self._rebuild_cohorts()           # ONE rebuild for the edit
 
     def remove_stream(self, stream_id: int) -> None:
         """Drop a stream from a live scene; its group's engine shrinks with
         every other row's state carried over (the OBS remove-source
         analog: the removed WAVSource is destroyed, the rest never
         notice)."""
-        cfg, idx = self._streams.pop(stream_id)
-        members = self._groups[cfg]
-        members.pop(idx)
-        for later in members[idx:]:
-            c2, i2 = self._streams[later]
-            self._streams[later] = (c2, i2 - 1)
-        if not members:
-            del self._groups[cfg]
-            if self._engines.pop(cfg, None) is not None:
-                self._rebuild_cohorts()
-            return
+        self._detach_stream(stream_id)
         if self._engines:
-            keep = [i for i in range(len(members) + 1) if i != idx]
-            self._engines[cfg] = self._engines[cfg].resized(
-                len(members), keep=keep)
             self._rebuild_cohorts()
 
     def _build(self):
@@ -145,7 +142,13 @@ class MultiEngine:
                 continue
             offs, r0 = [], 0
             for e in engs:
-                e.bind_cohort(r0)
+                # rebind only engines whose placement actually changed:
+                # bind_cohort re-jits the cohort tick (a fresh compile —
+                # 100-250 s over a relay link), so a scene edit must not
+                # recompile the untouched groups
+                if (getattr(e, "_row0", None) != r0
+                        or getattr(e, "_tick_cohort", None) is None):
+                    e.bind_cohort(r0)
                 offs.append(r0)
                 r0 += e.S
             self._cohorts.append({

@@ -823,10 +823,15 @@ class ServingEngine:
         if len(keep) > num_streams:
             raise ValueError(f"keep ({len(keep)} rows) exceeds "
                              f"num_streams={num_streams}")
-        eng = type(self)(self.cfg, num_streams, hop_budget=self.H,
-                         rfft_fn=self._rfft_fn,
-                         use_native=self._use_native_req,
-                         microbatch=self._mb)
+        if any(not 0 <= j < self.S for j in keep):
+            # an out-of-range index would silently clamp in the device
+            # gather and migrate the WRONG stream's state
+            raise ValueError(f"keep indices out of range for S={self.S}: "
+                             f"{keep}")
+        eng = ServingEngine(self.cfg, num_streams, hop_budget=self.H,
+                            rfft_fn=self._rfft_fn,
+                            use_native=self._use_native_req,
+                            microbatch=self._mb)
         k = len(keep)
         if k:
             idx = jnp.asarray(np.asarray(keep, np.int32))
@@ -840,6 +845,13 @@ class ServingEngine:
                 eng.rms_ring = jax.tree.map(mig, eng.rms_ring, self.rms_ring)
             for i, j in enumerate(keep):
                 eng._pending[i] = self._pending[j]
+            if self._native is not None and eng._native is not None:
+                # carry sync timestamps + visibility so surviving streams
+                # stay ACTIVE across the swap (without this every group
+                # member reads capture_ts=0 and decays as timed-out for a
+                # tick); the ring backlog stays behind by design
+                for i, j in enumerate(keep):
+                    eng._native.set_sync(i, *self._native.get_sync(j))
         return eng
 
     # ------------------------------------------------------------------

@@ -729,3 +729,50 @@ def test_resized_native_sync_survives():
     db = eng2.read_decibels()
     assert db[0].max() > -2 and db[1].max() > -2
     assert (db[2] == DB_MIN).all()   # the brand-new stream starts silent
+
+
+def test_multi_engine_live_add_meter_and_waveform_groups():
+    """Live adds/removes on meter and waveform groups: their host sources
+    and scroll/meter state carry across the resize (the spectrum path is
+    covered by test_multi_engine_live_add_remove)."""
+    from waveform_tpu import DisplayMode
+    from waveform_tpu.runtime.multi import MultiEngine
+    met = resolve(Settings(display_mode=DisplayMode.METER, meter_buf=150,
+                           temporal_smoothing=TSmoothingMode.NONE),
+                  AudioInfo(SR, 2))
+    wf = resolve(Settings(display_mode=DisplayMode.WAVEFORM, width=256,
+                          meter_buf=100), AudioInfo(SR, 2))
+    m = MultiEngine()
+    a, b = m.add_stream(met), m.add_stream(wf)
+    now, ph = NS, 0
+
+    def drive(sids_amp, now, ticks, ph):
+        for k in range(ticks):
+            t = (np.arange(800) + ph) / SR
+            ph += 800
+            for sid, amp in sids_amp:
+                x = (amp * np.sin(2 * np.pi * 2250.0 * t)).astype(np.float32)
+                m.feed(sid, np.stack([x, x]), now, now_ns=now)
+            now += 800 * NS // SR
+            m.tick(now_ns=now)
+        return now, ph
+
+    now, ph = drive([(a, 0.5), (b, 0.5)], now, 30, ph)
+    pre_meter = m.read_decibels(a).copy()
+    np.testing.assert_allclose(pre_meter[0],
+                               20 * np.log10(0.5 / np.sqrt(2)), atol=0.1)
+
+    c = m.add_stream(met)     # live add into the meter group
+    d = m.add_stream(wf)      # live add into the waveform group
+    # carried state: the surviving meter level is intact post-resize
+    np.testing.assert_allclose(m.read_decibels(a), pre_meter, atol=1e-5)
+    now, ph = drive([(a, 0.5), (b, 0.5), (c, 0.25), (d, 0.25)], now, 30, ph)
+    np.testing.assert_allclose(m.read_decibels(c)[0],
+                               20 * np.log10(0.25 / np.sqrt(2)), atol=0.1)
+    wf_disp = m.read_decibels(d)
+    assert np.isfinite(wf_disp).all() and wf_disp.max() <= 0.0
+
+    m.remove_stream(a)        # meter group shrinks to one
+    now, ph = drive([(b, 0.5), (c, 0.25), (d, 0.25)], now, 10, ph)
+    np.testing.assert_allclose(m.read_decibels(c)[0],
+                               20 * np.log10(0.25 / np.sqrt(2)), atol=0.1)

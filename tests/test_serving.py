@@ -776,3 +776,42 @@ def test_multi_engine_live_add_meter_and_waveform_groups():
     now, ph = drive([(b, 0.5), (c, 0.25), (d, 0.25)], now, 10, ph)
     np.testing.assert_allclose(m.read_decibels(c)[0],
                                20 * np.log10(0.25 / np.sqrt(2)), atol=0.1)
+
+
+def test_set_show_hides_and_recovers():
+    """show()/hide() (source.hpp:314-346): a hidden stream's graph decays
+    to the floor exactly like a capture timeout even while audio keeps
+    arriving, and recovers on show — on both the native and Python
+    assembly paths."""
+    from waveform_tpu import DB_MIN
+    from waveform_tpu.native import load_library
+    cfg = resolve(Settings(fft_size=1024,
+                           temporal_smoothing=TSmoothingMode.NONE),
+                  AudioInfo(SR, 2))
+    for use_native in (False, True):
+        if use_native and load_library() is None:
+            continue
+        eng = ServingEngine(cfg, 2, use_native=use_native)
+        now, ph = NS, 0
+
+        def drive(ticks):
+            nonlocal now, ph
+            for k in range(ticks):
+                t = (np.arange(800) + ph) / SR
+                ph += 800
+                x = np.sin(2 * np.pi * 1125.0 * t).astype(np.float32)
+                for s in range(2):
+                    eng.feed(s, np.stack([x, x]), now, now_ns=now)
+                now += 800 * NS // SR
+                eng.tick(now_ns=now)
+
+        drive(15)
+        assert eng.read_decibels()[1].max() > -2
+        eng.set_show(1, False)
+        drive(15)
+        db = eng.read_decibels()
+        assert db[0].max() > -2, use_native        # stream 0 unaffected
+        assert (db[1] == DB_MIN).all(), use_native  # hidden: full decay
+        eng.set_show(1, True)
+        drive(15)
+        assert eng.read_decibels()[1].max() > -2, use_native

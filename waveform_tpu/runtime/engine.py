@@ -79,6 +79,11 @@ class WaveformEngine:
         return self.sources[stream].capture_audio(data, timestamp_ns, now_ns,
                                                   muted)
 
+    def set_show(self, stream: int, show: bool) -> None:
+        """The reference's show()/hide() callbacks (source.hpp:314-346):
+        a hidden source's graph decays like a capture timeout."""
+        self.sources[stream].show = bool(show)
+
     # ------------------------------------------------------------------
 
     def tick(self, now_ns: int | None = None) -> np.ndarray:

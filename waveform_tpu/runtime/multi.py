@@ -198,6 +198,14 @@ class MultiEngine:
         for eng in self._solo:
             eng.tick(now_ns=now_ns)
 
+    def set_show(self, stream_id: int, show: bool) -> None:
+        """Show/hide one stream of the scene (the reference's show()/hide()
+        source callbacks; hidden graphs decay like a capture timeout)."""
+        if not self._engines:
+            self._build()
+        cfg, idx = self._streams[stream_id]
+        self._engines[cfg].set_show(idx, show)
+
     def read_decibels(self, stream_id: int) -> np.ndarray:
         cfg, idx = self._streams[stream_id]
         eng = self._engines[cfg]

@@ -801,6 +801,15 @@ class ServingEngine:
         src/source.cpp:1349-1350)."""
         return np.asarray(self.state.last_silent)
 
+    def set_show(self, stream: int, show: bool) -> None:
+        """The reference's show()/hide() callbacks (source.hpp:314-346):
+        a hidden source's graph decays exactly like a capture timeout —
+        the tick gates on shown-AND-recently-captured
+        (source_avx2.cpp:36-48)."""
+        self._pending[stream].show = bool(show)
+        if self._native is not None:
+            self._native.set_show(stream, bool(show))
+
     def resized(self, num_streams: int,
                 keep: list[int] | None = None) -> "ServingEngine":
         """A new engine with ``num_streams`` rows; row ``i`` carries over

@@ -132,3 +132,72 @@ def test_fuzz_resolve_oracle_render(seed):
     else:
         assert img.shape == (cfg.height, cfg.width, 4)
     assert np.isfinite(img).all()
+
+
+def test_fuzz_live_scene_edits():
+    """Stateful fuzz of the live-edit surface: a seeded random sequence of
+    add/remove/update/set_show/feed/tick against a running MultiEngine.
+    Invariants: every registered handle reads finite display values, group
+    bookkeeping stays consistent, and the scene never crashes."""
+    import numpy as np
+
+    from waveform_tpu import (
+        AudioInfo,
+        DisplayMode,
+        FFTWindow,
+        Settings,
+        TSmoothingMode,
+        resolve,
+    )
+    from waveform_tpu.runtime.multi import MultiEngine
+
+    NS, SR = 1_000_000_000, 48000
+    rng = np.random.default_rng(42)
+    audio = AudioInfo(SR, 2)
+    cfg_pool = [
+        resolve(Settings(fft_size=512, window=FFTWindow.HANN,
+                         temporal_smoothing=TSmoothingMode.NONE), audio),
+        resolve(Settings(fft_size=1024, window=FFTWindow.BLACKMAN,
+                         temporal_smoothing=TSmoothingMode.NONE), audio),
+        resolve(Settings(display_mode=DisplayMode.METER, meter_buf=120,
+                         temporal_smoothing=TSmoothingMode.NONE), audio),
+        resolve(Settings(display_mode=DisplayMode.WAVEFORM, width=128,
+                         meter_buf=100), audio),
+    ]
+    m = MultiEngine()
+    live: list[int] = [m.add_stream(cfg_pool[0]), m.add_stream(cfg_pool[1])]
+    hidden: set[int] = set()
+    now, ph = NS, 0
+    for step in range(60):
+        op = rng.choice(["add", "remove", "update", "show", "feed_tick",
+                         "feed_tick", "feed_tick"])
+        if op == "add" and len(live) < 10:
+            live.append(m.add_stream(cfg_pool[rng.integers(len(cfg_pool))]))
+        elif op == "remove" and len(live) > 1:
+            sid = live.pop(int(rng.integers(len(live))))
+            m.remove_stream(sid)
+            hidden.discard(sid)
+        elif op == "update" and live:
+            sid = live[int(rng.integers(len(live)))]
+            m.update_stream(sid, cfg_pool[rng.integers(len(cfg_pool))])
+        elif op == "show" and live:
+            sid = live[int(rng.integers(len(live)))]
+            if sid in hidden:
+                hidden.discard(sid)
+                m.set_show(sid, True)
+            else:
+                hidden.add(sid)
+                m.set_show(sid, False)
+        else:
+            t = (np.arange(480) + ph) / SR
+            ph += 480
+            for sid in live:
+                f = 400.0 + 137.0 * (sid % 7)
+                x = np.sin(2 * np.pi * f * t).astype(np.float32)
+                m.feed(sid, np.stack([x, x]), now, now_ns=now)
+            now += 480 * NS // SR
+            m.tick(now_ns=now)
+        # invariants after every op
+        assert m.num_groups == len({m.config_of(s) for s in live})
+        for sid in live:
+            assert np.isfinite(m.read_decibels(sid)).all(), (step, op, sid)

@@ -207,6 +207,8 @@ class MultiEngine:
         self._engines[cfg].set_show(idx, show)
 
     def read_decibels(self, stream_id: int) -> np.ndarray:
+        if not self._engines:
+            self._build()   # read-before-tick: the initial (floor) state
         cfg, idx = self._streams[stream_id]
         eng = self._engines[cfg]
         if isinstance(eng, ServingEngine):

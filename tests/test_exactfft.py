@@ -118,10 +118,11 @@ def test_digit_roundtrip_exactness(rng):
             return s, digits
 
         s, digits = jax.jit(f)(jnp.asarray(hi), jnp.asarray(lo))
+        sv = float(np.asarray(s).ravel()[0])   # per-block scale, keepdims
         recon = sum(np.asarray(d).astype(np.float64)
                     * exactfft._digit_weight(k)
-                    for k, d in enumerate(digits)) * float(s)
-        return np.abs(recon - x64).max() / float(s)
+                    for k, d in enumerate(digits)) * sv
+        return np.abs(recon - x64).max() / sv
 
     assert recon_err(5) < 2.0 ** -33
     last = exactfft.FIRST_SHIFT + exactfft.DIGIT_BITS * (exactfft.N_SLICES - 1)
@@ -231,3 +232,33 @@ def test_odd_channel_leftover_uses_pair_kernel(rng, monkeypatch):
     want = np.abs(np.fft.rfft(x.astype(np.float64)))[..., :n // 2]
     rel = np.abs(np.asarray(mag, np.float64) - want).max() / want.max()
     assert rel < 2.5e-7, rel
+
+
+def test_garbage_amplitude_stays_finite():
+    """Corrupted capture buffers (absurd float amplitudes) must yield
+    huge-but-FINITE magnitudes, not NaN: NaN is sticky through the EMA,
+    while finite garbage decays once sane audio returns.  The reference's
+    scalar magnitude is hypot() (overflow-safe); its AVX2 fmadd path is
+    not — this pins the safe behavior on the exact paths."""
+    import numpy as np
+
+    import jax.numpy as jnp
+    from waveform_tpu.kernels.exactfft import (
+        rfft_mag_exact,
+        rfft_pair_mag_exact,
+    )
+
+    x = np.zeros((2, 2, 1024), np.float32)
+    x[0, 0, 10] = 1e20        # squares would overflow f32 (1e40)
+    x[0, 1, 3] = -5e19
+    x[1, 0, 5] = 0.5          # a sane stream in the same batch
+    for fn in (rfft_pair_mag_exact, rfft_mag_exact):
+        m = np.asarray(fn(jnp.asarray(x)))
+        assert np.isfinite(m).all(), fn.__name__
+        assert m[0].max() > 1e18, fn.__name__     # garbage is LOUD
+        # the sane stream is unaffected: its impulse's flat spectrum
+        # stays exactly 0.5 per bin — with a BATCH-GLOBAL digit scale the
+        # hot stream would quantize it to all-zero (the digit range sits
+        # ~27 bits below the scale); the scale is per stream
+        np.testing.assert_allclose(m[1, 0], 0.5, atol=1e-5,
+                                   err_msg=fn.__name__)

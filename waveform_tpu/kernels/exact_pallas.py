@@ -53,6 +53,7 @@ from .exactfft import (
     _windowed_df,
     df_add,
     df_mul,
+    df_neg,
     two_sum,
 )
 
@@ -89,6 +90,18 @@ def _stage1_split(n: int) -> int:
     return 3 if n >= 32768 else 2
 
 
+def _default_geometry() -> bool:
+    """The kernel is built for the default digit geometry ONLY: _slice4
+    hardcodes the k==3 low-word join and the exact-f32-accumulation bound
+    (class-3 stacked dots at N=65536 contract 2048 rows of products up to
+    2^(2*(DIGIT_BITS-1)); 2048*2^12 = 2^23 < 2^24 holds at 7 bits but
+    breaks at 8).  A WAVEFORM_TPU_DIGIT_BITS/FIRST_SHIFT/MAXT ablation
+    must therefore fall back to the XLA lowering, whose _digit_gemm
+    enforces the bound with a loud ValueError instead of silently
+    rounding on the MXU."""
+    return MAX_T == 3 and DIGIT_BITS == 7 and FIRST_SHIFT == 6
+
+
 def supports(n: int, split: int | None = None) -> bool:
     """Kernel preconditions: the default term budget and MXU-friendly
     factor sizes — N1 = n/128 a sublane multiple (and, for the 3-factor
@@ -98,7 +111,8 @@ def supports(n: int, split: int | None = None) -> bool:
     would be 16 MB there — the whole VMEM).  ``split`` checks a specific
     stage-1 split (the plan tuner probes both); default resolves the
     env/plan/heuristic choice."""
-    if not (MAX_T == 3 and n % _LANES == 0 and (n // _LANES) % 8 == 0):
+    if not (_default_geometry() and n % _LANES == 0
+            and (n // _LANES) % 8 == 0):
         return False
     if (split if split in (2, 3) else _stage1_split(n)) == 2:
         return n <= 32768
@@ -110,8 +124,8 @@ def supports_cfft(n: int) -> bool:
     — complex chunks double the 3-factor constants again, and mono 64k is
     an edge case — so it keeps the 2-factor VMEM ceiling; above it the
     XLA exact lowering serves (correct, slower)."""
-    return (MAX_T == 3 and n % _LANES == 0 and (n // _LANES) % 8 == 0
-            and n <= 32768)
+    return (_default_geometry() and n % _LANES == 0
+            and (n // _LANES) % 8 == 0 and n <= 32768)
 
 
 def _block_streams(n: int, split: int | None = None) -> int:
@@ -144,6 +158,17 @@ def _block_streams(n: int, split: int | None = None) -> int:
         f"exact kernel working set exceeds VMEM even at bs=1 for N={n} "
         f"(estimate {(per_bs + const) / 1e6:.1f} MB); supports() should "
         "have excluded this size")
+
+
+def _vsplit_host(a_f32: np.ndarray) -> np.ndarray:
+    """Veltkamp-high of an f32 array in f32 arithmetic — the exact split
+    the kernel's two_prod would compute; hoisting it to the host deletes
+    four VPU ops per twiddle element per tick.  ONE copy shared by both
+    real-split plan builders (Dekker products are only valid against this
+    exact split)."""
+    c = np.float32(4097.0)
+    t = (c * a_f32).astype(np.float32)
+    return (t - (t - a_f32).astype(np.float32)).astype(np.float32)
 
 
 def _digit_planes(a64):
@@ -203,6 +228,9 @@ def _pow2_scale_scalar(hi):
     log2 m, so s >= m always (exp2 of an integer float is exact)."""
     m = jnp.max(jnp.abs(hi))
     e = jnp.ceil(jnp.log2(jnp.maximum(m, jnp.float32(1e-30)))) + 1.0
+    # clamp so garbage input (~1e38) yields inf magnitudes, not 0*inf=NaN
+    # (exactfft._pow2_scale applies the same bound)
+    e = jnp.clip(e, -125.0, 125.0)   # keep exp2(-e) normal f32
     return jnp.exp2(e), jnp.exp2(-e)
 
 
@@ -304,24 +332,10 @@ def _core(n1, n2, bs, x_hi, x_lo, f1d_ref, f2d_ref,
     twr = (twr_hi_ref[:], twr_lo_ref[:])
     twi = (twi_hi_ref[:], twi_lo_ref[:])
 
-    def df_mul(x, y):
-        p = x[0] * y[0]
-        c = jnp.float32(4097.0)
-        tx = c * x[0]
-        xh = tx - (tx - x[0])
-        xl = x[0] - xh
-        ty = c * y[0]
-        yh = ty - (ty - y[0])
-        yl = y[0] - yh
-        e = ((xh * yh - p) + xh * yl + xl * yh) + xl * yl
-        e = e + (x[0] * y[1] + x[1] * y[0])
-        return two_sum(p, e)
-
-    def df_add(x, y):
-        s0, e = two_sum(x[0], y[0])
-        return two_sum(s0, e + (x[1] + y[1]))
-
-    br = df_add(df_mul(ar, twr), (lambda m: (-m[0], -m[1]))(df_mul(ai, twi)))
+    # the shared exactfft df primitives trace into the kernel unchanged
+    # (pure jnp; _real_mag_tail already uses them) — no local copies to
+    # drift from the XLA lowering's arithmetic
+    br = df_add(df_mul(ar, twr), df_neg(df_mul(ai, twi)))
     bi = df_add(df_mul(ar, twi), df_mul(ai, twr))
 
     # ---- regroup to stream-major rows: [bs*n1, 2n2] --------------------
@@ -375,14 +389,7 @@ def _kernel_plan_real(n: int, bs: int):
     twr_hi, twr_lo = _df_tiled(tw.real, bs)
     twi_hi, twi_lo = _df_tiled(tw.imag, bs)
 
-    def vsplit_host(a_f32):
-        """Veltkamp split of an f32 array, in f32 arithmetic (the exact
-        split the kernel would compute; hoisting it here deletes four VPU
-        ops per twiddle element per tick)."""
-        c = np.float32(4097.0)
-        t = (c * a_f32).astype(np.float32)
-        h = (t - (t - a_f32).astype(np.float32)).astype(np.float32)
-        return h
+    vsplit_host = _vsplit_host
 
     return (n1, n2,
             _stacked_classes(_digit_planes(f1bd), axis=1),
@@ -500,8 +507,13 @@ def _real_mag_tail(n1, n2, bs, dtype, chans,
     c_hi, c_lo = _digit_stage(f2d_ref, digits2, s2, left=False)
     # cols [C_r | C_i] of the kept n2/2 bins
     keep = n2 // 2
-    cr = (c_hi[:, :keep], c_lo[:, :keep])
-    ci = (c_hi[:, keep:], c_lo[:, keep:])
+    # clamp to +-2^63 before squaring: past ~2^64.5 the square overflows
+    # f32 and the df sum turns NaN — sticky through the EMA, unlike a
+    # finite huge magnitude that decays; inert for any real signal
+    # (exactfft._df_mag applies the same bound)
+    lim = jnp.float32(2.0 ** 63)
+    cr = (jnp.clip(c_hi[:, :keep], -lim, lim), c_lo[:, :keep])
+    ci = (jnp.clip(c_hi[:, keep:], -lim, lim), c_lo[:, keep:])
     rr = df_mul(cr, cr)
     ii = df_mul(ci, ci)
     s0, e0 = two_sum(rr[0], ii[0])
@@ -566,10 +578,7 @@ def _kernel_plan_real3(n: int, bs: int):
     twr_hi, twr_lo = _df_tiled(tw.real, bs)
     twi_hi, twi_lo = _df_tiled(tw.imag, bs)
 
-    def vsplit_host(a_f32):
-        c = np.float32(4097.0)
-        tt = (c * a_f32).astype(np.float32)
-        return (tt - (tt - a_f32).astype(np.float32)).astype(np.float32)
+    vsplit_host = _vsplit_host
 
     return (n1, n2, a,
             _stacked_classes(_digit_planes(c02), axis=1),
@@ -599,12 +608,8 @@ def _kernel_real_mag3(n1, n2, bs, a, ddt, x_ref, w_hi_ref, w_lo_ref,
 
     x_hi, x_lo = _windowed_df(xcat, w_hi_ref[:], w_lo_ref[:])
 
-    def dfa(x, y):
-        s0, e = two_sum(x[0], y[0])
-        return two_sum(s0, e + (x[1] + y[1]))
-
-    def dfs(x, y):
-        return dfa(x, (-y[0], -y[1]))
+    dfa = df_add                                 # shared primitives —
+    dfs = lambda x, y: df_add(x, df_neg(y))      # see _core's note
 
     # ---- radix-4 butterflies (exact df adds), both channels ------------
     u02, u13 = [], []

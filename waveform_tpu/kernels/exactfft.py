@@ -136,6 +136,15 @@ def df_scale(x, s):
     return (x[0] * s, x[1] * s)
 
 
+def split_f64_df32(a: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Host f64 constant -> exact df32 (hi, lo) pair.  ONE copy: the df
+    error budget depends on this exact rounding split, so every plan
+    builder must use the same one."""
+    hi = a.astype(np.float32)
+    return hi, (a - hi.astype(np.float64)).astype(np.float32)
+
+
+
 # ---------------------------------------------------------------------------
 # digit slicing
 # ---------------------------------------------------------------------------
@@ -156,10 +165,24 @@ def _slice_const(a64: np.ndarray, n_slices: int = N_SLICES) -> np.ndarray:
 
 
 def _pow2_scale(hi):
-    """Smallest power of two >= max|hi| (exact via frexp)."""
-    m = jnp.max(jnp.abs(hi))
+    """Smallest power of two >= max|hi| PER BATCH ELEMENT (exact via
+    frexp), reducing over the trailing [rows, cols] block axes only.
+
+    Per-element, not global: every reference source is independent, so
+    one corrupted stream (samples ~1e20) must not set the digit scale for
+    its batchmates — with a shared scale their <=1.0 samples would slice
+    to all-zero digits (the ~27-bit digit range sits just below the
+    scale) and their spectra silently vanish for the corrupted ticks.
+
+    The exponent clamps to ±125 so absurd input degrades to huge-but-
+    finite magnitudes instead of 0·inf = NaN (and 1/s stays NORMAL f32 —
+    2^-126 is the smallest normal; one octave further and flush-to-zero
+    returns s_inv = 0, zeroing every digit)."""
+    axes = tuple(range(-min(2, hi.ndim), 0))
+    m = jnp.max(jnp.abs(hi), axis=axes, keepdims=True)
     _, e = jnp.frexp(m)
-    s = jnp.exp2(e.astype(jnp.float32))
+    e = jnp.clip(e.astype(jnp.float32), -125.0, 125.0)
+    s = jnp.exp2(e)
     return jnp.where(m > 0, s, jnp.float32(1.0))
 
 
@@ -310,9 +333,7 @@ def _exact_plan(n: int):
 
     f2b = np.block([[f2.real, f2.imag], [-f2.imag, f2.real]])
 
-    def df_const(a):
-        hi = a.astype(np.float32)
-        return hi, (a - hi.astype(np.float64)).astype(np.float32)
+    df_const = split_f64_df32
 
     return (n1, n2, _slice_const(f1b),
             ("twiddle", _slice_const(f2b), df_const(tw.real),
@@ -415,9 +436,21 @@ def _df_rev_head(z, nbins):
 
 def _df_mag(re, im):
     """sqrt(re^2 + im^2) in f32 from df32 parts (per-bin relative rounding
-    only — the cancellation already happened exactly upstream)."""
-    rr = df_mul(re, re)
-    ii = df_mul(im, im)
+    only — the cancellation already happened exactly upstream).
+
+    Components clamp to ±2^63 first: squaring anything past ~2^64.5
+    overflows f32 and the df arithmetic then yields NaN — which is sticky
+    through the EMA, unlike a huge-but-FINITE magnitude that decays once
+    sane audio returns.  2^63 is unreachable for any real signal (a
+    full-scale 65536-pt window tops out near 2^16; even 1e6-amplitude
+    garbage stays < 2^37), so the clamp is inert outside corrupted
+    buffers.  The reference's scalar path is hypot() and equally safe;
+    its AVX2 path (sqrt(fmadd)) overflows to inf (source_avx2.cpp:138)."""
+    lim = jnp.float32(2.0 ** 63)
+    rh = jnp.clip(re[0], -lim, lim)
+    ih = jnp.clip(im[0], -lim, lim)
+    rr = df_mul((rh, re[1]), (rh, re[1]))
+    ii = df_mul((ih, im[1]), (ih, im[1]))
     s = df_add(rr, ii)
     return jnp.sqrt(jnp.maximum(s[0] + s[1], 0.0))
 
@@ -454,9 +487,7 @@ def _real_split_plan(n: int):
     f2k = np.block([[f2.real[:, :keep], f2.imag[:, :keep]],
                     [-f2.imag[:, :keep], f2.real[:, :keep]]])
 
-    def df_const(a):
-        hi = a.astype(np.float32)
-        return hi, (a - hi.astype(np.float64)).astype(np.float32)
+    df_const = split_f64_df32
 
     return (n1, n2, _slice_const(f1r),
             ("twiddle", _slice_const(f2k), df_const(tw.real),
@@ -530,6 +561,16 @@ def _rfft_mag_real_xla(x, nbins: int, window: tuple | None):
     return mag[..., :nbins]
 
 
+def _use_real_split_xla(n: int) -> bool:
+    """WAVEFORM_TPU_EXACT_PACKED=never routes the XLA lowering through the
+    real-split reference formulation (see _rfft_mag_real_xla) — only for
+    even-N2 factorizations, which have a clean kept-half column split.
+    One predicate so the pair and multichannel entry points can never
+    route the same config differently."""
+    return (_os.environ.get("WAVEFORM_TPU_EXACT_PACKED", "always")
+            == "never" and _split_factors(n)[1] % 2 == 0)
+
+
 def rfft_pair_mag_exact(x, nbins: int | None = None,
                         window: tuple | None = None,
                         with_nz: bool = False,
@@ -564,8 +605,7 @@ def rfft_pair_mag_exact(x, nbins: int | None = None,
             x, nbins, window,
             interpret=_os.environ.get("WAVEFORM_TPU_EXACT_INTERPRET") == "1")
         return (mag, nz) if with_nz else mag
-    if (_os.environ.get("WAVEFORM_TPU_EXACT_PACKED", "always") == "never"
-            and _split_factors(n)[1] % 2 == 0):
+    if _use_real_split_xla(n):
         # real-split XLA reference lowering (see _rfft_mag_real_xla);
         # odd-N2 factorizations (e.g. 336 -> 16x21) have no clean
         # kept-half column split, so they stay on the packed path
@@ -622,8 +662,7 @@ def rfft_mag_exact(x, nbins: int | None = None,
     if not (allow_kernel and kernel_would_run(n)):
         # the real-split XLA reference is channel-count agnostic: one
         # call covers stereo, mono, and any multichannel layout
-        if (_os.environ.get("WAVEFORM_TPU_EXACT_PACKED", "always")
-                == "never" and _split_factors(n)[1] % 2 == 0):
+        if _use_real_split_xla(n):
             mag = _rfft_mag_real_xla(x, nbins, window)
             if with_nz:
                 return mag, jnp.any(x != 0.0, axis=-1)

@@ -155,3 +155,42 @@ def test_mono_downmix_channel1_keeps_linear(rng):
     # channel 0 in dB (negative-ish), channel 1 in raw linear magnitude
     assert db[0, 0].mean() < -10
     assert (db[0, 1] >= 0).all()
+
+
+def test_mono_silent_channel_decays_after_active_channel():
+    """Sequential-channel parity (source_generic.cpp:63-95): in mono the
+    outsilent scan reads m_decibels[0] MID-tick, so once channel 0
+    processes (fresh LINEAR magnitudes, always above the negative
+    floor-10 gate) a silent channel 1 must also process — its EMA decays
+    — never freeze on stale values, and the latch must not count it."""
+    import jax.numpy as jnp
+
+    from waveform_tpu import AudioInfo, Settings, TSmoothingMode, resolve
+    from waveform_tpu.dsp.spectrum import init_state, make_spectrum_step
+
+    cfg = resolve(Settings(fft_size=256,
+                           temporal_smoothing=TSmoothingMode.NONE),
+                  AudioInfo(48000, 2))   # mono fold, C=2
+    assert not cfg.stereo
+    step = make_spectrum_step(cfg)
+    state = init_state(cfg, 1)           # decibels at DB_MIN (sub-gate)
+    # sentinel in ch1's work buffer: frozen keeps it, processed clears it
+    state = state.replace(decibels=state.decibels.at[:, 1].set(7.0))
+
+    x = np.zeros((1, 2, 256), np.float32)
+    x[0, 0, :] = 1e-6                    # ch0: nonzero but deep sub-floor
+    new = step(jnp.asarray(x), state, jnp.float32(1 / 60),
+               jnp.ones(1, bool), jnp.zeros(1, jnp.float32))
+    assert not bool(np.asarray(new.last_silent)[0])
+    # ch1 processed: its buffer holds the zero-FFT magnitudes, not 7.0
+    ch1 = np.asarray(new.decibels)[0, 1]
+    assert not np.allclose(ch1, 7.0), "silent ch1 froze on stale values"
+    assert np.all(np.abs(ch1) < 1e-3)
+
+    # contrast: when ch0 is ALSO silent (and sub-gate), both skip and the
+    # latch sets — the reference's both-channels-outsilent branch
+    state2 = init_state(cfg, 1)
+    new2 = step(jnp.zeros((1, 2, 256), jnp.float32), state2,
+                jnp.float32(1 / 60), jnp.ones(1, bool),
+                jnp.zeros(1, jnp.float32))
+    assert bool(np.asarray(new2.last_silent)[0])

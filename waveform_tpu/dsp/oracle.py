@@ -158,18 +158,30 @@ def spectrum_frame(samples: np.ndarray, tsmooth: np.ndarray | None,
 # ---------------------------------------------------------------------------
 
 def interp_indices(cfg: ResolvedConfig, sz: int) -> np.ndarray:
-    """Fractional FFT-bin index per output pixel/bar edge."""
-    maxbin = cfg.fft_size // 2 - 1
-    sr = float(cfg.audio.samples_per_sec)
+    """Fractional FFT-bin index per output pixel/bar edge.
+
+    Computed in FLOAT32 like the reference (init_interp uses float
+    lowbin/highbin and log_interp<float>, src/source.cpp:841-863): the
+    band widths downstream TRUNCATE index differences to int
+    (source.cpp:866-871), so a ~1e-7-relative f64-vs-f32 drift lands
+    whole-bin bar-layout changes when a difference sits within an ulp of
+    an integer (measured: 9 of 3456 sampled configs flip a band width).
+    Residual powf ulp differences vs a given libm build are the same
+    class as the reference's own cross-platform (MSVC/glibc) variation."""
+    f32 = np.float32
+    maxbin = f32(cfg.fft_size // 2 - 1)
+    sr = f32(cfg.audio.samples_per_sec)
     if cfg.display_mode == DisplayMode.WAVEFORM:
-        lowbin, highbin = 0.0, float(cfg.fft_size - 1)
+        lowbin, highbin = f32(0.0), f32(cfg.fft_size - 1)
     else:
-        lowbin = np.clip(cfg.cutoff_low * cfg.fft_size / sr, 1.0, maxbin)
-        highbin = np.clip(cfg.cutoff_high * cfg.fft_size / sr, 1.0, maxbin)
-    i = np.arange(sz, dtype=np.float64)
-    t = (i * 2.0 if cfg.mirror_freq_axis else i) / float(sz - 1)
+        lowbin = np.clip(f32(cfg.cutoff_low) * f32(cfg.fft_size) / sr,
+                         f32(1.0), maxbin)
+        highbin = np.clip(f32(cfg.cutoff_high) * f32(cfg.fft_size) / sr,
+                          f32(1.0), maxbin)
+    i = np.arange(sz, dtype=np.float32)
+    t = (i * f32(2.0) if cfg.mirror_freq_axis else i) / f32(sz - 1)
     if cfg.log_scale:
-        idx = log_interp(lowbin, highbin, t)
+        idx = lowbin * (highbin / lowbin) ** t        # log_interp, f32
     else:
         idx = lowbin + (highbin - lowbin) * t
     return np.clip(idx, lowbin, highbin)

@@ -161,14 +161,7 @@ def _magnitude_pipeline(cfg: ResolvedConfig, samples: jnp.ndarray,
         else:
             mag = rfft_mag_exact(samples, nbins, window=window,
                                  allow_kernel=allow_exact_kernel)
-        mag_coeff = 2.0 / window_sum(cfg.window, cfg.fft_size,
-                                     cfg.sine_exponent)
-        mag = mag * jnp.float32(mag_coeff)
-        if cfg.slope > 0.0:
-            mods = jnp.asarray(
-                slope_modifiers(nbins, cfg.slope).astype(np.float32))
-            mag = mag * mods
-        return (mag, nz) if with_nz else mag
+        return _mag_tail(cfg, nbins, mag, nz, with_nz)
 
     x = samples
     if cfg.window != FFTWindow.NONE:
@@ -176,7 +169,6 @@ def _magnitude_pipeline(cfg: ResolvedConfig, samples: jnp.ndarray,
             window_coefficients(cfg.window, cfg.fft_size, cfg.sine_exponent,
                                 dtype=np.float32))
         x = x * coeffs
-    mag_coeff = 2.0 / window_sum(cfg.window, cfg.fft_size, cfg.sine_exponent)
 
     if rfft_fn is not None:
         z = rfft_fn(x)[..., :nbins]  # drop Nyquist, as the reference does
@@ -191,11 +183,20 @@ def _magnitude_pipeline(cfg: ResolvedConfig, samples: jnp.ndarray,
             raise ValueError(f"unknown fft_backend {fft_backend!r}; "
                              "expected 'auto', 'exact', 'matmul', or 'xla'")
 
+    return _mag_tail(cfg, nbins, mag, None, with_nz)
+
+
+def _mag_tail(cfg, nbins, mag, nz, with_nz):
+    """Shared normalization + slope tail (ONE copy for every backend, so
+    the exact and XLA/matmul paths can never desynchronize here)."""
+    mag_coeff = 2.0 / window_sum(cfg.window, cfg.fft_size,
+                                 cfg.sine_exponent)
     mag = mag * jnp.float32(mag_coeff)
     if cfg.slope > 0.0:
-        mods = jnp.asarray(slope_modifiers(nbins, cfg.slope).astype(np.float32))
+        mods = jnp.asarray(
+            slope_modifiers(nbins, cfg.slope).astype(np.float32))
         mag = mag * mods
-    return (mag, None) if with_nz else mag
+    return (mag, nz) if with_nz else mag
 
 
 def _exact_kernel_active(cfg: ResolvedConfig, rfft_fn, fft_backend) -> bool:
@@ -318,6 +319,23 @@ def make_spectrum_step(cfg: ResolvedConfig, rfft_fn=None,
              for c in range(C)], axis=1)                  # [S, C]
 
         silent = ~nz
+        if not cfg.stereo and C > 1:
+            # sequential-channel parity: the reference scans m_decibels[0]
+            # MID-tick (source_generic.cpp:82 with ch=0 in mono), so once
+            # an earlier channel processes, the buffer holds fresh LINEAR
+            # magnitudes (>= 0, always above the negative floor-10 gate)
+            # and a later silent channel can never read outsilent — it
+            # runs and its EMA decays instead of freezing stale values
+            os0 = out_silent[:, 0]
+            os_list = [os0]
+            proc_before = valid[:, 0] & ~(silent[:, 0]
+                                          & (ls_seen[:, 0] | os0))
+            for c in range(1, C):
+                osc = out_silent[:, c] & ~proc_before
+                os_list.append(osc)
+                proc_before = proc_before | (
+                    valid[:, c] & ~(silent[:, c] & (ls_seen[:, c] | osc)))
+            out_silent = jnp.stack(os_list, axis=1)
         skip = ~valid | (silent & (ls_seen | out_silent))  # keeps old state
         counted = valid & silent & ~ls_seen & out_silent   # adds to latch count
         latch_survives = ls0 & jnp.all(~nz, axis=1)

@@ -33,8 +33,7 @@ def _interp_matrix(taps: np.ndarray, weights: np.ndarray,
     return m
 
 
-def make_rebin_fn(cfg: ResolvedConfig, *, top: float | None = None,
-                  bottom: float | None = None, apply_pixel_map: bool = True):
+def make_rebin_fn(cfg: ResolvedConfig, *, apply_pixel_map: bool = True):
     """Build ``rebin(db [..., nbins]) -> [..., P]`` for the resolved config.
 
     ``top``/``bottom`` are the pixel-map endpoints; curve mode uses
@@ -58,17 +57,14 @@ def make_rebin_fn(cfg: ResolvedConfig, *, top: float | None = None,
     # "gather" until the dense path measures faster on hardware.
     dense = os.environ.get("WAVEFORM_TPU_REBIN", "gather") == "dense"
     if dense:
-        # rows = the caller's actual bin-axis width (waveform mode feeds
-        # its pixel buffer, not num_bins) — static under jit, built once
-        _imats: dict[int, jnp.ndarray] = {}
-
-        def _imat(nbins: int) -> jnp.ndarray:
-            m = _imats.get(nbins)
-            if m is None:
-                m = jnp.asarray(_interp_matrix(
-                    tables.taps, tables.weights, nbins))
-                _imats[nbins] = m
-            return m
+        # rows = the config's bin-axis width (waveform mode repurposes
+        # fft_size as its pixel-buffer width; spectrum rebins num_bins)
+        from ..core.enums import DisplayMode
+        nbins_in = (cfg.fft_size
+                    if cfg.display_mode == DisplayMode.WAVEFORM
+                    else cfg.num_bins)
+        imat = jnp.asarray(_interp_matrix(
+            tables.taps, tables.weights, nbins_in))
 
     n_out = tables.num_outputs
     use_gauss = cfg.filter_mode == FilterMode.GAUSS and not cfg.meter_mode
@@ -87,7 +83,7 @@ def make_rebin_fn(cfg: ResolvedConfig, *, top: float | None = None,
               bottom: jnp.ndarray | float = 0.0) -> jnp.ndarray:
         if dense:
             # interp as one MXU matmul (see the WAVEFORM_TPU_REBIN note)
-            vals = jnp.matmul(db, _imat(db.shape[-1]),
+            vals = jnp.matmul(db, imat,
                               precision=jax.lax.Precision.HIGHEST)
         else:
             # interp: gather taps along the bin axis, reduce with the LUT

@@ -39,7 +39,7 @@ class InterpTables:
     num_outputs: int
 
 
-def _lanczos_lut(indices: np.ndarray, nbins: int, radius: int = LANCZOS_RADIUS):
+def _lanczos_lut(indices: np.ndarray, radius: int = LANCZOS_RADIUS):
     """Taps j = floor(x)-r+1 .. floor(x)+r, weight sinc(d)·sinc(d/r)."""
     ix = indices.astype(np.int64)  # truncation; domain is non-negative
     offs = np.arange(-radius + 1, radius + 1, dtype=np.int64)
@@ -49,7 +49,7 @@ def _lanczos_lut(indices: np.ndarray, nbins: int, radius: int = LANCZOS_RADIUS):
     return taps, w
 
 
-def _catrom_lut(indices: np.ndarray, nbins: int, t: float = 0.5):
+def _catrom_lut(indices: np.ndarray, t: float = 0.5):
     """4-tap Catmull-Rom basis weights at u = frac(x)."""
     matrix = np.array([
         [0.0, -t, 2 * t, -t],
@@ -65,7 +65,7 @@ def _catrom_lut(indices: np.ndarray, nbins: int, t: float = 0.5):
     return taps, w
 
 
-def _point_lut(indices: np.ndarray, nbins: int):
+def _point_lut(indices: np.ndarray):
     taps = indices.astype(np.int64)[:, None]
     return taps, np.ones_like(taps, dtype=np.float64)
 
@@ -115,11 +115,11 @@ def build_interp_tables(cfg: ResolvedConfig, dtype=np.float32) -> InterpTables:
         num_outputs = cfg.num_bars
 
     if cfg.interp_mode == InterpMode.LANCZOS:
-        taps, w = _lanczos_lut(per_sample_indices, nbins)
+        taps, w = _lanczos_lut(per_sample_indices)
     elif cfg.interp_mode == InterpMode.CATROM:
-        taps, w = _catrom_lut(per_sample_indices, nbins)
+        taps, w = _catrom_lut(per_sample_indices)
     else:
-        taps, w = _point_lut(per_sample_indices, nbins)
+        taps, w = _point_lut(per_sample_indices)
 
     taps, w = _mask_and_clamp(taps, w, nbins)
     return InterpTables(

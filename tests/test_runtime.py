@@ -341,3 +341,104 @@ def test_batched_waveform_timeout():
     out = b.tick(now + 600_000_000)
     assert (out == DB_MIN).all()
     assert b.last_silent.all()
+
+
+def test_waveform_stereo_mono_capture_channel1_stays_raw(rng):
+    """Stereo display of MONO capture: the reference converts channel ch
+    over counts[ch] pixels and counts[1] == 0 when capture_channels == 1,
+    so channel 1 keeps the RAW pre-conversion copy of channel 0
+    (source_generic.cpp:363-371).  Batched and device engines must match
+    the per-stream WaveformScroller spec."""
+    from waveform_tpu import AudioInfo, ChannelMode
+    from waveform_tpu.runtime.source import StreamSource
+    from waveform_tpu.runtime.waveform_device import DeviceWaveformEngine
+    from waveform_tpu.runtime.waveform_host import (
+        BatchedWaveformScroller,
+        WaveformScroller,
+    )
+    cfg = resolve(Settings(display_mode=DisplayMode.WAVEFORM, width=256,
+                           meter_buf=120, channel_mode=ChannelMode.STEREO),
+                  AudioInfo(SR, 1))     # ONE capture channel
+    assert cfg.stereo and cfg.capture_channels == 1
+    assert cfg.output_channels == 2 and cfg.display_channels == 2
+    single = WaveformScroller(cfg)
+    src = StreamSource(cfg)
+    batched = BatchedWaveformScroller(cfg, 1)
+    dev = DeviceWaveformEngine(cfg, 1)
+    now = NS
+    for k in range(40):
+        t = (np.arange(480) + k * 480) / SR
+        x = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+        pkt = x[None]                       # [C=1, n]
+        src.capture_audio(pkt, now, now_ns=now)
+        batched.feed_batch(pkt[None], now, now_ns=now)
+        dev.feed(0, pkt, now, now_ns=now)
+        now += 480 * NS // SR
+        out_s = single.tick(src, now, 1 / 60)
+        out_b = batched.tick(now)
+        dev.tick(now_ns=now)
+    out_d = np.asarray(dev.display)
+    # channel 1 is the PRE-conversion copy of channel 0 (old dB values +
+    # RAW fresh tail): the old bug converted channel 1's tail too, making
+    # the channels identical — they must differ in the fresh tail
+    assert not np.allclose(out_s[0], out_s[1]), "ch1 tail was converted"
+    # and the fresh raw samples are bounded by the 0.5 amplitude while
+    # ch0's converted tail carries dB values
+    assert np.abs(out_s[1][-8:]).max() <= 0.5 + 1e-6
+    np.testing.assert_allclose(out_b[0], out_s, atol=1e-5)
+    np.testing.assert_allclose(out_d[0], out_s, atol=1e-4)
+
+
+def test_batched_waveform_mute_and_narrow_packets():
+    """feed_batch mute zero-fills like its siblings (src:1878-1879), and
+    narrow packets zero-pad missing channels instead of crashing tick."""
+    from waveform_tpu.runtime.waveform_host import BatchedWaveformScroller
+    cfg = cfg_for(display_mode=DisplayMode.WAVEFORM, width=160,
+                  meter_buf=100)
+    b = BatchedWaveformScroller(cfg, 1)
+    now = NS
+    for k in range(20):   # muted from the start: display stays silent
+        b.feed_batch(np.full((1, 2, 480), 0.5, np.float32), now,
+                     now_ns=now, muted=True)
+        now += 480 * NS // SR
+        out = b.tick(now)
+    # display blanks (the latch itself stays False: the mixed-domain
+    # != 0 scan sees the DB_MIN fills — reference-quirk parity, same as
+    # the per-stream WaveformScroller)
+    assert (out == DB_MIN).all()
+    for k in range(20):   # narrow [S, 1, n] packets: ch1 zero-fills
+        b.feed_batch(np.full((1, 1, 480), 0.5, np.float32), now,
+                     now_ns=now)
+        now += 480 * NS // SR
+        out = b.tick(now)
+    assert np.isfinite(out).all() and (out > DB_MIN).any()
+
+
+def test_device_waveform_hidden_stream_keeps_draining():
+    """A hidden stream's device ring keeps tracking the newest audio (the
+    reference's capture ring fills regardless of show), so a resume
+    renders genuine recent audio with no stale gap."""
+    from waveform_tpu.runtime.waveform_device import DeviceWaveformEngine
+    cfg = cfg_for(display_mode=DisplayMode.WAVEFORM, width=160,
+                  meter_buf=100, temporal_smoothing=TSmoothingMode.NONE)
+    dev = DeviceWaveformEngine(cfg, 1)
+    now = NS
+
+    def drive(ticks, amp):
+        nonlocal now
+        for k in range(ticks):
+            dev.feed(0, np.full((2, 480), amp, np.float32), now, now_ns=now)
+            now += 480 * NS // SR
+            dev.tick(now_ns=now)
+
+    drive(20, 0.5)
+    dev.set_show(0, False)
+    drive(60, 0.25)          # hidden: feeder keeps running (~0.6 s)
+    dev.set_show(0, True)
+    drive(20, 0.25)
+    disp = np.asarray(dev.display)[0, 0]
+    # every visible pixel reflects the 0.25-amplitude era: dbfs(0.25)
+    want = 20 * np.log10(0.25)
+    fresh = disp[disp > DB_MIN]
+    assert fresh.size and np.allclose(fresh, want, atol=0.01), (
+        fresh.min(), fresh.max())

@@ -272,8 +272,13 @@ class OutputBus:
             comp = (jnp.minimum(vt - dbfs(rms[0]), mg) if normalize
                     else jnp.float32(0.0))
             if cfg.stereo:
-                conv = dbfs(a[:2]) + comp
-                live = out.at[:2].set(jnp.where(fresh, conv, out[:2]))
+                # only real capture channels convert (the reference's
+                # counts[ch] == 0 for ch >= C leaves a mono-capture
+                # stereo display's channel 1 tail RAW,
+                # source_generic.cpp:363-371)
+                DC = min(2, C)
+                conv = dbfs(a[:DC]) + comp
+                live = out.at[:DC].set(jnp.where(fresh, conv, out[:DC]))
             elif C > 1:
                 conv = dbfs((a[0] + a[1]) * 0.5) + comp
                 live = out.at[0].set(jnp.where(fresh, conv, out[0]))

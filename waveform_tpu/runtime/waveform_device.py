@@ -181,12 +181,18 @@ class DeviceWaveformEngine:
                 out = out.at[:, 1].set(
                     jnp.where(run_b[:, 0], bufC[:, 0], out[:, 1]))
 
-            # fresh-tail dB conversion with fold (src_generic.cpp:366-381)
+            # fresh-tail dB conversion with fold (src_generic.cpp:366-381).
+            # Only REAL capture channels convert: the reference's per-
+            # channel loop covers counts[ch] pixels and counts[ch] == 0
+            # for ch >= capture_channels, so a stereo display of mono
+            # capture keeps channel 1's fresh tail RAW (the pre-conversion
+            # channel-0 copy, source_generic.cpp:363-371)
             pos = jnp.arange(W)[None, :]
             fresh = (pos >= (W - n)[:, None]) & run[:, None] \
                 & ~new_latch[:, None]                           # [S, W]
+            DC = min(D, C) if stereo else 1
             if stereo:
-                conv = dbfs(jnp.abs(out[:, :D]))
+                conv = dbfs(jnp.abs(out[:, :DC]))
             elif C > 1:
                 conv = dbfs((jnp.abs(out[:, 0])
                              + jnp.abs(out[:, 1])) * 0.5)[:, None]
@@ -196,8 +202,8 @@ class DeviceWaveformEngine:
                 comp = jnp.minimum(cfg.volume_target - dbfs(input_rms),
                                    cfg.max_gain)
                 conv = conv + comp[:, None, None]
-            out = out.at[:, :D].set(
-                jnp.where(fresh[:, None, :], conv, out[:, :D]))
+            out = out.at[:, :DC].set(
+                jnp.where(fresh[:, None, :], conv, out[:, :DC]))
 
             # silence fill + timeout fill (DB_MIN once unless latched)
             fill = (run & new_latch) | (timeout & ~latch)
@@ -298,9 +304,16 @@ class DeviceWaveformEngine:
         pix = np.arange(W, dtype=np.int64) * self.step_ns
 
         for i, p in enumerate(self._streams):
-            if (not p.show) or (now_ns - p.capture_ts) > CAPTURE_TIMEOUT_NS:
+            hidden = ((not p.show)
+                      or (now_ns - p.capture_ts) > CAPTURE_TIMEOUT_NS)
+            if hidden:
+                # display freezes/blanks (run stays False below), but the
+                # DRAIN still runs: the reference's capture ring fills on
+                # the audio thread regardless of show, so the device ring
+                # must keep tracking the newest audio — otherwise feed()'s
+                # queue trim punches a gap and a resume gathers garbled
+                # stale samples across it
                 timeout[i] = True
-                continue
             # consume up to the hop budget; any backlog stays queued and the
             # effective "newest sample" timestamp excludes it, so the gather
             # only references samples that are really in the device ring
@@ -351,8 +364,8 @@ class DeviceWaveformEngine:
             counts[i] = take
             p.total = total
 
-            if total <= reserve:
-                continue  # everything is still sync reserve; ring keeps filling
+            if hidden or total <= reserve:
+                continue  # no render this tick; ring keeps filling
 
             start_ts = audio_eff - audio_frames_to_ns(sr, total)
             stop_ts = audio_eff - audio_frames_to_ns(sr, reserve)
@@ -375,12 +388,17 @@ class DeviceWaveformEngine:
             p.waveform_ts += ni * self.step_ns
             p.total = reserve  # consumed down to the sync reserve
 
+        # without volume normalization the step's rms branch is compiled
+        # out — don't pay the [S, H] H2D upload (~1.6 MB/frame at S=256)
+        # for an argument the program never reads
+        rms_arg = (jnp.asarray(self._rms_buf)
+                   if self.cfg.normalize_volume else None)
         self.ring, self.buf, self.latch, self.rms_ring, token = self._step(
             self.ring, self.buf, self.latch,
             jnp.asarray(self._push_buf), jnp.asarray(counts),
             jnp.asarray(idx.astype(np.int32)), jnp.asarray(n),
             jnp.asarray(run), jnp.asarray(timeout), self.rms_ring,
-            jnp.asarray(self._rms_buf), jnp.asarray(reserves))
+            rms_arg, jnp.asarray(reserves))
         # fence: the staging pair is safe to rewrite once this step ran
         if self._fence_on:
             self._fences[self._flip] = token

@@ -187,7 +187,7 @@ class BatchedWaveformScroller:
 
     # -- feeding (shared timestamps) -----------------------------------
     def feed_batch(self, data: np.ndarray, timestamp_ns: int,
-                   now_ns: int) -> None:
+                   now_ns: int, muted: bool = False) -> None:
         cfg = self.cfg
         frames = data.shape[-1]
         if frames == 0 or cfg.capture_channels == 0:
@@ -199,12 +199,23 @@ class BatchedWaveformScroller:
                          else timestamp_ns + audio_len)
         cut = np.asarray(
             data[:, cfg.channel_base:cfg.channel_base + self.C], np.float32)
-        self._chunks.append(cut)
-        self._queued += frames
+        if cut.shape[1] < self.C:
+            # narrow packets zero-fill missing channels, like
+            # StreamSource._capture_locked and DeviceWaveformEngine.feed —
+            # otherwise tick()'s chunk concatenate raises on the mismatch
+            cut = np.concatenate([cut, np.zeros(
+                (cut.shape[0], self.C - cut.shape[1], frames),
+                np.float32)], axis=1)
+        # the RMS derives from raw PRE-mute samples (src/source.cpp:
+        # 1843-1871 runs before the zero-fill)
         if cfg.normalize_volume:
             self._rms_q.append(
                 np.max(np.abs(cut), axis=1).astype(np.float32) ** 2)
             self._rms_queued += frames
+        if muted and not cfg.settings.ignore_mute:
+            cut = np.zeros_like(cut)   # mute zero-fill (src:1878-1879)
+        self._chunks.append(cut)
+        self._queued += frames
         # bound the queue like capture_audio's trim (waveform bufsz)
         dtaudio = self._sync(now_ns)
         reserve = (ns_to_audio_frames(cfg.audio.samples_per_sec, dtaudio)
@@ -333,10 +344,16 @@ class BatchedWaveformScroller:
             k = outsz - n
             if cfg.output_channels > C:
                 self.buf[live, 1] = self.buf[live, 0]
-            D = 2 if cfg.stereo else 1
+            # the reference converts channel ch over counts[ch] pixels,
+            # and counts[ch] == 0 for ch >= capture_channels — so a
+            # stereo display of MONO capture keeps channel 1's fresh
+            # tail RAW (the pre-conversion memcpy of channel 0,
+            # source_generic.cpp:363-371); only real capture channels
+            # convert (and volume-compensate)
+            D = min(2, C) if cfg.stereo else 1
             tails = self.buf[live][:, :, k:]               # copy
             if cfg.stereo:
-                conv = _dbfs(np.abs(tails[:, :2]))
+                conv = _dbfs(np.abs(tails[:, :D]))
             elif C > 1:
                 conv = _dbfs((np.abs(tails[:, 0])
                               + np.abs(tails[:, 1])) * 0.5)[:, None]

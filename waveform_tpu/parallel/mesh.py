@@ -96,15 +96,34 @@ def local_stream_rows(mesh: Mesh, num_streams: int) -> tuple[int, int]:
     (/root/reference/deps/fftw-3.3.11/mpi/block.c).  In a single process
     this is simply (0, num_streams)."""
     sh = stream_sharding(mesh)
-    lo, hi = num_streams, 0
+    spans = set()
     for d, idx in sh.devices_indices_map((num_streams,)).items():
         if d.process_index != jax.process_index():
             continue
         sl = idx[0]
-        start = 0 if sl.start is None else sl.start
-        stop = num_streams if sl.stop is None else sl.stop
-        lo, hi = min(lo, start), max(hi, stop)
-    return (0, 0) if hi <= lo else (lo, hi)
+        spans.add((0 if sl.start is None else sl.start,
+                   num_streams if sl.stop is None else sl.stop))
+    if not spans:
+        return (0, 0)
+    lo = min(a for a, _ in spans)
+    hi = max(b for _, b in spans)
+    # the (lo, hi) range representation requires each process to own a
+    # CONTIGUOUS run of stream rows; a custom device ordering that
+    # interleaves processes would silently mis-slice the local block, so
+    # verify coverage instead of assuming it
+    covered = 0
+    end = lo
+    for a, b in sorted(spans):
+        if a > end:
+            raise ValueError(
+                "this process's devices own non-contiguous stream rows "
+                f"{sorted(spans)}; order the mesh devices so each "
+                "process's rows form one block (the FFTW-MPI 1-D block "
+                "layout, mpi/block.c)")
+        end = max(end, b)
+        covered = end
+    assert covered == hi
+    return (lo, hi)
 
 
 def from_process_local(sharding: NamedSharding, local: np.ndarray,

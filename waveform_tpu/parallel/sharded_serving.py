@@ -114,7 +114,11 @@ class ShardedServingEngine(ServingEngine):
         return put(x, sharding)
 
     def _prep(self, x):
-        return self._placed(x, self._s_sh, 0, jax.device_put)
+        # single-process: hand the host array to jit unchanged — the
+        # step's in_shardings place it on the C++ dispatch path (an eager
+        # device_put here measured ~5x the jit-argument transfer,
+        # serving.py:364-371); multi-host still assembles local rows
+        return self._placed(x, self._s_sh, 0, lambda a, sh: a)
 
     def _prep_scan(self, x):
         from ..runtime.serving import chunked_put
@@ -195,7 +199,7 @@ class ShardedServingEngine(ServingEngine):
                 active = np.concatenate(
                     [np.asarray(active),
                      np.zeros((T, self.S - self.user_streams), bool)], axis=1)
-            elif self.S != self.user_streams:
+            else:   # padded engine and no caller mask: inert pad rows
                 active = np.concatenate(
                     [np.ones((T, self.user_streams), bool),
                      np.zeros((T, self.S - self.user_streams), bool)], axis=1)

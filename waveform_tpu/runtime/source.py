@@ -52,6 +52,13 @@ class StreamSource:
         self.show = True
         self.muted = False
         # timestamps (ns)
+        # capture_ts stays 0 until the first packet: a brand-new source
+        # that is ticked before any audio reads as timed-out, where the
+        # reference stamps m_capture_ts at update() and reads as
+        # active-silent for its first 500 ms (source.cpp:1241-1248).
+        # Both display the floor; the divergence is only the first ticks'
+        # latch/freeze flavor, and keeping the stamp OUT preserves
+        # host/device engine equivalence (every engine shares this rule).
         self.capture_ts = 0
         self.audio_ts = 0
         self.tick_ts = 0
@@ -94,8 +101,9 @@ class StreamSource:
                       now_ns: int, muted: bool = False,
                       blocking: bool = True) -> bool:
         """Feed one audio packet; ``data`` is [channels, frames] float32
-        planar (or None → silence).  Returns False if dropped on contention.
-        """
+        planar.  ``data=None`` is a keep-alive: it stamps the capture
+        timestamp (the source still exists) without pushing samples.
+        Returns False if dropped on contention."""
         acquired = self._lock.acquire(blocking=blocking,
                                       timeout=0.010 if blocking else -1)
         if not acquired:
@@ -112,6 +120,8 @@ class StreamSource:
             return
         frames = 0 if data is None else data.shape[-1]
         if frames == 0:
+            if data is None:
+                self.capture_ts = now_ns   # keep-alive heartbeat
             return
 
         # timestamp bookkeeping (src/source.cpp:1830-1837)
@@ -130,19 +140,21 @@ class StreamSource:
 
         # volume-normalization RMS feed (src/source.cpp:1843-1871):
         # per time point, square of the loudest channel's sample
-        if cfg.normalize_volume and data is not None:
-            chans = data[cfg.channel_base:cfg.channel_base + cfg.capture_channels]
-            peak = np.max(np.abs(chans), axis=0).astype(np.float32)
+        if cfg.normalize_volume:
+            chans = data[cfg.channel_base:cfg.channel_base
+                         + cfg.capture_channels]
+            peak = (np.max(np.abs(chans), axis=0).astype(np.float32)
+                    if chans.shape[0] else np.zeros(frames, np.float32))
             self._rms_sync.push_back(peak * peak)
             max_rms = dtsamples + cfg.input_rms_size
             excess = self._rms_sync.size - max_rms
             if excess > 0:
                 self._rms_sync.pop_front(excess)
 
-        silence = (muted and not cfg.settings.ignore_mute) or data is None
+        silence = muted and not cfg.settings.ignore_mute
         for j in range(cfg.capture_channels):
             ch = cfg.channel_base + j
-            if silence or ch >= (0 if data is None else data.shape[0]):
+            if silence or ch >= data.shape[0]:
                 self.rings[j].push_back_zero(frames)
             else:
                 self.rings[j].push_back(data[ch])
@@ -183,20 +195,25 @@ class StreamSource:
         cfg = self.cfg
         if not cfg.normalize_volume:
             return
-        dtaudio = self.get_audio_sync(self.tick_ts)
-        dtsize = (ns_to_audio_frames(cfg.audio.samples_per_sec, dtaudio)
-                  if dtaudio > 0 else 0)
-        if self._rms_sync.size <= dtsize:
-            return
-        n = cfg.input_rms_size
-        while self._rms_sync.size > dtsize:
-            consume = self._rms_sync.size - dtsize
-            room = n - self._rms_pos
-            take = min(consume, room)
-            self._rms_sync.pop_front(
-                take, out=self._rms_window[self._rms_pos:self._rms_pos + take])
-            self._rms_pos = (self._rms_pos + take) % n
-        self.input_rms = float(np.sqrt(self._rms_window.sum() / n))
+        # under the capture lock: the audio thread's push_back may
+        # reallocate the ring mid-pop otherwise (the reference holds
+        # m_mtx for the whole tick, source.cpp:1326-1331)
+        with self._lock:
+            dtaudio = self.get_audio_sync(self.tick_ts)
+            dtsize = (ns_to_audio_frames(cfg.audio.samples_per_sec, dtaudio)
+                      if dtaudio > 0 else 0)
+            if self._rms_sync.size <= dtsize:
+                return
+            n = cfg.input_rms_size
+            while self._rms_sync.size > dtsize:
+                consume = self._rms_sync.size - dtsize
+                room = n - self._rms_pos
+                take = min(consume, room)
+                self._rms_sync.pop_front(
+                    take,
+                    out=self._rms_window[self._rms_pos:self._rms_pos + take])
+                self._rms_pos = (self._rms_pos + take) % n
+            self.input_rms = float(np.sqrt(self._rms_window.sum() / n))
 
     def prepare_spectrum_tick(self, now_ns: int, dt: float) -> SpectrumTickInput:
         """Pop-to-sync-point and peek one FFT frame per channel
@@ -213,10 +230,14 @@ class StreamSource:
         if not run:
             return SpectrumTickInput(frame, valid, active, False, self.input_rms)
 
-        dtaudio = self.get_audio_sync(now_ns)
-        dtsize = N + (ns_to_audio_frames(cfg.audio.samples_per_sec, dtaudio)
-                      if dtaudio > 0 else 0)
         with self._lock:
+            # sync point and trim must see the same audio_ts/ring state
+            # (the reference computes dtsize under m_mtx,
+            # source_generic.cpp:50-52)
+            dtaudio = self.get_audio_sync(now_ns)
+            dtsize = N + (ns_to_audio_frames(cfg.audio.samples_per_sec,
+                                             dtaudio)
+                          if dtaudio > 0 else 0)
             for c in range(cfg.capture_channels):
                 ring = self.rings[c]
                 if ring.size >= dtsize:
@@ -236,11 +257,12 @@ class StreamSource:
         if not run:
             return False, fresh
         M = cfg.fft_size
-        dtaudio = self.get_audio_sync(now_ns)
-        dtsize = (ns_to_audio_frames(cfg.audio.samples_per_sec, dtaudio)
-                  if dtaudio > 0 else 0)
         if fresh:
             with self._lock:
+                dtaudio = self.get_audio_sync(now_ns)
+                dtsize = (ns_to_audio_frames(cfg.audio.samples_per_sec,
+                                             dtaudio)
+                          if dtaudio > 0 else 0)
                 for c in range(cfg.capture_channels):
                     ring = self.rings[c]
                     pos = int(self.meter_pos[c])

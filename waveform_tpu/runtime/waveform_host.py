@@ -55,6 +55,18 @@ class WaveformScroller:
                 self.last_silent = True
             return self.display
 
+        # everything below trims/pops src.rings: hold the capture lock so
+        # the audio thread's push (which may reallocate a ring) cannot
+        # interleave — the reference holds m_mtx for the whole tick
+        # (source.cpp:1326-1331)
+        with src._lock:
+            return self._tick_locked(src, now_ns)
+
+    def _tick_locked(self, src: StreamSource, now_ns: int) -> np.ndarray:
+        cfg = self.cfg
+        outsz = cfg.fft_size
+        C = cfg.capture_channels
+        sr = cfg.audio.samples_per_sec
         dtaudio = src.get_audio_sync(now_ns)
         reserve = ns_to_audio_frames(sr, dtaudio) if dtaudio > 0 else 0
         max_size = cfg.waveform_samples + reserve

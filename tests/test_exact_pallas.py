@@ -157,7 +157,7 @@ def test_rfft_mag_exact_with_nz_fallback(rng, monkeypatch):
 
 
 def test_kernel_tiny_signal_scaling(rng):
-    """Per-block pow2 scaling keeps RELATIVE precision for quiet blocks."""
+    """Per-lane pow2 scaling keeps RELATIVE precision for quiet signals."""
     n = 1024
     xr = (1e-5 * rng.standard_normal((1, n))).astype(np.float32)
     zr, zi = cfft_exact_kernel(jnp.asarray(xr),
@@ -240,6 +240,43 @@ def test_real_split3_65536_matches_f64(rng):
                                   interpret=True)
     want = np.abs(np.fft.rfft(x.astype(np.float64)))[..., :n // 2]
     rel = np.abs(np.asarray(mag, np.float64) - want).max() / want.max()
+    assert rel < 2.5e-7, rel
+
+
+@pytest.mark.parametrize("split", [2, 3])
+def test_corrupted_stream_isolated(split, rng, monkeypatch):
+    """Per-lane pow2 scales: a garbage (~1e20) stream in a kernel block
+    degrades ONLY itself — its blockmates keep full exact-path accuracy
+    (the reference's per-source isolation: every WAVSource owns its
+    buffers, src/source.cpp:87-102).  Under the old per-BLOCK scale the
+    healthy streams' digits all rounded to zero for this tick."""
+    n = 4096 if split == 3 else 1024
+    x = (0.5 * rng.standard_normal((4, 2, n))).astype(np.float32)
+    x[2] = (1e20 * rng.standard_normal((2, n))).astype(np.float32)
+    monkeypatch.setenv("WAVEFORM_TPU_STAGE1_SPLIT", str(split))
+    mag, nz = rfft_pair_mag_kernel(jnp.asarray(x), interpret=True)
+    want = np.abs(np.fft.rfft(x.astype(np.float64)))[..., :n // 2]
+    got = np.asarray(mag, np.float64)
+    for s in (0, 1, 3):
+        rel = np.abs(got[s] - want[s]).max() / np.abs(want[s]).max()
+        assert rel < 2.5e-7, (s, rel)
+    # the corrupted stream itself stays finite (the pre-square clamp) and
+    # recoverable — no NaN to stick in the EMA
+    assert np.isfinite(got[2]).all()
+    np.testing.assert_array_equal(np.asarray(nz), np.any(x != 0, axis=-1))
+
+
+def test_nan_stream_isolated(rng):
+    """NaN garbage confines to its own stream: per-stream scales keep
+    blockmates' scales finite, and the NaN stream's output is NaN/garbage
+    only in its own rows."""
+    n = 1024
+    x = (0.5 * rng.standard_normal((2, 2, n))).astype(np.float32)
+    x[1, 0, 7] = np.nan
+    mag, _ = rfft_pair_mag_kernel(jnp.asarray(x), interpret=True)
+    want = np.abs(np.fft.rfft(x[0].astype(np.float64)))[..., :n // 2]
+    got = np.asarray(mag, np.float64)
+    rel = np.abs(got[0] - want).max() / np.abs(want).max()
     assert rel < 2.5e-7, rel
 
 

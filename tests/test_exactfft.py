@@ -234,6 +234,23 @@ def test_odd_channel_leftover_uses_pair_kernel(rng, monkeypatch):
     assert rel < 2.5e-7, rel
 
 
+@pytest.mark.parametrize("n", [800, 4112, 16496])
+def test_deep_contraction_sizes(n, rng):
+    """The reference accepts ANY multiple-of-16 fft_size (128-65536,
+    src/source.cpp:562-565), including sizes whose best factor split
+    leaves a large near-prime N2 (4112 = 16x257, 16496 = 16x1031).  The
+    class-stacked digit contraction would overflow the exact-f32
+    2^24 bound there, so _digit_gemm must cap the stacking (and segment
+    the contraction axis itself at 16496, where even ONE digit pair is
+    too deep) instead of raising.  800 pins the default auto fft size
+    (48000/60 & ~15) on the same path."""
+    x = (0.5 * rng.standard_normal((1, 2, n))).astype(np.float32)
+    mag = exactfft.rfft_mag_exact(jnp.asarray(x))
+    want = np.abs(np.fft.rfft(x.astype(np.float64)))[..., :n // 2]
+    rel = np.abs(np.asarray(mag, np.float64) - want).max() / want.max()
+    assert rel < 2.5e-7, rel
+
+
 def test_garbage_amplitude_stays_finite():
     """Corrupted capture buffers (absurd float amplitudes) must yield
     huge-but-FINITE magnitudes, not NaN: NaN is sticky through the EMA,

@@ -4,10 +4,12 @@ The XLA lowering of kernels/exactfft.py is HBM-bound, not MXU-bound:
 measured on v5e at S=256/N=4096 the digit slicing alone costs ~600 µs/tick
 because each of the 4 serially-dependent round/subtract iterations and each
 of the 10 digit-pair GEMM partials round-trips an [S, 2N1, N2] tensor
-through HBM.  This kernel keeps the whole exact pipeline — per-block pow2
-scaling, digit slicing, the weight-class GEMMs, compensated recombination,
-the double-float twiddle, and the second stage — resident in VMEM, reading
-the windowed df32 input once and writing the df32 spectrum once.
+through HBM.  This kernel keeps the whole exact pipeline — per-LANE pow2
+scaling (see _pow2_scale_axis: a corrupted stream cannot zero its
+blockmates' digits), digit slicing, the weight-class GEMMs, compensated
+recombination, the double-float twiddle, and the second stage — resident in
+VMEM, reading the windowed df32 input once and writing the df32 spectrum
+once.
 
 Layout packs streams along the matmul's lane dimension (Mosaic's 2D-dot
 restriction shapes both operand layouts):
@@ -128,7 +130,8 @@ def supports_cfft(n: int) -> bool:
             and (n // _LANES) % 8 == 0 and n <= 32768)
 
 
-def _block_streams(n: int, split: int | None = None) -> int:
+def _block_streams(n: int, split: int | None = None,
+                   ddt: str = "bf16") -> int:
     """Streams per grid block, sized to keep ~12 [2N1, bs·N2] f32 working
     planes PLUS the resident constants under the VMEM budget.  The
     class-stacked stage-1 digit planes are quadratic in N1
@@ -138,6 +141,13 @@ def _block_streams(n: int, split: int | None = None) -> int:
     n1 = n // _LANES
     if split is None:
         split = _stage1_split(n)
+    if ddt == "int8" and split == 2 and n == 8192:
+        # measured Mosaic compile CRASH (tpu_compile_helper exit 1,
+        # reproduced 4x on v5e): the 2-factor int8 kernel at bs=16 /
+        # N=8192 kills the compiler while the same shape in bf16 and
+        # the same config at bs=8 both compile.  Every other measured
+        # (size, split, ddt) combination is fine — cap this one.
+        return 8
     if split == 3:
         # F_ab stacked [2a, 10·2a] bf16 (a = n1/4) + f2/selector slack;
         # the radix-4 layer adds the column-concat working set (W, its
@@ -221,12 +231,33 @@ def _kernel_plan(n: int, bs: int):
             twr_hi, twr_lo, twi_hi, twi_lo)
 
 
-def _pow2_scale_scalar(hi):
-    """Power-of-two scale >= max|hi|, so scaled values stay in [-1, 1]
-    and plane-0 digits <= 2^FIRST_SHIFT.  The +1 margin makes the bound
-    robust: even if log2 misrounds by a full ulp, ceil(log2 m) + 1 >
-    log2 m, so s >= m always (exp2 of an integer float is exact)."""
-    m = jnp.max(jnp.abs(hi))
+def _pow2_scale_axis(hi, axis: int):
+    """Per-lane power-of-two scales varying along ``axis``: |hi| reduces
+    over the other axis, then the exponent bound runs elementwise so
+    scaled values stay in [-1, 1] per lane and plane-0 digits stay
+    <= 2^FIRST_SHIFT.  The +1 margin makes the bound robust: even if
+    log2 misrounds by a full ulp, ceil(log2 m) + 1 > log2 m, so s >= m
+    always (exp2 of an integer float is exact).
+
+    Valid because every dot-product partial sum touches exactly ONE
+    column of the data operand in stage 1 (C @ X sums over rows of X's
+    column j) and exactly ONE row in stage 2 (X @ C sums over row i's
+    columns), so all products in a sum share their lane's scale and the
+    digit bounds (plane 0 <= 2^FIRST_SHIFT, later planes
+    <= 2^(DIGIT_BITS-1)) hold per lane exactly as they did per block.
+
+    Lane granularity subsumes per-stream isolation — the reference's
+    per-source buffers (/root/reference/src/source.cpp:87-102): a
+    corrupted (~1e20) or NaN stream can no longer zero its blockmates'
+    digit planes, because their lanes keep their own scales.  It is also
+    FREE relative to per-stream group scales: the reduction is one VPU
+    pass (same elements the old global max visited) and there is no
+    per-group unrolled slice/broadcast/concat chain, which measured ~9%
+    end-to-end at bs=16 (0.825 vs 0.755 us/frame, N=4096 int8 on v5e).
+    Returns (s, s_inv) shaped [1, cols] (axis=1) or [rows, 1] (axis=0);
+    broadcasting a pow2 vector is as exact as the scalar was.
+    """
+    m = jnp.max(jnp.abs(hi), axis=1 - axis, keepdims=True)
     e = jnp.ceil(jnp.log2(jnp.maximum(m, jnp.float32(1e-30)))) + 1.0
     # clamp so garbage input (~1e38) yields inf magnitudes, not 0*inf=NaN
     # (exactfft._pow2_scale applies the same bound)
@@ -244,9 +275,9 @@ def _kernel_dtypes(ddt: str):
     if ddt == "int8":
         if DIGIT_BITS > 7 or FIRST_SHIFT > 6:
             # plane-0 data digits reach 2^FIRST_SHIFT (see
-            # _pow2_scale_scalar: s >= max|hi| holds even under a 1-ulp
-            # log2 misround), later planes 2^(DIGIT_BITS-1); both must
-            # fit int8's +127
+            # _pow2_scale_axis: s >= max|hi| holds per lane even under a
+            # 1-ulp log2 misround), later planes 2^(DIGIT_BITS-1); both
+            # must fit int8's +127
             raise ValueError("int8 digit planes overflow at DIGIT_BITS > 7"
                              " or FIRST_SHIFT > 6")
         return jnp.int8, jnp.int32
@@ -321,7 +352,8 @@ def _core(n1, n2, bs, x_hi, x_lo, f1d_ref, f2d_ref,
     stream-s columns).  Returns the df32 spectrum ``(c_hi, c_lo)``
     [bs*n1, 2n2] (stream-major rows, [C_r | C_i] columns)."""
     # ---- stage 1: A = F1b @ [x_r; x_i], digit-exact --------------------
-    s, s_inv = _pow2_scale_scalar(x_hi)
+    # per-column scales (isolation per stream lane): _pow2_scale_axis
+    s, s_inv = _pow2_scale_axis(x_hi, axis=1)
     digits = _slice4(x_hi, x_lo, s_inv)
     a_hi, a_lo = _digit_stage(f1d_ref, digits, s, left=True)
 
@@ -346,8 +378,8 @@ def _core(n1, n2, bs, x_hi, x_lo, f1d_ref, f2d_ref,
     b_hi = jnp.concatenate([rows(br[0]), rows(bi[0])], axis=1)
     b_lo = jnp.concatenate([rows(br[1]), rows(bi[1])], axis=1)
 
-    # ---- stage 2: C = B @ F2b, digit-exact ------------------------------
-    s2, s2_inv = _pow2_scale_scalar(b_hi)
+    # ---- stage 2: C = B @ F2b, digit-exact (per-row scales) -------------
+    s2, s2_inv = _pow2_scale_axis(b_hi, axis=0)
     digits2 = _slice4(b_hi, b_lo, s2_inv)
     return _digit_stage(f2d_ref, digits2, s2, left=False)
 
@@ -429,8 +461,10 @@ def _kernel_real_mag(n1, n2, bs, ddt, x_ref, w_hi_ref, w_lo_ref, sel_ref,
     x_hi, x_lo = _windowed_df(xcat, w_hi_ref[:], w_lo_ref[:])
 
     # ---- stage 1: per-channel real-input DFT, digit-exact --------------
+    # per-column scales (each column = one stream's lane across both
+    # channel row halves): see _pow2_scale_axis
     dtype = _kernel_dtypes(ddt)[0]
-    s, s_inv = _pow2_scale_scalar(x_hi)
+    s, s_inv = _pow2_scale_axis(x_hi, axis=1)
     digits = _slice4(x_hi, x_lo, s_inv, dtype)
     a_hi, a_lo = _digit_stage(f1d_ref, digits, s, left=True)  # [4n1, bs*n2]
 
@@ -502,7 +536,9 @@ def _real_mag_tail(n1, n2, bs, dtype, chans,
     b_lo = stack(rows_lo)
 
     # ---- stage 2: kept half-spectrum columns only ----------------------
-    s2, s2_inv = _pow2_scale_scalar(b_hi)
+    # per-row scales: rows are (si, c, k1)-major, so every (stream,
+    # channel, k1) row keeps its own scale — see _pow2_scale_axis
+    s2, s2_inv = _pow2_scale_axis(b_hi, axis=0)
     digits2 = _slice4(b_hi, b_lo, s2_inv, dtype)
     c_hi, c_lo = _digit_stage(f2d_ref, digits2, s2, left=False)
     # cols [C_r | C_i] of the kept n2/2 bins
@@ -632,11 +668,13 @@ def _kernel_real_mag3(n1, n2, bs, a, ddt, x_ref, w_hi_ref, w_lo_ref,
     U02, U13 = ccat(u02), ccat(u13)
 
     # ---- two digit dots cover all four chunks of both channels ---------
+    # per-column scales: U02/U13 columns are [c0 streams | c1 streams],
+    # so every (channel, stream) lane is isolated (see _pow2_scale_axis)
     dtype = _kernel_dtypes(ddt)[0]
-    sA, sA_inv = _pow2_scale_scalar(U02[0])
+    sA, sA_inv = _pow2_scale_axis(U02[0], axis=1)
     a02 = _digit_stage(c02_ref, _slice4(U02[0], U02[1], sA_inv, dtype), sA,
                        left=True)                      # [4a, 2M]
-    sB, sB_inv = _pow2_scale_scalar(U13[0])
+    sB, sB_inv = _pow2_scale_axis(U13[0], axis=1)
     a13 = _digit_stage(c13_ref, _slice4(U13[0], U13[1], sB_inv, dtype), sB,
                        left=True)
 
@@ -772,7 +810,7 @@ def rfft_pair_mag_packed(x4: jnp.ndarray, w_hi: jnp.ndarray,
     """
     S, _, n1, n2 = x4.shape
     n = n1 * n2
-    bs = _block_streams(n, split=split)
+    bs = _block_streams(n, split=split, ddt=ddt)
     while S % bs:
         bs //= 2
 

@@ -42,8 +42,10 @@ import os as _os
 # and every accumulated integer partial sum must stay <= 2^24 in the f32
 # MXU accumulator.  The class-stacked GEMMs contract up to
 # (MAX_T+1) * K_single rows (2^11 at N=65536), so the bound depends on the
-# problem size, not just BITS — _digit_gemm enforces it per call (the
-# int8 path has its own import-time guard below).
+# problem size, not just BITS — _digit_gemm enforces it per call by
+# capping the stacking (and segmenting the contraction axis at sizes
+# with a large near-prime factor, e.g. 16496 = 16x1031); the int8 path
+# has its own import-time guard below.
 DIGIT_BITS = int(_os.environ.get("WAVEFORM_TPU_DIGIT_BITS", "7"))
 FIRST_SHIFT = int(_os.environ.get("WAVEFORM_TPU_FIRST_SHIFT",
                                   str(DIGIT_BITS - 1)))
@@ -242,41 +244,76 @@ def _digit_gemm(subscripts: str, const_digits, x_digits, scale):
     on v5e, ~14x off the MXU roofline), so MAX_T+1 outputs instead of
     ~(MAX_T+1)^2/2 is the cheapest 2x on the whole exact path.
     Exactness holds: stacked integer partial sums reach at most
-    (MAX_T+1) * K * 2^(2(DIGIT_BITS-1)) <= 2^22 < 2^24.
+    (MAX_T+1) * K * 2^(2(DIGIT_BITS-1)) <= 2^22 < 2^24 at the power-of-two
+    production sizes.  Reference-valid sizes with a large near-prime
+    factor (ANY multiple of 16 is legal, src/source.cpp:562-565 —
+    e.g. 4112 = 16x257) can exceed the bound; the stacking then CAPS
+    itself at the deepest exact chunk, and when even one pair's
+    contraction is too deep (16496 = 16x1031) the contraction axis
+    itself splits into exact segments.  Extra chunks of the leading
+    class fold in through an exact TwoSum cascade (they carry the same
+    magnitude as the leading term, so a plain f32 add would cost the
+    whole lo word); higher-class chunks ride the approximate tail like
+    the classes themselves always did.
     """
     nc, nx = len(const_digits), len(x_digits)
     ax_c, ax_x = _contract_axes(subscripts)
+    max_stack = nc + nx  # unlimited stacking for int32 accumulation
+    seg_rows = None
     if ACC_DTYPE == jnp.float32:
-        # exact-f32-accumulation invariant, checked against the actual
-        # stacked contraction depth: const digits are host-sliced exact
-        # values <= 2^FIRST_SHIFT; data digits <= 2^(FIRST_SHIFT+1) on
-        # plane 0 (the pow2 scale's one-off log2 misround can double the
-        # range) and <= 2^(DIGIT_BITS-1) beyond.  Every partial sum must
-        # stay an integer <= 2^24 (exactly representable in f32).
+        # exact-f32-accumulation invariant, applied to the actual stacked
+        # contraction depth: const digits are host-sliced exact values
+        # <= 2^FIRST_SHIFT; data digits <= 2^(FIRST_SHIFT+1) on plane 0
+        # (the pow2 scale's one-off log2 misround can double the range)
+        # and <= 2^(DIGIT_BITS-1) beyond.  Every partial sum must stay an
+        # integer <= 2^24 (exactly representable in f32).
         k_single = const_digits[0].shape[ax_c]
-        k_max = min(MAX_T + 1, nc, nx) * k_single
         d_const = 2.0 ** max(FIRST_SHIFT, DIGIT_BITS - 1)
         d_data = 2.0 ** max(FIRST_SHIFT + 1, DIGIT_BITS - 1)
-        if k_max * d_const * d_data > 2.0 ** 24:
-            raise ValueError(
-                "digit geometry breaks exact f32 accumulation: worst-case "
-                f"partial sum {k_max} * 2^{FIRST_SHIFT} * "
-                f"2^{max(FIRST_SHIFT + 1, DIGIT_BITS - 1)} > 2^24 "
-                f"(contraction depth {k_max}); lower WAVEFORM_TPU_DIGIT_BITS"
-                " or use the int8 accumulation path")
-    terms = []  # (t, exact f32/int32 class sum)
+        max_stack = int(2.0 ** 24 / (k_single * d_const * d_data))
+        if max_stack < 1:
+            seg_rows = int(2.0 ** 24 / (d_const * d_data))
+            if seg_rows < 1:
+                raise ValueError(
+                    "digit geometry breaks exact f32 accumulation even "
+                    f"for a depth-1 contraction (2^{FIRST_SHIFT} * "
+                    f"2^{max(FIRST_SHIFT + 1, DIGIT_BITS - 1)} > 2^24); "
+                    "lower WAVEFORM_TPU_DIGIT_BITS or use the int8 "
+                    "accumulation path")
+            max_stack = 1
+
+    def exact_sums(pairs):
+        """Yield exact integer partial sums for one weight class, each
+        einsum's stacked depth within the accumulation budget."""
+        for p0 in range(0, len(pairs), max_stack):
+            chunk = pairs[p0:p0 + max_stack]
+            if len(chunk) == 1:
+                i, j = chunk[0]
+                cd, xd = const_digits[i], x_digits[j]
+            else:
+                cd = jnp.concatenate([const_digits[i] for i, _ in chunk],
+                                     axis=ax_c)
+                xd = jnp.concatenate([x_digits[j] for _, j in chunk],
+                                     axis=ax_x)
+            if seg_rows is None:
+                yield jnp.einsum(subscripts, cd, xd,
+                                 preferred_element_type=ACC_DTYPE)
+            else:
+                k = cd.shape[ax_c]
+                axc = ax_c % cd.ndim
+                axx = ax_x % xd.ndim
+                for r0 in range(0, k, seg_rows):
+                    r1 = min(r0 + seg_rows, k)
+                    yield jnp.einsum(
+                        subscripts,
+                        jax.lax.slice_in_dim(cd, r0, r1, axis=axc),
+                        jax.lax.slice_in_dim(xd, r0, r1, axis=axx),
+                        preferred_element_type=ACC_DTYPE)
+
+    terms = []  # (t, [exact f32/int32 class-sum chunks])
     for t in range(min(MAX_T, nc + nx - 2) + 1):
         pairs = [(i, t - i) for i in range(nc) if 0 <= t - i < nx]
-        if len(pairs) == 1:
-            i, j = pairs[0]
-            cd, xd = const_digits[i], x_digits[j]
-        else:
-            cd = jnp.concatenate([const_digits[i] for i, _ in pairs],
-                                 axis=ax_c)
-            xd = jnp.concatenate([x_digits[j] for _, j in pairs],
-                                 axis=ax_x)
-        terms.append((t, jnp.einsum(subscripts, cd, xd,
-                                    preferred_element_type=ACC_DTYPE)))
+        terms.append((t, list(exact_sums(pairs))))
 
     # combine: v_t = S_t * 2^-(12 + 7t) * scale — exact (integer < 2^24
     # times a power of two).  The terms drop by 2^-7 per t, so the tail
@@ -289,12 +326,22 @@ def _digit_gemm(subscripts: str, const_digits, x_digits, scale):
         return s_t.astype(jnp.float32) * w
 
     terms.sort(key=lambda p: p[0])
-    v0 = weighted(*terms[0])
-    if len(terms) == 1:
-        return v0, jnp.zeros_like(v0)
-    tail = weighted(*terms[-1])
-    for t, s_t in terms[-2:0:-1]:  # smallest first
-        tail = tail + weighted(t, s_t)
+    t0, chunks0 = terms[0]
+    v0 = weighted(t0, chunks0[0])
+    v0_lo = None
+    for s_t in chunks0[1:]:  # exact cascade: same magnitude as v0
+        v0, e = two_sum(v0, weighted(t0, s_t))
+        v0_lo = e if v0_lo is None else v0_lo + e
+    rest = [(t, s_t) for t, chunks in terms[1:] for s_t in chunks]
+    if not rest:
+        zero = jnp.zeros_like(v0)
+        return v0, (zero if v0_lo is None else v0_lo)
+    tail = None
+    for t, s_t in sorted(rest, key=lambda p: -p[0]):  # smallest first
+        w = weighted(t, s_t)
+        tail = w if tail is None else tail + w
+    if v0_lo is not None:
+        tail = tail + v0_lo
     return two_sum(v0, tail)
 
 

@@ -268,11 +268,14 @@ def _digit_gemm(subscripts: str, const_digits, x_digits, scale):
         # and <= 2^(DIGIT_BITS-1) beyond.  Every partial sum must stay an
         # integer <= 2^24 (exactly representable in f32).
         k_single = const_digits[0].shape[ax_c]
-        d_const = 2.0 ** max(FIRST_SHIFT, DIGIT_BITS - 1)
-        d_data = 2.0 ** max(FIRST_SHIFT + 1, DIGIT_BITS - 1)
-        max_stack = int(2.0 ** 24 / (k_single * d_const * d_data))
+        d_const = 1 << max(FIRST_SHIFT, DIGIT_BITS - 1)
+        d_data = 1 << max(FIRST_SHIFT + 1, DIGIT_BITS - 1)
+        # exact integer floor division: float division + truncation could
+        # round up to an integer before truncating and overshoot the 2^24
+        # bound by one stacked pair
+        max_stack = (1 << 24) // (k_single * d_const * d_data)
         if max_stack < 1:
-            seg_rows = int(2.0 ** 24 / (d_const * d_data))
+            seg_rows = (1 << 24) // (d_const * d_data)
             if seg_rows < 1:
                 raise ValueError(
                     "digit geometry breaks exact f32 accumulation even "
@@ -320,7 +323,10 @@ def _digit_gemm(subscripts: str, const_digits, x_digits, scale):
     # (t >= 1) sums in plain f32 with error ~eps * |v_1| ~ 2^-36 * scale —
     # below the slice truncation — and a single TwoSum against the leading
     # term recovers the double-float pair.  (A full TwoSum chain here was
-    # the VPU bottleneck of the whole FFT.)
+    # the VPU bottleneck of the whole FFT.)  At capped/segmented sizes
+    # (multiple chunks per class) the tail and the v0_lo fold-in carry a
+    # few extra plain-f32 adds at chunk magnitude, widening the tail error
+    # by ~eps per extra chunk — still orders below the 2.5e-7 gate.
     def weighted(t, s_t):
         w = jnp.float32(2.0 ** -(2 * FIRST_SHIFT + DIGIT_BITS * t)) * scale
         return s_t.astype(jnp.float32) * w
@@ -334,8 +340,12 @@ def _digit_gemm(subscripts: str, const_digits, x_digits, scale):
         v0_lo = e if v0_lo is None else v0_lo + e
     rest = [(t, s_t) for t, chunks in terms[1:] for s_t in chunks]
     if not rest:
-        zero = jnp.zeros_like(v0)
-        return v0, (zero if v0_lo is None else v0_lo)
+        if v0_lo is None:
+            return v0, jnp.zeros_like(v0)
+        # renormalize: v0_lo is a plain-f32 sum of cascade errors, so the
+        # raw pair may violate |lo| <= 1/2 ulp(hi) — every return path
+        # must end in a two_sum
+        return two_sum(v0, v0_lo)
     tail = None
     for t, s_t in sorted(rest, key=lambda p: -p[0]):  # smallest first
         w = weighted(t, s_t)

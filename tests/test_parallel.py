@@ -420,3 +420,56 @@ def test_sharded_engine_never_traces_pallas_kernel(monkeypatch):
     eng = ShardedServingEngine(cfg, S, pixel_parallel=2, use_native=False)
     out = _feed_and_tick(eng, np.random.default_rng(3), S, cfg, ticks=2)
     assert np.isfinite(out[-1]).all()
+
+
+def test_sharded_resized_carries_state_and_matches():
+    """Live resize across the mesh (gather → rebuild → scatter): surviving
+    rows' device state migrates, and the resized sharded engine stays
+    tick-for-tick equal to a resized single-device engine."""
+    cfg = _cfg()
+    S = 10
+    r1, r2 = (np.random.default_rng(11) for _ in range(2))
+    ref = ServingEngine(cfg, S, use_native=False)
+    sh = ShardedServingEngine(cfg, S, use_native=False)
+    _feed_and_tick(ref, r1, S, cfg)
+    _feed_and_tick(sh, r2, S, cfg)
+
+    keep = [3, 1, 7]
+    ref2 = ref.resized(6, keep=keep)
+    sh2 = sh.resized(6, keep=keep)
+    assert sh2.user_streams == 6
+    # migrated analysis state matches row-for-row before any new tick
+    np.testing.assert_allclose(sh2.read_decibels()[:3],
+                               ref2.read_decibels()[:3], atol=1e-5)
+    # and the engines stay in lockstep through further live ticks
+    w = _feed_and_tick(ref2, r1, 6, cfg)
+    g = _feed_and_tick(sh2, r2, 6, cfg)
+    for wi, gi in zip(w, g):
+        np.testing.assert_allclose(gi, wi, rtol=0, atol=1e-4)
+
+
+def test_sharded_resized_across_mesh_shapes():
+    """Growth can re-balance onto a different mesh shape: resize from the
+    default mesh onto a pixel-parallel one; kept state is identical."""
+    cfg = _cfg()
+    rng = np.random.default_rng(5)
+    sh = ShardedServingEngine(cfg, 8, use_native=False)
+    _feed_and_tick(sh, rng, 8, cfg)
+    before = sh.read_decibels()
+
+    sh2 = sh.resized(12, mesh=make_mesh(pixel_parallel=2))
+    assert sh2.mesh.shape[PIXEL_AXIS] == 2
+    np.testing.assert_allclose(sh2.read_decibels()[:8], before, atol=1e-5)
+    # fresh rows start at the floor (inert, not garbage)
+    assert np.isfinite(sh2.read_decibels()).all()
+    out = _feed_and_tick(sh2, rng, 12, cfg)
+    assert out[-1].shape[0] == 12 and np.isfinite(out[-1]).all()
+
+
+def test_sharded_resized_rejects_bad_keep():
+    cfg = _cfg()
+    sh = ShardedServingEngine(cfg, 5, use_native=False)
+    with pytest.raises(ValueError):
+        sh.resized(4, keep=[0, 1, 2, 3, 4])   # more keeps than rows
+    with pytest.raises(ValueError):
+        sh.resized(8, keep=[5])   # padding row: user rows are 0..4

@@ -685,7 +685,7 @@ def test_multi_engine_update_stream():
     assert m.config_of(a) is cfg1
 
 
-def test_resized_validates_keep_and_sharded_refuses():
+def test_resized_validates_keep_and_sharded_resizes():
     import pytest
     cfg = resolve(Settings(fft_size=512), AudioInfo(SR, 2))
     eng = ServingEngine(cfg, 4, use_native=False)
@@ -693,10 +693,12 @@ def test_resized_validates_keep_and_sharded_refuses():
         eng.resized(4, keep=[0, 9])   # silent gather-clamp would migrate
     with pytest.raises(ValueError, match="out of range"):
         WaveformEngine(cfg, 4).resized(4, keep=[-1])
+    # the sharded engine live-resizes since r4 (gather → rebuild →
+    # scatter; depth coverage in test_parallel.py::test_sharded_resized_*)
     from waveform_tpu.parallel.sharded_serving import ShardedServingEngine
     sh = ShardedServingEngine(cfg, 6, pixel_parallel=1, use_native=False)
-    with pytest.raises(NotImplementedError, match="live resize"):
-        sh.resized(10)
+    sh2 = sh.resized(10)
+    assert sh2.user_streams == 10
 
 
 def test_resized_native_sync_survives():

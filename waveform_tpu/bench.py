@@ -18,6 +18,12 @@ inputs generated in-process, transform throughput measured):
 * The full stateful pipeline runs every tick: ring advance, EMA state chain,
   silence gating, rebin.  Nothing is constant-folded away (fresh PRNG audio
   each tick, state threaded through the scan).
+* Roofline evidence: the exact kernel's MXU flop count and compulsory HBM
+  traffic are STATIC (kernels/exact_pallas.py::kernel_cost — every dot
+  shape is known), so each measured size reports achieved TFLOP/s and
+  GB/s against the chip's peaks and states which unit binds.  This is the
+  FFTW planner's cost model turned into evidence
+  (deps/fftw-3.3.11/kernel/planner.c:426 iestimate_cost).
 
 An accuracy gate runs first (FFTW-style verify-before-benchmark): max |dB
 err| vs the float64 oracle must stay < 1e-4 above the -120 dBFS render
@@ -28,6 +34,7 @@ met by the digit-sliced exact-accumulation FFT (kernels/exactfft.py,
 Target: ≥10,000 frames/s/chip (BASELINE.json); vs_baseline = value / 10000.
 
 Usage: python bench.py [--streams 256] [--fft 4096] [--scan 32] [--reps 10]
+                       [--sizes 1024,4096,16384,32768,65536]
 """
 
 from __future__ import annotations
@@ -39,6 +46,11 @@ import time
 
 import numpy as np
 
+# TPU v5e single-chip peaks (public spec: 197 bf16 TFLOP/s, 394 int8
+# TOP/s, 819 GB/s HBM BW) — the roofline denominators
+V5E_PEAK_TFLOPS = {"bf16": 197.0, "int8": 394.0}
+V5E_PEAK_HBM_GBS = 819.0
+
 
 def main() -> int:
     ap = argparse.ArgumentParser()
@@ -48,6 +60,9 @@ def main() -> int:
     ap.add_argument("--scan", type=int, default=32, help="ticks per dispatch")
     ap.add_argument("--reps", type=int, default=10)
     ap.add_argument("--warmup", type=int, default=2)
+    ap.add_argument("--sizes", default="1024,16384,32768,65536",
+                    help="extra fft sizes for the per-size MFU sweep "
+                         "('' disables; the headline size always reports)")
     args = ap.parse_args()
 
     import jax
@@ -104,45 +119,107 @@ def main() -> int:
 
     S, N, W, T = args.streams, args.fft, args.width, args.scan
     SR = 48000
-    cfg = resolve(Settings(fft_size=N, width=W, window=FFTWindow.HANN,
-                           interp_mode=InterpMode.LANCZOS,
-                           enable_large_fft=True),
-                  AudioInfo(SR, 2))
-    step = make_spectrum_step(cfg)
-    rebin = make_rebin_fn(cfg, apply_pixel_map=False)
+
+    def build_cfg(n):
+        return resolve(Settings(fft_size=n, width=W, window=FFTWindow.HANN,
+                                interp_mode=InterpMode.LANCZOS,
+                                enable_large_fft=True),
+                       AudioInfo(SR, 2))
+
+    def build_dispatch(cfg, s):
+        """T full ticks in one jitted scan; fresh on-device PRNG audio."""
+        step = make_spectrum_step(cfg)
+        rebin = make_rebin_fn(cfg, apply_pixel_map=False)
+        hop_c = int(SR / cfg.fps)
+
+        def bench_dispatch(key, ring, state, dt, active, rms):
+            def body(carry, k):
+                ring, state = carry
+                # uniform audio in [-0.5, 0.5) from raw bits: the DSP work
+                # is identical to gaussian input, without paying erf_inv
+                # on the VPU every tick (the synthetic source is not the
+                # system under test)
+                bits = jax.random.bits(k, (s, 2, hop_c), jnp.uint32)
+                new = bits.astype(jnp.float32) * jnp.float32(2.0 ** -32) - 0.5
+                ring = push(ring, new, jnp.int32(hop_c))
+                state = step(ring.buf, state, dt, active, rms)
+                px = rebin(display_decibels(cfg, state))
+                # carry a cheap reduction so nothing is dead code
+                return (ring, state), px.mean()
+            keys = jax.random.split(key, T)
+            (ring, state), sums = jax.lax.scan(body, (ring, state), keys)
+            return sums, ring, state
+
+        return jax.jit(bench_dispatch, donate_argnums=(1, 2)), step
+
+    def roofline(cfg, s, ticks_per_sec) -> str:
+        """Achieved TFLOP/s / HBM GB/s vs v5e peaks from the kernel's
+        static cost model + the engine-level compulsory traffic, and
+        which unit binds."""
+        from waveform_tpu.kernels.exact_pallas import (
+            kernel_cost,
+            kernel_would_run,
+        )
+        n = cfg.fft_size
+        if not kernel_would_run(n):
+            return "no kernel (XLA lowering): roofline n/a"
+        c = kernel_cost(n, s)
+        # pipeline traffic outside the kernel, per tick (f32): ring
+        # read+shift+write, EMA/display state read+write, rebin out
+        nbins, d = n // 2, cfg.display_channels
+        other = (3 * s * 2 * n + 4 * s * d * nbins + s * d * cfg.width) * 4
+        tf = c["mxu_flops"] * ticks_per_sec / 1e12
+        gbs = (c["hbm_bytes"] + other) * ticks_per_sec / 1e9
+        peak = V5E_PEAK_TFLOPS[c["ddt"]]
+        mxu_u = tf / peak
+        hbm_u = gbs / V5E_PEAK_HBM_GBS
+        # when neither unit is near its roof, the serial VPU work between
+        # the dots (digit slicing, df twiddle/recombination, EMA) is what
+        # the kernel is waiting on — the honest verdict, since VPU
+        # op counts have no public peak to normalize against
+        if max(mxu_u, hbm_u) < 0.4:
+            binds = "VPU/df-arith (MXU and HBM both under 40%)"
+        else:
+            binds = "MXU" if mxu_u >= hbm_u else "HBM"
+        return (f"{tf:.1f} TFLOP/s ({c['ddt']}, {100 * mxu_u:.0f}% of "
+                f"{peak:.0f} peak) | {gbs:.0f} GB/s "
+                f"({100 * hbm_u:.0f}% of {V5E_PEAK_HBM_GBS:.0f}) | "
+                f"binds: {binds} [split={c['split']} bs={c['bs']}]")
+
+    def measure(cfg, s, reps, warmup, rounds=3):
+        """Best-of-rounds scan throughput for one (size, streams)."""
+        fn, step = build_dispatch(cfg, s)
+        ring = init_ring(s, 2, cfg.fft_size)
+        state = init_state(cfg, s)
+        dt = jnp.float32(1 / 60)
+        active = jnp.ones(s, bool)
+        rms = jnp.zeros(s, jnp.float32)
+        key = jax.random.key(0)
+        sums = None
+        for i in range(max(warmup, 1)):
+            sums, ring, state = fn(jax.random.fold_in(key, i), ring, state,
+                                   dt, active, rms)
+        jax.block_until_ready(sums)
+        # best of N rounds: the relay tunnel's multi-minute slow phases
+        # hit per-dispatch overhead 2x run to run; the fastest round is
+        # the chip's number (FFTW's harness likewise reports the minimum,
+        # deps/fftw-3.3.11/libbench2/report.c time_min)
+        elapsed = float("inf")
+        for r in range(rounds):
+            t0 = time.perf_counter()
+            for i in range(reps):
+                sums, ring, state = fn(
+                    jax.random.fold_in(key, 100 + 16 * r + i), ring, state,
+                    dt, active, rms)
+            jax.block_until_ready(sums)
+            elapsed = min(elapsed, time.perf_counter() - t0)
+        return elapsed, ring, state, fn, step
+
+    cfg = build_cfg(N)
     hop = int(SR / cfg.fps)
-
-    def bench_dispatch(key, ring, state, dt, active, rms):
-        """T full ticks; fresh on-device PRNG audio per tick."""
-        def body(carry, k):
-            ring, state = carry
-            # uniform audio in [-0.5, 0.5) from raw bits: the DSP work is
-            # identical to gaussian input, without paying erf_inv on the
-            # VPU every tick (the synthetic source is not the system
-            # under test)
-            bits = jax.random.bits(k, (S, 2, hop), jnp.uint32)
-            new = bits.astype(jnp.float32) * jnp.float32(2.0 ** -32) - 0.5
-            ring = push(ring, new, jnp.int32(hop))
-            state = step(ring.buf, state, dt, active, rms)
-            px = rebin(display_decibels(cfg, state))
-            # carry a cheap reduction so nothing is dead code
-            return (ring, state), px.mean()
-        keys = jax.random.split(key, T)
-        (ring, state), sums = jax.lax.scan(body, (ring, state), keys)
-        return sums, ring, state
-
-    fn = jax.jit(bench_dispatch, donate_argnums=(1, 2))
-    ring = init_ring(S, 2, N)
-    state = init_state(cfg, S)
-    dt = jnp.float32(1 / 60)
-    active = jnp.ones(S, bool)
-    rms = jnp.zeros(S, jnp.float32)
-    key = jax.random.key(0)
-
-    for i in range(max(args.warmup, 1)):   # >=1: the accuracy gate below
-        sums, ring, state = fn(jax.random.fold_in(key, i), ring, state, dt,
-                               active, rms)   # reads the warmed ring window
-    jax.block_until_ready(sums)
+    elapsed, ring, state, fn, step = measure(cfg, S, args.reps, args.warmup)
+    frames_per_sec = S * T * args.reps / elapsed
+    ticks_per_sec = T * args.reps / elapsed
 
     # --- accuracy gate vs float64 oracle on the current ring window ---
     window = np.asarray(ring.buf[0]).astype(np.float64)
@@ -151,34 +228,39 @@ def main() -> int:
                                enable_large_fft=True), AudioInfo(SR, 2))
     want, _ = oracle.spectrum_frame(window, None, acc_cfg, dt=1 / 60)
     step2 = jax.jit(make_spectrum_step(acc_cfg))
-    st2 = step2(jnp.asarray(window[None], jnp.float32), init_state(acc_cfg, 1),
-                dt, jnp.ones(1, bool), jnp.zeros(1, jnp.float32))
+    st2 = step2(jnp.asarray(window[None], jnp.float32),
+                init_state(acc_cfg, 1), jnp.float32(1 / 60),
+                jnp.ones(1, bool), jnp.zeros(1, jnp.float32))
     got = np.asarray(display_decibels(acc_cfg, st2))[0]
     vis = want > -120.0
     max_err = float(np.abs(got[vis] - want[vis]).max())
     if max_err > 1e-4:
         print(json.dumps({"metric": "accuracy_gate_failed",
-                          "value": max_err, "unit": "dB", "vs_baseline": 0.0}))
+                          "value": max_err, "unit": "dB",
+                          "vs_baseline": 0.0}))
         return 1
 
-    # --- measured: chip analysis throughput ---
-    # best of 3 rounds: the relay tunnel's multi-minute slow phases hit
-    # per-dispatch overhead 2x run to run; the fastest round is the chip's
-    # number (FFTW's harness likewise reports the minimum over repeats,
-    # deps/fftw-3.3.11/libbench2/report.c time_min)
-    elapsed = float("inf")
-    for r in range(3):
-        t0 = time.perf_counter()
-        for i in range(args.reps):
-            sums, ring, state = fn(jax.random.fold_in(key, 100 + 16 * r + i),
-                                   ring, state, dt, active, rms)
-        jax.block_until_ready(sums)
-        elapsed = min(elapsed, time.perf_counter() - t0)
-    frames_per_sec = S * T * args.reps / elapsed
+    # --- per-size MFU/roofline sweep -----------------------------------
+    mfu_lines = [f"# MFU N={N} S={S}: {roofline(cfg, S, ticks_per_sec)} "
+                 f"[{frames_per_sec:,.0f} frames/s]"]
+    sweep = [int(x) for x in args.sizes.split(",") if x] \
+        if args.sizes else []
+    for n_i in sweep:
+        if n_i == N:
+            continue
+        s_i = 256 if n_i <= 16384 else (64 if n_i <= 32768 else 32)
+        cfg_i = build_cfg(n_i)
+        el_i, *_ = measure(cfg_i, s_i, reps=3, warmup=1, rounds=2)
+        tps_i = T * 3 / el_i
+        mfu_lines.append(
+            f"# MFU N={n_i} S={s_i}: {roofline(cfg_i, s_i, tps_i)} "
+            f"[{s_i * tps_i:,.0f} frames/s]")
 
     # --- device-only per-tick latency: on-device PRNG audio, no H2D ---
     # Isolates buffer→spectrum compute+dispatch from transfer cost; the
     # reference's real-time budget is per-frame (src/source.cpp:1156-1167).
+    rebin = make_rebin_fn(cfg, apply_pixel_map=False)
+
     def single_tick(k, ring, state, dt, active, rms):
         bits = jax.random.bits(k, (S, 2, hop), jnp.uint32)
         new = bits.astype(jnp.float32) * jnp.float32(2.0 ** -32) - 0.5
@@ -187,6 +269,10 @@ def main() -> int:
         px = rebin(display_decibels(cfg, state))
         return px.mean(), ring, state
 
+    dt = jnp.float32(1 / 60)
+    active = jnp.ones(S, bool)
+    rms = jnp.zeros(S, jnp.float32)
+    key = jax.random.key(0)
     single = jax.jit(single_tick, donate_argnums=(1, 2))
     m, ring, state = single(key, ring, state, dt, active, rms)
     jax.block_until_ready(m)
@@ -199,6 +285,77 @@ def main() -> int:
         lat_dev.append(time.perf_counter() - t2)
     dev_p50 = float(np.percentile(lat_dev, 50)) * 1e3
     dev_p99 = float(np.percentile(lat_dev, 99)) * 1e3
+
+    # --- meter serving: device-only batched meter throughput -----------
+    # VERDICT r3 gap: S meters must tick in ONE dispatch within ~2x of
+    # spectrum at the same S (reference analog:
+    # src/source_generic.cpp:182-269)
+    from waveform_tpu.core.enums import DisplayMode
+    from waveform_tpu.dsp.meter import (
+        init_meter_state,
+        make_meter_serving_step,
+    )
+    mcfg = resolve(Settings(display_mode=DisplayMode.METER, meter_buf=100),
+                   AudioInfo(SR, 2))
+    mstep = make_meter_serving_step(mcfg)
+    mhop = int(SR / mcfg.fps)
+
+    def meter_dispatch(key, ring, mstate, dt, fresh, show):
+        def body(carry, k):
+            ring, mstate = carry
+            bits = jax.random.bits(k, (S, 2, mhop), jnp.uint32)
+            new = bits.astype(jnp.float32) * jnp.float32(2.0 ** -32) - 0.5
+            ring = push(ring, new, jnp.int32(mhop))
+            ring, mstate = mstep(ring, mstate, dt, fresh, show)
+            return (ring, mstate), mstate.meter_val.mean()
+        keys = jax.random.split(key, T)
+        (ring, mstate), sums = jax.lax.scan(body, (ring, mstate), keys)
+        return sums, ring, mstate
+
+    mfn = jax.jit(meter_dispatch, donate_argnums=(1, 2))
+    mring = init_ring(S, 2, mcfg.fft_size)
+    mstate = init_meter_state(mcfg, S)
+    ones = jnp.ones(S, bool)
+    ms, mring, mstate = mfn(key, mring, mstate, dt, ones, ones)
+    jax.block_until_ready(ms)
+    met_elapsed = float("inf")
+    for r in range(3):
+        t0 = time.perf_counter()
+        for i in range(3):
+            ms, mring, mstate = mfn(jax.random.fold_in(key, 900 + 8 * r + i),
+                                    mring, mstate, dt, ones, ones)
+        jax.block_until_ready(ms)
+        met_elapsed = min(met_elapsed, time.perf_counter() - t0)
+    meter_fps = S * T * 3 / met_elapsed
+
+    # --- shard_map + Mosaic certification on the REAL TPU mesh ---------
+    # VERDICT r3: the sharded engine's kernel path had only ever compiled
+    # in interpret mode on the CPU mesh; a 1-device TPU mesh compiles the
+    # same shard_map + Mosaic program for real (FFTW verifying real MPI
+    # plans, deps/fftw-3.3.11/mpi/api.c)
+    shard_line = "skipped (backend not tpu)"
+    if jax.default_backend() == "tpu":
+        try:
+            from jax.sharding import Mesh
+
+            from waveform_tpu.parallel.sharded_serving import (
+                ShardedServingEngine,
+            )
+            mesh = Mesh(np.array(jax.devices()[:1]).reshape(1, 1),
+                        ("stream", "pixel"))
+            seng = ShardedServingEngine(cfg, 8, mesh=mesh)
+            pkt = np.full((8, 2, hop), 0.25, np.float32)
+            nowq = 1_000_000_000
+            for _ in range(2):
+                seng.feed_batch(pkt, nowq, now_ns=nowq)
+                nowq += hop * 1_000_000_000 // SR
+                spx = seng.tick(now_ns=nowq)
+            jax.block_until_ready(spx)
+            ok = bool(np.isfinite(np.asarray(spx)).all())
+            shard_line = (f"ok (kernel active, mesh=1x1, finite={ok})"
+                          if ok else "FINITE CHECK FAILED")
+        except Exception as e:   # pragma: no cover
+            shard_line = f"FAILED: {type(e).__name__}: {e}"
 
     # --- secondary: transfer-inclusive serving tick (tunnel-limited) ---
     from waveform_tpu.runtime.serving import ServingEngine
@@ -216,10 +373,6 @@ def main() -> int:
         now += hop * NSC // SR
         px = eng.tick(now_ns=now)
     jax.block_until_ready(px)
-    # best-of-3 rounds: the relay tunnel has multi-minute slow phases that
-    # vary 2x run to run; taking the fastest round measures the engine, not
-    # the tunnel weather (FFTW's harness likewise keeps the minimum over
-    # repeats, deps/fftw-3.3.11/libbench2/report.c time_min)
     reps2 = 10
     serving_fps, p99 = 0.0, float("inf")
     for _ in range(3):
@@ -237,18 +390,20 @@ def main() -> int:
             serving_fps = fps
             p99 = float(np.percentile(np.asarray(lat), 99)) * 1e3
 
-    # --- microbatched live serving: the per-dispatch round trip amortizes
-    # over k frames per flush (ServingEngine(microbatch=k), the live-path
-    # analog of the bulk scan; frame semantics identical to k single ticks)
-    k_mb = 4
-    eng2 = ServingEngine(cfg, S, microbatch=k_mb, hop_budget=hb)
+    # --- microbatched live serving: auto-policy k (VERDICT r3 item 6) ---
+    # The engine probes the link RTT at startup and picks k itself;
+    # measured here exactly like r3's manual k=4 for comparability.
+    eng2 = ServingEngine(cfg, S, microbatch="auto", hop_budget=hb)
     now = NSC
-    for i in range(2 * k_mb):   # warmup: two flushes (compile)
+    # warmup covers the probe window (k=1 ticks) + two flushes at the
+    # chosen k
+    for i in range(eng2._PROBE_TICKS + 1 + 2 * eng2._MB_MAX):
         eng2.feed_batch(pkt, now, now_ns=now)
         now += hop * NSC // SR
         eng2.tick(now_ns=now)
     jax.block_until_ready(eng2._last_pixels)
-    frames = 40
+    k_mb = eng2.microbatch
+    frames = 10 * max(k_mb, 2)
     mb_amort, mb_p99, mb_fps = float("inf"), float("inf"), 0.0
     for _ in range(3):   # best-of-3 (same tunnel-phase rationale as above)
         per_frame_lat: list[float] = []
@@ -265,6 +420,10 @@ def main() -> int:
                 t_end = time.perf_counter()
                 per_frame_lat += [t_end - tc for tc in pending]
                 pending = []
+        if pending:
+            jax.block_until_ready(eng2._last_pixels)
+            t_end = time.perf_counter()
+            per_frame_lat += [t_end - tc for tc in pending]
         mb_total = time.perf_counter() - t1
         if mb_total / frames * 1e3 < mb_amort:
             mb_amort = mb_total / frames * 1e3
@@ -277,22 +436,28 @@ def main() -> int:
         "unit": "frames/s",
         "vs_baseline": round(frames_per_sec / 10000.0, 3),
     }))
+    for ln in mfu_lines:
+        print(ln, file=sys.stderr)
     print(f"# accuracy max|dB err| vs float64 oracle: {max_err:.2e}; "
           f"S={S} N={N} hop={hop} scan={T} reps={args.reps} "
           f"elapsed={elapsed:.3f}s "
           f"({elapsed / (args.reps * T) * 1e3:.2f} ms/tick); "
           f"device-only per-tick buffer->spectrum p50 {dev_p50:.1f} ms / "
           f"p99 {dev_p99:.1f} ms (no H2D); "
+          f"METER serving (device-only, S={S}, {mcfg.fft_size}-sample "
+          f"window): {meter_fps:,.0f} frames/s "
+          f"({meter_fps / frames_per_sec:.2f}x spectrum); "
+          f"shard_map+Mosaic on real TPU mesh: {shard_line}; "
           f"tunnel-limited per-tick serving (incl. H2D over relay): "
           f"{serving_fps:,.0f} frames/s, p99 buffer->spectrum latency "
           f"{p99:.1f} ms; "
-          f"LIVE microbatch k={k_mb} hop_budget={hb} (incl. H2D): "
+          f"LIVE AUTO-microbatch k={k_mb} hop_budget={hb} (incl. H2D): "
           f"{mb_fps:,.0f} frames/s, "
           f"amortized {mb_amort:.1f} ms/frame vs 16.7 ms budget, "
           f"per-frame completion p99 {mb_p99:.1f} ms "
           f"(device-only amortized {elapsed / (args.reps * T) * 1e3:.2f} "
-          f"ms/frame from the scan; r2 live p99 was 123.3 ms at k=1); "
-          f"backend={jax.default_backend()}",
+          f"ms/frame from the scan; r3 manual k=4 was 67.1 ms amortized / "
+          f"294.7 ms p99); backend={jax.default_backend()}",
           file=sys.stderr)
     return 0
 

@@ -16,6 +16,7 @@ from flax import struct
 
 from ..core.config import DB_MIN, ResolvedConfig
 from ..core.enums import TSmoothingMode
+from .devring import DeviceRing
 from .spectrum import dbfs, gravity_coefficient
 
 
@@ -29,7 +30,10 @@ class MeterState:
 def init_meter_state(cfg: ResolvedConfig, num_streams: int) -> MeterState:
     C = max(cfg.capture_channels, 1)
     return MeterState(
-        meter_buf=jnp.full((num_streams, C), DB_MIN, jnp.float32),
+        # the EMA accumulator is LINEAR and starts at zero
+        # (src/source.hpp:128 `m_meter_buf[2] = {0.0f, 0.0f}`); only the
+        # dBFS output starts at the floor
+        meter_buf=jnp.zeros((num_streams, C), jnp.float32),
         meter_val=jnp.full((num_streams, C), DB_MIN, jnp.float32),
         last_silent=jnp.zeros((num_streams,), bool),
     )
@@ -93,5 +97,71 @@ def make_meter_step(cfg: ResolvedConfig):
             val = jnp.where(run[:, None], val, state.meter_val)
             silent = jnp.where(run, silent, state.last_silent)
         return MeterState(meter_buf=buf, meter_val=val, last_silent=silent)
+
+    return step
+
+
+def make_meter_serving_step(cfg: ResolvedConfig):
+    """Device-resident serving variant: every gate INCLUDING the timeout
+    ring-zeroing runs on device, so a tick is one dispatch with no host
+    state (the serving engine's device ring replaces the host window).
+
+    Builds ``step(ring, state, dt, fresh, show) -> (ring, state)``
+    matching the reference tick_meter exactly (src/source_generic.cpp:
+    182-269):
+
+    * timeout + already latched → early return: everything frozen
+    * timeout + not latched     → sample ring zeroed, levels zeroed,
+      value DB_MIN, silence latched (the m_decibels memset, :184-199)
+    * hidden (fresh, !show)     → levels zeroed/latched but the ring KEEPS
+      its drained samples (:225-232 — the drain runs before the show gate)
+    * live                      → RMS/peak over the ring, asymmetric-fast-
+      peak EMA, dBFS, latch when every channel is under floor−10 dB
+
+    One accepted divergence, inherited from serving's push-then-step
+    order: samples still queued at the timeout instant are pushed and then
+    zeroed with the ring, where the reference leaves them in the host ring
+    for the post-recovery drain.  Bounded by one hop budget of audio and
+    only reachable when capture dies with a non-empty queue.
+    """
+    M = cfg.fft_size  # ring length in samples (repurposed, src/source.cpp:1121)
+    floor_gate = float(cfg.floor - 10)
+    use_ema = cfg.tsmoothing != TSmoothingMode.NONE
+    C = max(cfg.capture_channels, 1)
+
+    def step(ring: DeviceRing, state: MeterState, dt: jnp.ndarray,
+             fresh: jnp.ndarray, show: jnp.ndarray
+             ) -> tuple[DeviceRing, MeterState]:
+        window = ring.buf  # [S, C, M]
+        if cfg.meter_rms:
+            out = jnp.sqrt(jnp.sum(window * window, axis=-1) / M)
+        else:
+            out = jnp.max(jnp.abs(window), axis=-1)
+
+        if use_ema:
+            g = gravity_coefficient(cfg, dt)
+            blended = g * state.meter_buf + (1.0 - g) * out
+            if cfg.fast_peaks:
+                # rising values bypass the EMA (src/source_generic.cpp:256-257)
+                out = jnp.where(out > state.meter_buf, out, blended)
+            else:
+                out = blended
+        new_val = dbfs(out)
+        new_silent = jnp.sum(new_val < floor_gate, axis=-1) >= C
+
+        timeout = ~fresh
+        frozen = timeout & state.last_silent   # early return (:187-188)
+        gated = timeout | ~show                # zero levels + latch
+        zero_ring = timeout & ~state.last_silent  # first timeout tick only
+
+        buf = jnp.where(frozen[:, None], state.meter_buf,
+                        jnp.where(gated[:, None], 0.0, out))
+        val = jnp.where(frozen[:, None], state.meter_val,
+                        jnp.where(gated[:, None], DB_MIN, new_val))
+        silent = jnp.where(frozen, state.last_silent,
+                           gated | new_silent)
+        rbuf = jnp.where(zero_ring[:, None, None], 0.0, ring.buf)
+        return (DeviceRing(buf=rbuf),
+                MeterState(meter_buf=buf, meter_val=val, last_silent=silent))
 
     return step

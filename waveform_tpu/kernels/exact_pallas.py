@@ -130,38 +130,67 @@ def supports_cfft(n: int) -> bool:
             and (n // _LANES) % 8 == 0 and n <= 32768)
 
 
+def _vmem_terms(n: int, split: int) -> tuple[int, int]:
+    """(constant, per-block-stream) VMEM byte estimates for the kernel."""
+    n1 = n // _LANES
+    if split == 3:
+        # F_ab stacked [2a, 10·2a] bf16 (a = n1/4) + f2/selector slack;
+        # the radix-4 layer adds the column-concat working set (W, its
+        # digits, the class-dot output), ~160 B/sample-block total
+        return 5 * n1 * n1 + 700_000, 160 * n + 24 * n
+    return 160 * n1 * n1 + 700_000, 96 * n  # f1 digit planes + f2 slack
+
+
+def _bs_cap(n: int, split: int, ddt: str) -> int:
+    """Hard cap on streams per block for one measured compiler quirk:
+    the 2-factor int8 kernel at bs=16 / N=8192 CRASHES the Mosaic
+    compiler (tpu_compile_helper exit 1, reproduced 4x on v5e) while
+    bf16 at the same shape and int8 at bs=8 both compile."""
+    return 8 if (ddt == "int8" and split == 2 and n == 8192) else 64
+
+
+def admits_bs(n: int, bs: int, split: int | None = None,
+              ddt: str = "bf16") -> bool:
+    """Whether a block of ``bs`` streams fits the kernel's VMEM budget
+    (and dodges the pinned compiler quirk) — the plan tuner's candidate
+    gate for the bs dimension."""
+    if split is None:
+        split = _stage1_split(n)
+    const, per_bs = _vmem_terms(n, split)
+    return bs <= _bs_cap(n, split, ddt) and \
+        per_bs * bs + const <= 15_500_000
+
+
 def _block_streams(n: int, split: int | None = None,
-                   ddt: str = "bf16") -> int:
+                   ddt: str = "bf16", want: int | None = None) -> int:
     """Streams per grid block, sized to keep ~12 [2N1, bs·N2] f32 working
     planes PLUS the resident constants under the VMEM budget.  The
     class-stacked stage-1 digit planes are quadratic in N1
     ([4N1, 10·2N1] bf16 = 160·N1² bytes — 10.5 MB alone at N=32768),
     which the per-stream term alone missed: bs=2 at N=32768 was a 21 MB
-    scoped-vmem OOM on v5e."""
+    scoped-vmem OOM on v5e.
+
+    ``want`` requests a specific block size (clamped to the VMEM gate);
+    without it, a measured plan entry's "bs" applies, else the default
+    ceiling of 16 (bs=32 wins only where measured — the tuner probes it,
+    utils/plans.py)."""
     n1 = n // _LANES
     if split is None:
         split = _stage1_split(n)
-    if ddt == "int8" and split == 2 and n == 8192:
-        # measured Mosaic compile CRASH (tpu_compile_helper exit 1,
-        # reproduced 4x on v5e): the 2-factor int8 kernel at bs=16 /
-        # N=8192 kills the compiler while the same shape in bf16 and
-        # the same config at bs=8 both compile.  Every other measured
-        # (size, split, ddt) combination is fine — cap this one.
-        return 8
-    if split == 3:
-        # F_ab stacked [2a, 10·2a] bf16 (a = n1/4) + f2/selector slack;
-        # the radix-4 layer adds the column-concat working set (W, its
-        # digits, the class-dot output), ~160 B/sample-block total
-        const = 5 * n1 * n1 + 700_000
-        per_bs = 160 * n + 24 * n   # working planes + bs-tiled twiddles
-    else:
-        const = 160 * n1 * n1 + 700_000  # f1 digit planes + f2 slack
-        per_bs = 96 * n
+    if want is None:
+        from ..utils.plans import plan_for
+        p = plan_for(n)
+        if p is not None and isinstance(p.get("bs"), int):
+            want = int(p["bs"])
+    ceiling = min(want if want else 16, _bs_cap(n, split, ddt))
+    const, per_bs = _vmem_terms(n, split)
     # 15.5 MB measured-usable VMEM on v5e (16 MB minus Mosaic runtime
     # overhead): bs=1 at N=32768 (14.3 MB estimate) must pass the gate
     # itself, not fall through it — growth in kernel constants then fails
     # loudly here instead of OOMing at compile time
-    for bs in (16, 8, 4, 2, 1):
+    for bs in (64, 32, 16, 8, 4, 2, 1):
+        if bs > ceiling:
+            continue
         if per_bs * bs + const <= 15_500_000:
             return bs
     raise ValueError(
@@ -795,22 +824,25 @@ def _lane_selector(n2: int, bs: int) -> np.ndarray:
     return sel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "split", "ddt"))
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "split", "ddt", "bs"))
 def rfft_pair_mag_packed(x4: jnp.ndarray, w_hi: jnp.ndarray,
                          w_lo: jnp.ndarray, interpret: bool = False,
-                         split: int = 2, ddt: str = "bf16"):
+                         split: int = 2, ddt: str = "bf16",
+                         bs: int | None = None):
     """Raw channel-pair windows -> |rFFT| magnitudes + silence counts.
 
     ``x4``: [S, 2, N1, N2] f32 raw samples.  Returns ``(mag4, nzcount)``:
     ``mag4`` [S, 2, N1, N2//2] f32 kept-half magnitudes in block coords
     (flat bin k = k1 + N1*k2), ``nzcount`` [S, 2] f32 per-(stream,
-    channel) raw nonzero counts.  ``split`` is the stage-1 strategy and
-    ``ddt`` the digit dtype for the MXU passes (both static: callers
-    resolve the env reads so they never hide inside a cached trace).
+    channel) raw nonzero counts.  ``split`` is the stage-1 strategy,
+    ``ddt`` the digit dtype for the MXU passes and ``bs`` an explicit
+    streams-per-block request (all static: callers resolve env/plan
+    reads so they never hide inside a cached trace).
     """
     S, _, n1, n2 = x4.shape
     n = n1 * n2
-    bs = _block_streams(n, split=split, ddt=ddt)
+    bs = _block_streams(n, split=split, ddt=ddt, want=bs)
     while S % bs:
         bs //= 2
 
@@ -959,3 +991,60 @@ def kernel_would_run(n: int) -> bool:
     return (supports(n) and enabled()
             and os.environ.get("WAVEFORM_TPU_EXACT_FUSED", "auto")
             != "never")
+
+
+def kernel_cost(n: int, streams: int, split: int | None = None,
+                ddt: str | None = None) -> dict:
+    """Static MXU/HBM cost model of one real-split kernel call on
+    [streams, 2, N] — the roofline's numerator (the FFTW planner's
+    iestimate_cost analog, deps/fftw-3.3.11/kernel/planner.c:426, except
+    these counts are EXACT: every dot shape is static).
+
+    Returns a dict with:
+
+    * ``mxu_flops`` — 2·MACs across the digit-class dots (stage 1 + kept-
+      half stage 2 + the silence-scan selector dot).  The class-stacked
+      geometry makes this exact: class t contracts (t+1)·K rows, so the
+      ten (t, pair) products of MAX_T=3 sum to a 10× single-plane dot per
+      stage (see _digit_stage).
+    * ``hbm_bytes`` — compulsory traffic: raw input read + magnitude/
+      nzcount writes + per-grid-block constant reads (digit planes +
+      twiddles re-enter VMEM once per block of ``bs`` streams).
+    * ``split``/``ddt``/``bs`` — the resolved plan, so callers can pick
+      the matching peak rate (bf16 vs int8 MXU).
+    """
+    if split not in (2, 3):
+        split = _stage1_split(n)
+    if ddt not in ("bf16", "int8"):
+        ddt = _digit_dtype_choice(n)
+    n1, n2 = _factors(n)
+    bs = _block_streams(n, split=split, ddt=ddt)
+    while streams % bs:
+        bs //= 2
+    S = streams
+    classes = _N_DIGITS * (_N_DIGITS + 1) // 2   # Σ(t+1) = 10 at MAX_T=3
+
+    if split == 3:
+        a = n1 // 4
+        # two [4a, (t+1)·2a] @ [(t+1)·2a, 2·bs·n2] dot families
+        stage1 = 2 * (2 * (4 * a) * (2 * a) * (2 * n2)) * classes * S
+        const_bytes = 2 * (4 * a) * (classes * 2 * a)
+    else:
+        # [4n1, (t+1)·2n1] @ [(t+1)·2n1, bs·n2], both channels in rows
+        stage1 = (2 * (4 * n1) * (2 * n1) * n2) * classes * S
+        const_bytes = (4 * n1) * (classes * 2 * n1)
+    # stage 2: [bs·2n1, (t+1)·2n2] @ [(t+1)·2n2, n2/2·2] kept-half
+    stage2 = (2 * (2 * n1) * (2 * n2) * n2) * classes * S
+    const_bytes += (classes * 2 * n2) * n2
+    # silence scan: [2n1, bs·n2] @ [bs·n2, bs] per block
+    silence = 2 * (2 * n1) * (bs * n2) * bs * (S // bs)
+
+    itemsize = 1 if ddt == "int8" else 2
+    blocks = S // bs
+    hbm = (S * 2 * n * 4                 # raw input read
+           + S * 2 * (n // 2) * 4        # magnitude write
+           + S * 2 * 4                   # nz counts
+           + blocks * (const_bytes * itemsize   # digit-plane constants
+                       + 6 * n1 * bs * n2 * 4)) # tiled twiddle planes
+    return {"mxu_flops": stage1 + stage2 + silence, "hbm_bytes": hbm,
+            "split": split, "ddt": ddt, "bs": bs}

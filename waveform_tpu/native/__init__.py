@@ -80,6 +80,10 @@ def load_library():
         lib.wf_assemble_hop_packed.argtypes = [
             ctypes.c_void_p, ctypes.c_longlong, ctypes.c_int,
             ctypes.c_void_p, ctypes.c_longlong, ctypes.c_int]
+        lib.wf_assemble_hop_packed2.argtypes = [
+            ctypes.c_void_p, ctypes.c_longlong, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_longlong, ctypes.c_int,
+            ctypes.c_int]
         lib.wf_set_show.argtypes = [ctypes.c_void_p, ctypes.c_int,
                                     ctypes.c_int]
         lib.wf_detach.argtypes = [ctypes.c_void_p, ctypes.c_int]
@@ -190,16 +194,19 @@ class NativeAssembler:
         return out, rms_out, counts, active.astype(bool)
 
     def assemble_hop_packed(self, now_ns: int, hop_budget: int,
-                            flat: np.ndarray, with_rms: bool) -> None:
+                            flat: np.ndarray, with_rms: bool,
+                            split_active: bool = False) -> None:
         """Assemble directly into the packed single-upload buffer
         (serving.py _in_buf): per-stream row of C*H samples, H raw RMS
-        squares, then counts/active as floats.  ``flat`` must be a
-        C-contiguous [S, row_stride] float32 array."""
+        squares, then counts/active as floats.  ``split_active=True``
+        writes (counts, fresh, show) instead of (counts, show&&fresh) —
+        the meter-serving meta layout.  ``flat`` must be a C-contiguous
+        [S, row_stride] float32 array."""
         assert flat.flags.c_contiguous and flat.dtype == np.float32
-        self._lib.wf_assemble_hop_packed(
+        self._lib.wf_assemble_hop_packed2(
             self._h, now_ns, hop_budget,
             flat.ctypes.data_as(ctypes.c_void_p), flat.shape[1],
-            1 if with_rms else 0)
+            1 if with_rms else 0, 1 if split_active else 0)
 
     def set_show(self, stream: int, show: bool) -> None:
         self._lib.wf_set_show(self._h, stream, 1 if show else 0)

@@ -301,16 +301,21 @@ void wf_assemble_hop_rms(Engine* e, long long now_ns, int H, float* out,
 // RMS block are 1/3 narrower at C=2 — the per-tick upload is the live
 // path's dominant cost over thin links, so bytes only ride when the
 // config needs them.  One lock pass per stream, zero Python repacking.
-void wf_assemble_hop_packed(Engine* e, long long now_ns, int H, float* flat,
-                            long long row_stride, int with_rms) {
+//
+// split_active: meter-mode rows carry (counts, fresh, show) instead of
+// (counts, show&&fresh) — the reference's tick_meter gates the two
+// separately (timeout zeroes the sample ring, hide only the levels,
+// src/source_generic.cpp:184-232).
+void wf_assemble_hop_packed2(Engine* e, long long now_ns, int H, float* flat,
+                             long long row_stride, int with_rms,
+                             int split_active) {
   const int C = e->channels;
   const size_t meta = (size_t)C * H + (with_rms ? (size_t)H : 0);
   for (int i = 0; i < e->num_streams; ++i) {
     Stream& s = e->streams[i];
     std::lock_guard<std::timed_mutex> lk(s.mtx);
     float* row = flat + (size_t)i * (size_t)row_stride;
-    uint8_t act =
-        (s.show && (now_ns - s.capture_ts) <= kCaptureTimeoutNs) ? 1 : 0;
+    uint8_t fresh = ((now_ns - s.capture_ts) <= kCaptureTimeoutNs) ? 1 : 0;
     int64_t dtaudio = audio_sync(*e, s, now_ns);
     int64_t reserve = dtaudio > 0 ? ns_to_frames(e->sample_rate, dtaudio) : 0;
     int64_t avail = (int64_t)s.rings[0].size() - reserve;
@@ -326,8 +331,18 @@ void wf_assemble_hop_packed(Engine* e, long long now_ns, int H, float* flat,
       std::memset(dst + got, 0, ((size_t)H - got) * sizeof(float));
     }
     row[meta] = (float)take;
-    row[meta + 1] = (float)act;
+    if (split_active) {
+      row[meta + 1] = (float)fresh;
+      row[meta + 2] = (float)(s.show ? 1 : 0);
+    } else {
+      row[meta + 1] = (float)((s.show && fresh) ? 1 : 0);
+    }
   }
+}
+
+void wf_assemble_hop_packed(Engine* e, long long now_ns, int H, float* flat,
+                            long long row_stride, int with_rms) {
+  wf_assemble_hop_packed2(e, now_ns, H, flat, row_stride, with_rms, 0);
 }
 
 // Sync-state migration for live engine resizes (runtime/serving.py

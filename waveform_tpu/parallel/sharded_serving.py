@@ -80,17 +80,63 @@ class ShardedServingEngine(ServingEngine):
         self._local_rows = local_stream_rows(self.mesh, padded)
         super().__init__(cfg, padded, **kw)
 
-    def resized(self, num_streams: int, keep: list[int] | None = None):
-        """Not supported: rows here are mesh-padded and device-placed, and
-        the base implementation could neither rebuild the mesh topology
-        nor tell user rows from padding (padding rows carry stepped-inert
-        state, e.g. a latched silence flag).  Pods re-provision on
-        topology changes — build a new ShardedServingEngine at the new
-        count and load a checkpoint if continuity matters."""
-        raise NotImplementedError(
-            "ShardedServingEngine does not support live resize; construct "
-            "a new engine at the new stream count (save_state/load_state "
-            "carry analysis state across)")
+    def resized(self, num_streams: int, keep: list[int] | None = None,
+                mesh: Mesh | None = None) -> "ShardedServingEngine":
+        """Live resize across the mesh: gather → rebuild → scatter.
+
+        Surviving rows' device state (window ring, EMA trail, dB buffer,
+        silence latch, RMS window) gathers to the host, a fresh engine
+        builds at the new count (and optionally a NEW mesh shape — scene
+        growth can re-balance streams across more chips), and the migrated
+        rows scatter into the new stream sharding.  ``keep`` indexes USER
+        rows (mesh padding rows carry inert stepped state and never
+        migrate).  Host sync bookkeeping moves exactly as in the base
+        engine.  The reference rebuilds everything from scratch on any
+        topology change (src/source.cpp:1077-1322); carrying sharded
+        device state across a mesh re-shape is strictly more continuity.
+
+        Single-process only (the gather materializes the kept rows on this
+        host): multi-host pods re-provision — build a new engine and carry
+        state with save_state/load_state."""
+        if jax.process_count() > 1:
+            raise NotImplementedError(
+                "multi-host resize: construct a new ShardedServingEngine "
+                "and carry state across with save_state/load_state")
+        if keep is None:
+            keep = list(range(min(self.user_streams, num_streams)))
+        if len(keep) > num_streams:
+            raise ValueError(f"keep ({len(keep)} rows) exceeds "
+                             f"num_streams={num_streams}")
+        if any(not 0 <= j < self.user_streams for j in keep):
+            raise ValueError("keep indices out of range for user_streams="
+                             f"{self.user_streams}: {keep}")
+        eng = type(self)(self.cfg, num_streams,
+                         mesh=self.mesh if mesh is None else mesh,
+                         hop_budget=self.H, rfft_fn=self._rfft_fn,
+                         use_native=self._use_native_req,
+                         microbatch=(self._mb_req if self._mb_auto
+                                     else self._mb))
+        k = len(keep)
+        if not k:
+            return eng
+        idx = np.asarray(keep, np.int64)
+        sh = stream_sharding(eng.mesh)
+
+        def mig(new, old):
+            host = np.array(new)              # fresh-init values (writable
+            host[:k] = np.asarray(old)[idx]   # copy); migrate user rows
+            return jax.device_put(host, sh)
+
+        eng.ring = jax.tree.map(mig, eng.ring, self.ring)
+        eng.state = jax.tree.map(mig, eng.state, self.state)
+        if self.rms_ring is not None and eng.rms_ring is not None:
+            eng.rms_ring = jax.tree.map(mig, eng.rms_ring, self.rms_ring)
+        for i, j in enumerate(keep):
+            eng._pending[i] = self._pending[j]
+        if self._native is not None and eng._native is not None:
+            for i, j in enumerate(keep):
+                eng._native.set_sync(i, *self._native.get_sync(j))
+        return eng
 
     # -- placement hooks -------------------------------------------------
 

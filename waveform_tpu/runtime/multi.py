@@ -9,7 +9,9 @@ compiled program, all sharing the chip.
 
 :class:`MultiEngine` is that grouping: add streams with any config, feed
 and tick them through one object.  Spectrum configs ride
-:class:`ServingEngine`; meter/waveform configs ride :class:`WaveformEngine`.
+:class:`ServingEngine`, meter configs :class:`MeterServingEngine` (both
+device-resident, packed-upload, cohort-fusable); waveform configs ride
+:class:`WaveformEngine`.
 """
 
 from __future__ import annotations
@@ -22,6 +24,7 @@ import numpy as np
 
 from ..core.config import ResolvedConfig
 from .engine import WaveformEngine
+from .meter_serving import MeterServingEngine
 from .serving import ServingEngine, chunked_put
 
 
@@ -49,6 +52,8 @@ class MultiEngine:
     def _make_engine(self, cfg: ResolvedConfig, n: int):
         if cfg.spectrum_mode:
             return ServingEngine(cfg, n)
+        if cfg.meter_mode:
+            return MeterServingEngine(cfg, n)
         return WaveformEngine(cfg, n)
 
     def _attach_stream(self, sid: int, cfg: ResolvedConfig) -> None:

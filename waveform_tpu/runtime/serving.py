@@ -92,6 +92,10 @@ class _PendingStream:
 class ServingEngine:
     """Batched device-resident spectrum serving for S streams."""
 
+    # meter subclass (runtime/meter_serving.py) packs (counts, fresh, show)
+    # meta columns instead of (counts, show&&fresh, rms)
+    _split_meta = False
+
     def _spectrum_step_kwargs(self) -> dict:
         """Single-device engines use the all-in-VMEM Pallas exact kernel
         directly; the mesh-sharded subclass overrides this (a pallas_call
@@ -99,12 +103,24 @@ class ServingEngine:
         it in a stream-axis shard_map instead)."""
         return {}
 
-    def __init__(self, cfg: ResolvedConfig, num_streams: int,
-                 hop_budget: int | None = None, rfft_fn=None,
-                 use_native: bool | None = None, microbatch: int = 1):
+    def _check_mode(self, cfg: ResolvedConfig) -> None:
         if not cfg.spectrum_mode:
             raise ValueError("ServingEngine handles spectrum mode; use "
-                             "WaveformEngine for meter/waveform modes")
+                             "MeterServingEngine for meter mode and "
+                             "WaveformEngine/DeviceWaveformEngine for "
+                             "waveform mode")
+
+    def _wants_rms(self, cfg: ResolvedConfig) -> bool:
+        """Whether the packed rows carry the raw RMS-squares block (volume
+        normalization applies to spectrum output only, the reference's
+        tick_spectrum gain add, src/source_generic.cpp:161-167)."""
+        return cfg.normalize_volume
+
+    def __init__(self, cfg: ResolvedConfig, num_streams: int,
+                 hop_budget: int | None = None, rfft_fn=None,
+                 use_native: bool | None = None,
+                 microbatch: int | str = 1):
+        self._check_mode(cfg)
         self.cfg = cfg
         self.S = num_streams
         self.C = max(cfg.capture_channels, 1)
@@ -115,7 +131,12 @@ class ServingEngine:
         # them as ONE lax.scan every k-th tick (see :meth:`tick`) — the
         # live-path latency amortizer for links where each dispatch pays a
         # round trip.  Per-frame semantics are identical to k single ticks.
-        self._mb = max(int(microbatch), 1)
+        # "auto": probe the link at startup and choose k (see
+        # :meth:`_auto_microbatch`).
+        self._mb_auto = microbatch == "auto"
+        self._mb_req = microbatch
+        self._probe_ticks: list[float] = []
+        self._mb = 1 if self._mb_auto else max(int(microbatch), 1)
         self._mb_fill = 0
         self._mb_slots: list = []
         self._mb_uniform: list = []
@@ -131,7 +152,7 @@ class ServingEngine:
         self.H = hop_budget or (2 * int(cfg.audio.samples_per_sec / cfg.fps)
                                 + 16)
         self._pending = [_PendingStream() for _ in range(num_streams)]
-        self._normalize = cfg.normalize_volume
+        self._normalize = self._wants_rms(cfg)
         # One packed row per stream — C*H samples, the H raw RMS squares
         # ONLY when volume normalization needs them (the upload is the
         # live path's dominant cost over thin links; at C=2 the optional
@@ -177,25 +198,45 @@ class ServingEngine:
                 self._native = NativeAssembler(
                     num_streams, self.C, cfg.fft_size,
                     cfg.audio.samples_per_sec, cfg.ts_offset_ns,
-                    prefill=False, rms=cfg.normalize_volume)
+                    prefill=False, rms=self._normalize)
             except (RuntimeError, OSError):
                 if use_native:
                     raise
                 self._native = None
 
-        self.ring = init_ring(num_streams, self.C, cfg.fft_size)
-        self.state = init_state(cfg, num_streams)
+        self._init_device_state()
+        self._build_device_programs()
+        assert np.shares_memory(self._push_buf, self._in_buf)
+        self._tick_cohort = None
+        self._row0 = 0
+        self._last_pixels = None
+        self._render_batch = None
+        self._place_buffers()
 
+    def _init_device_state(self) -> None:
+        """Allocate the device-resident per-stream state (mode hook)."""
+        cfg = self.cfg
+        self.ring = init_ring(self.S, self.C, cfg.fft_size)
+        self.state = init_state(cfg, self.S)
         # device-resident volume-normalization RMS window: the reference
         # keeps a 1 s host ring of per-timepoint max-channel squares
         # (src/source.cpp:1843-1871, 810-835); here it rides the same
         # device-ring mechanism as the samples, synced by construction
-        self._normalize = cfg.normalize_volume
         if self._normalize:
-            self.rms_ring = init_ring(num_streams, 1, cfg.input_rms_size)
+            self.rms_ring = init_ring(self.S, 1, cfg.input_rms_size)
         else:
             self.rms_ring = None
 
+    def _display_values(self, state):
+        """State → display output for one tick (mode hook): rebinned
+        spectrum dBFS here; meter levels in MeterServingEngine."""
+        return display_decibels(self.cfg, state)
+
+    def _build_device_programs(self) -> None:
+        """Compile the mode's packed-tick and bulk-scan programs (mode
+        hook; MeterServingEngine swaps the spectrum step for the meter
+        reduction, keeping every host-side path identical)."""
+        cfg, rfft_fn = self.cfg, self._rfft_fn
         step = make_spectrum_step(
             cfg, **self._spectrum_step_kwargs(),
             **({} if rfft_fn is None else {"rfft_fn": rfft_fn}))
@@ -217,8 +258,6 @@ class ServingEngine:
             state = step(ring.buf, state, dt, active, rms)
             pixels = self._constrain_pixels(rebin(display_decibels(cfg, state)))
             return pixels, ring, state, rms_ring
-
-        assert np.shares_memory(self._push_buf, self._in_buf)
 
         C, H = self.C, self.H
 
@@ -242,8 +281,6 @@ class ServingEngine:
         self._tick_packed = self._jit_tick_packed(packed_tick)
         self._tick_packed_u = self._jit_tick_packed_u(packed_tick)
         self._packed_tick_fn = packed_tick   # for cohort binding (multi.py)
-        self._tick_cohort = None
-        self._row0 = 0
 
         def scan_ticks(new_T, counts_T, ring, state, dt, active_T, rms,
                        rms_ring=None):
@@ -269,9 +306,6 @@ class ServingEngine:
             return pxs, ring, state, rms_ring
 
         self._scan_ticks = self._jit_scan(scan_ticks)
-        self._last_pixels = None
-        self._render_batch = None
-        self._place_buffers()
 
     def _build_scan_packed(self):
         """Compile the microbatch flush programs: k packed ticks chained
@@ -541,6 +575,8 @@ class ServingEngine:
         dt_f = (1.0 / self.cfg.fps) if dt is None else float(dt)
         if self._mb > 1:
             return self._tick_microbatch(now_ns, dt_f)
+        if self._mb_auto:
+            return self._tick_probe(now_ns, dt_f)
         dtv = self._dt_scalar(dt_f)
         self._flip ^= 1
         self._bind_buf(self._flip)
@@ -616,6 +652,80 @@ class ServingEngine:
         """Device pixels of the last microbatch flush: [k, S, D, P]."""
         return self._last_batch
 
+    @property
+    def microbatch(self) -> int:
+        """The active microbatch k (after "auto" resolves its probe)."""
+        return self._mb
+
+    # -- auto microbatch policy ------------------------------------------
+
+    _PROBE_TICKS = 4        # k=1 ticks timed before deciding (first tick
+                            # carries the compile and is discarded)
+    _MB_MAX = 8             # worst-case completion grows one frame per k
+
+    def _link_rtt(self) -> float:
+        """Median round trip of a minimal dispatch on this engine's
+        backend — the per-dispatch overhead k amortizes.  A trivial
+        program isolates launch+sync cost from compute/transfer."""
+        import jax
+
+        f = jax.jit(lambda x: x + 1.0)
+        x = jnp.zeros((), jnp.float32)
+        jax.block_until_ready(f(x))          # compile outside the timing
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            jax.block_until_ready(f(x))
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        return ts[len(ts) // 2]
+
+    def _choose_microbatch(self, budget: float, rtt: float,
+                           tick: float) -> int:
+        """The latency policy (VERDICT: probe RTT, meet the frame budget
+        when possible, else stop at diminishing returns):
+
+        * one tick already meets the budget → k=1 (lowest completion
+          latency; nothing to amortize)
+        * the non-RTT share fits the budget → the smallest k whose
+          amortized cost RTT/k + (tick−RTT) meets it
+        * budget unreachable (transfer/compute alone exceed it) → the
+          smallest k whose next doubling would shave less than 10% of
+          the non-RTT cost: amortization has flattened, and every further
+          k only worsens per-frame completion p99
+        """
+        rest = max(tick - rtt, 1e-6)
+        if tick <= budget:
+            return 1
+        if rest < budget:
+            need = rtt / (budget - rest)
+        else:
+            need = rtt / (0.2 * rest)   # RTT/(2k) <= 0.1*rest
+        k = 1
+        while k < self._MB_MAX and k < need:
+            k *= 2
+        return k
+
+    def _tick_probe(self, now_ns: int, dt_f: float):
+        """Auto-mode startup: run normal k=1 ticks, timing completion;
+        after _PROBE_TICKS decide k and lock the policy in.  Frame
+        semantics are identical to the chosen mode throughout."""
+        t0 = time.perf_counter()
+        self._mb_auto = False          # plain tick below
+        try:
+            px = self.tick(now_ns=now_ns, dt=dt_f)
+        finally:
+            self._mb_auto = True
+        jax.block_until_ready(px)
+        self._probe_ticks.append(time.perf_counter() - t0)
+        if len(self._probe_ticks) > self._PROBE_TICKS:
+            tick = float(np.median(self._probe_ticks[1:]))   # drop compile
+            k = self._choose_microbatch(1.0 / self.cfg.fps,
+                                        self._link_rtt(), tick)
+            self._mb_auto = False
+            self._mb = k
+        return px
+
     def _uniform_count(self) -> tuple[bool, int]:
         """Host-side program choice for this tick: True selects the scalar
         lane-shift push.  Decided from host-local data, so it is forced
@@ -638,20 +748,31 @@ class ServingEngine:
             # C++ writes samples, RMS squares, counts and active directly
             # into the packed rows — zero Python-side repacking
             self._native.assemble_hop_packed(
-                now_ns, self.H, self._in_buf, self._normalize)
+                now_ns, self.H, self._in_buf, self._normalize,
+                split_active=self._split_meta)
         elif self._batch_mode:
             counts, active = self._assemble_batch(now_ns)
             if self._normalize:
                 np.square(np.max(np.abs(self._push_buf), axis=1),
                           out=self._rms_buf)
             self._meta_buf[:, 0] = counts
-            self._meta_buf[:, 1] = active
+            if self._split_meta:
+                p0 = self._pending[0]
+                self._meta_buf[:, 1] = (
+                    (now_ns - p0.capture_ts) <= CAPTURE_TIMEOUT_NS)
+                self._meta_buf[:, 2] = p0.show
+            else:
+                self._meta_buf[:, 1] = active
         else:
             self._push_buf[:] = 0.0
             self._rms_buf[:] = 0.0
             for i, p in enumerate(self._pending):
-                self._meta_buf[i, 1] = (
-                    p.show and (now_ns - p.capture_ts) <= CAPTURE_TIMEOUT_NS)
+                fresh = (now_ns - p.capture_ts) <= CAPTURE_TIMEOUT_NS
+                if self._split_meta:
+                    self._meta_buf[i, 1] = fresh
+                    self._meta_buf[i, 2] = p.show
+                else:
+                    self._meta_buf[i, 1] = p.show and fresh
                 # consume everything except the sync reserve, capped at the
                 # hop budget (the device window absorbs them; excess stays
                 # queued)
@@ -767,7 +888,7 @@ class ServingEngine:
         return np.asarray(self._last_pixels)
 
     def read_decibels(self) -> np.ndarray:
-        return np.asarray(display_decibels(self.cfg, self.state))
+        return np.asarray(self._display_values(self.state))
 
     def render_frames(self) -> jnp.ndarray:
         """RGBA frames for ALL streams in ONE jitted dispatch.
@@ -784,7 +905,7 @@ class ServingEngine:
             render = make_renderer(self.cfg)
 
             def batch(state):
-                imgs = jax.vmap(render)(display_decibels(self.cfg, state))
+                imgs = jax.vmap(render)(self._display_values(state))
                 if self.cfg.settings.hide_on_silent:
                     keep = ~state.last_silent
                     imgs = imgs * keep[:, None, None, None].astype(
@@ -837,10 +958,11 @@ class ServingEngine:
             # gather and migrate the WRONG stream's state
             raise ValueError(f"keep indices out of range for S={self.S}: "
                              f"{keep}")
-        eng = ServingEngine(self.cfg, num_streams, hop_budget=self.H,
-                            rfft_fn=self._rfft_fn,
-                            use_native=self._use_native_req,
-                            microbatch=self._mb)
+        eng = type(self)(self.cfg, num_streams, hop_budget=self.H,
+                         rfft_fn=self._rfft_fn,
+                         use_native=self._use_native_req,
+                         microbatch=(self._mb_req if self._mb_auto
+                                     else self._mb))
         k = len(keep)
         if k:
             idx = jnp.asarray(np.asarray(keep, np.int32))

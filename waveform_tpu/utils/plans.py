@@ -109,8 +109,8 @@ def record(n: int, entry: dict) -> None:
         json.dump(plans, f, indent=1, sort_keys=True)
 
 
-def _candidates(n: int) -> list[tuple[int, str]]:
-    from ..kernels.exact_pallas import supports
+def _candidates(n: int) -> list[tuple[int, str, int]]:
+    from ..kernels.exact_pallas import _block_streams, admits_bs, supports
     out = []
     for split in (2, 3):
         # probe each split on its own merits: supports(n) without the
@@ -120,7 +120,15 @@ def _candidates(n: int) -> list[tuple[int, str]]:
         if not supports(n, split=split):
             continue
         for ddt in ("bf16", "int8"):
-            out.append((split, ddt))
+            # bs dimension: the default block size plus its doublings up
+            # to the VMEM gate — small sizes leave most of VMEM idle at
+            # the default 16, and larger blocks amortize per-block
+            # constant reloads and grid overhead (whether that wins is
+            # exactly what gets measured)
+            bs0 = _block_streams(n, split=split, ddt=ddt, want=16)
+            for bs in (bs0, bs0 * 2, bs0 * 4):
+                if bs == bs0 or admits_bs(n, bs, split=split, ddt=ddt):
+                    out.append((split, ddt, bs))
     return out
 
 
@@ -155,11 +163,11 @@ def measure(n: int, streams: int = 64, ticks: int = 0, reps: int = 8,
                 m = exactfft.rfft_pair_mag_exact(x, allow_kernel=False)
                 return m.reshape(S, 2, n2 // 2, n1).swapaxes(-1, -2)
         else:
-            split, ddt = tag
+            split, ddt, bs = tag
 
             def mag_fn(x4):
                 return rfft_pair_mag_packed(x4, w, wz, split=split,
-                                            ddt=ddt)[0]
+                                            ddt=ddt, bs=bs)[0]
 
         def run(x4):
             def body(carry, _):
@@ -206,7 +214,7 @@ def measure(n: int, streams: int = 64, ticks: int = 0, reps: int = 8,
         entry["xla_us_per_frame"] = round(mins["xla"], 3)
     if kern:
         best = min(kern, key=lambda t: mins[t])
-        entry.update({"split": best[0], "ddt": best[1],
+        entry.update({"split": best[0], "ddt": best[1], "bs": best[2],
                       "us_per_frame": round(mins[best], 3)})
     record(n, entry)
     if verbose:

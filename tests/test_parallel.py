@@ -473,3 +473,47 @@ def test_sharded_resized_rejects_bad_keep():
         sh.resized(4, keep=[0, 1, 2, 3, 4])   # more keeps than rows
     with pytest.raises(ValueError):
         sh.resized(8, keep=[5])   # padding row: user rows are 0..4
+
+
+def test_sharded_meter_matches_single_device():
+    """Mesh-sharded meter serving equals the single-device meter engine
+    tick-for-tick (meter mode at pod scale — the r4 capability)."""
+    from waveform_tpu.core.enums import DisplayMode
+    from waveform_tpu.parallel.sharded_serving import (
+        ShardedMeterServingEngine,
+    )
+    from waveform_tpu.runtime.meter_serving import MeterServingEngine
+
+    cfg = resolve(Settings(display_mode=DisplayMode.METER, meter_buf=50),
+                  AudioInfo(48000, 2))
+    S = 16
+    r1, r2 = (np.random.default_rng(13) for _ in range(2))
+    ref = MeterServingEngine(cfg, S, use_native=False)
+    sh = ShardedMeterServingEngine(cfg, S, use_native=False)
+    _feed_and_tick(ref, r1, S, cfg)
+    _feed_and_tick(sh, r2, S, cfg)
+    np.testing.assert_allclose(np.asarray(sh.meter_values),
+                               np.asarray(ref.meter_values), atol=1e-4)
+    assert sh.last_silent.shape == (S,)
+
+
+def test_sharded_meter_pad_trim_and_resize():
+    from waveform_tpu.core.enums import DisplayMode
+    from waveform_tpu.parallel.sharded_serving import (
+        ShardedMeterServingEngine,
+    )
+
+    cfg = resolve(Settings(display_mode=DisplayMode.METER, meter_buf=50),
+                  AudioInfo(48000, 2))
+    rng = np.random.default_rng(21)
+    sh = ShardedMeterServingEngine(cfg, 5, use_native=False)  # pads to 8
+    assert sh.S == 8 and sh.user_streams == 5
+    _feed_and_tick(sh, rng, 5, cfg)
+    vals = np.asarray(sh.meter_values)
+    assert vals.shape == (5, 2) and np.isfinite(vals).all()
+
+    sh2 = sh.resized(9, keep=[4, 0])
+    assert isinstance(sh2, ShardedMeterServingEngine)
+    got = np.asarray(sh2.meter_values)
+    np.testing.assert_allclose(got[0], vals[4], atol=1e-6)
+    np.testing.assert_allclose(got[1], vals[0], atol=1e-6)

@@ -217,3 +217,34 @@ def test_normalize_volume_with_sync_offset_matches_host():
 
     got, want, dev = _drive_pair(cfg, 1, feeds, ticks=140)
     np.testing.assert_allclose(got, want, atol=3e-2)
+
+
+def test_multi_engine_routes_waveform_to_device_engine():
+    """MultiEngine scenes put waveform groups on the device-resident
+    scroll engine (r4) — one dispatch per group instead of per-stream
+    host scrollers — and live resizes migrate scroll state."""
+    from waveform_tpu.runtime.multi import MultiEngine
+    from waveform_tpu.runtime.waveform_device import DeviceWaveformEngine
+
+    wcfg = resolve(Settings(display_mode=DisplayMode.WAVEFORM, width=128,
+                            meter_buf=100), AudioInfo(SR, 2))
+    scene = MultiEngine()
+    w0 = scene.add_stream(wcfg)
+    now = NS
+    for k in range(12):
+        t = (np.arange(960) + k * 960) / SR
+        x = (0.5 * np.sin(2 * np.pi * 880 * t)).astype(np.float32)
+        scene.feed(w0, np.stack([x, x]), now, now_ns=now)
+        now += 960 * NS // SR
+        scene.tick(now_ns=now)
+    assert isinstance(scene._engines[wcfg], DeviceWaveformEngine)
+    vals = scene.read_decibels(w0)
+    assert vals.shape[-1] == 128 and np.isfinite(vals).all()
+    assert vals.max() > -10            # the tone's |x| tail is visible
+
+    # live resize through the scene API migrates device scroll state
+    w1 = scene.add_stream(wcfg)
+    scene.tick(now_ns=now)
+    after = scene.read_decibels(w0)
+    assert np.isfinite(after).all()
+    assert scene.read_decibels(w1).shape == after.shape

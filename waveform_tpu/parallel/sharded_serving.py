@@ -28,6 +28,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.config import ResolvedConfig
+from ..runtime.meter_serving import MeterServingEngine
 from ..runtime.serving import ServingEngine
 from .mesh import (
     PIXEL_AXIS,
@@ -173,14 +174,20 @@ class ShardedServingEngine(ServingEngine):
     def _constrain_pixels(self, pixels):
         return pixel_constraint(self.mesh, pixels)
 
+    def _px_pspec(self, scan: bool) -> P:
+        """Output partition spec for one tick's display values (the meter
+        subclass drops the pixel axis — its [S, 1, C] levels have no
+        pixel dimension to tensor-parallelize)."""
+        return (P(None, STREAM_AXIS, None, PIXEL_AXIS) if scan
+                else P(STREAM_AXIS, None, PIXEL_AXIS))
+
     def _jit_sharded_step(self, fn, scan: bool, uniform: bool):
         """Shared jit wrapper for the four packed step variants: ``scan``
         adds the leading k/T pixel axis, ``uniform`` appends a replicated
         trailing count argument.  Prefix pytrees: one sharding covers
         every leaf of ring/state."""
         s, r = self._s_sh, self._r_sh
-        px = (P(None, STREAM_AXIS, None, PIXEL_AXIS) if scan
-              else P(STREAM_AXIS, None, PIXEL_AXIS))
+        px = self._px_pspec(scan)
         ins = (s, s, s, r, s) + ((r,) if uniform else ())
         return jax.jit(
             fn, donate_argnums=(1, 2, 4), in_shardings=ins,
@@ -199,8 +206,7 @@ class ShardedServingEngine(ServingEngine):
 
     def _jit_scan(self, scan_ticks):
         s, r, t = self._s_sh, self._r_sh, self._scan_sh
-        px_sh = NamedSharding(self.mesh, P(None, STREAM_AXIS, None,
-                                           PIXEL_AXIS))
+        px_sh = NamedSharding(self.mesh, self._px_pspec(scan=True))
         return jax.jit(
             scan_ticks, donate_argnums=(2, 3, 7),
             in_shardings=(t, t, s, s, r, t, s, s),
@@ -274,3 +280,29 @@ class ShardedServingEngine(ServingEngine):
         """The untrimmed on-device sharded pixels (for device-side
         consumers composing across the mesh)."""
         return self._last_pixels
+
+
+class ShardedMeterServingEngine(MeterServingEngine, ShardedServingEngine):
+    """Mesh-sharded batched level-meter serving — meter mode at pod scale.
+
+    Cooperative composition: MeterServingEngine contributes the device
+    program (ring push → RMS/peak → asymmetric EMA → dBFS → gates,
+    runtime/meter_serving.py) and ShardedServingEngine the placement
+    (stream-axis data parallelism, padding/trimming, multi-host local
+    rows, live mesh resize).  The meter reduction is pure per-stream
+    jnp — no Pallas kernel, so it partitions cleanly with zero
+    collectives; the [S, 1, C] level output carries a stream-only
+    sharding (no pixel axis to tensor-parallelize, :meth:`_px_pspec`).
+    """
+
+    def _px_pspec(self, scan: bool) -> P:
+        return (P(None, STREAM_AXIS) if scan else P(STREAM_AXIS))
+
+    def _constrain_pixels(self, pixels):
+        return jax.lax.with_sharding_constraint(
+            pixels, NamedSharding(self.mesh, P(STREAM_AXIS)))
+
+    @property
+    def meter_values(self):
+        """Latest levels [user_streams, C] dBFS (padding trimmed)."""
+        return self.state.meter_val[:self.user_streams]

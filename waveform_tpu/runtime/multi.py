@@ -54,7 +54,11 @@ class MultiEngine:
             return ServingEngine(cfg, n)
         if cfg.meter_mode:
             return MeterServingEngine(cfg, n)
-        return WaveformEngine(cfg, n)
+        # waveform: device-resident scroll engine (one dispatch for the
+        # group; WaveformEngine remains the host-ring fallback for direct
+        # construction)
+        from .waveform_device import DeviceWaveformEngine
+        return DeviceWaveformEngine(cfg, n)
 
     def _attach_stream(self, sid: int, cfg: ResolvedConfig) -> None:
         members = self._groups.setdefault(cfg, [])

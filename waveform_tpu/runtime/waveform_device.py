@@ -64,6 +64,7 @@ class DeviceWaveformEngine:
             raise ValueError("DeviceWaveformEngine needs waveform mode")
         self.cfg = cfg
         self.S = num_streams
+        self._max_lead_s = max_lead_s   # kept for resized()
         C = max(cfg.capture_channels, 1)
         self.C = C
         self.W = cfg.fft_size  # display width in pixels (src/source.cpp:1140)
@@ -411,3 +412,39 @@ class DeviceWaveformEngine:
     @property
     def last_silent(self) -> np.ndarray:
         return np.asarray(self.latch)
+
+    def render_values(self) -> np.ndarray:
+        """Host copy of the display values [S, D, W] dBFS (the engine-
+        family read MultiEngine/renderers use)."""
+        return np.asarray(self.display)
+
+    def resized(self, num_streams: int,
+                keep: list[int] | None = None) -> "DeviceWaveformEngine":
+        """Live-scene resize: row ``i`` of the new engine carries old row
+        ``keep[i]``'s device state (sample ring, scroll buffer, silence
+        latch, RMS window) and host sync object; rows beyond ``len(keep)``
+        start fresh.  Same contract as :meth:`ServingEngine.resized`."""
+        if keep is None:
+            keep = list(range(min(self.S, num_streams)))
+        if len(keep) > num_streams:
+            raise ValueError(f"keep ({len(keep)} rows) exceeds "
+                             f"num_streams={num_streams}")
+        if any(not 0 <= j < self.S for j in keep):
+            raise ValueError(f"keep indices out of range for S={self.S}: "
+                             f"{keep}")
+        eng = DeviceWaveformEngine(self.cfg, num_streams,
+                                   hop_budget=self.H,
+                                   max_lead_s=self._max_lead_s)
+        k = len(keep)
+        if not k:
+            return eng
+        idx = jnp.asarray(np.asarray(keep, np.int32))
+        eng.ring = DeviceRing(buf=eng.ring.buf.at[:k].set(self.ring.buf[idx]))
+        eng.buf = eng.buf.at[:k].set(self.buf[idx])
+        eng.latch = eng.latch.at[:k].set(self.latch[idx])
+        if self.rms_ring is not None and eng.rms_ring is not None:
+            eng.rms_ring = DeviceRing(
+                buf=eng.rms_ring.buf.at[:k].set(self.rms_ring.buf[idx]))
+        for i, j in enumerate(keep):
+            eng._streams[i] = self._streams[j]
+        return eng

@@ -296,3 +296,30 @@ def test_real_split_int8_digits_bitexact(split, rng):
                                    split=split, ddt="int8")
     np.testing.assert_array_equal(np.asarray(mb), np.asarray(mi))
     np.testing.assert_array_equal(np.asarray(nzb), np.asarray(nzi))
+
+
+def test_f32_twiddle_tier_accuracy(rng, monkeypatch):
+    """Twiddle tiers: the DEFAULT single-rounding tier holds ~1.5e-7
+    relative on raw magnitudes (measured end-to-end indistinguishable
+    from the compensated tier, and 12-20% faster on v5e — see
+    docs/performance.md); WAVEFORM_TPU_KERNEL_TWIDDLE=df restores the
+    fully compensated Dekker chain (~1e-9 relative)."""
+    monkeypatch.setenv("WAVEFORM_TPU_KERNEL_TWIDDLE", "f32")
+    n = 1024
+    x = (0.5 * rng.standard_normal((4, 2, n))).astype(np.float32)
+    mag, nz = rfft_pair_mag_kernel(jnp.asarray(x), interpret=True)
+    want = np.abs(np.fft.rfft(x.astype(np.float64)))[..., :n // 2]
+    rel = np.abs(np.asarray(mag, np.float64) - want).max() / want.max()
+    assert rel < 1e-6, rel          # the relaxed tier's own bound
+    np.testing.assert_array_equal(np.asarray(nz), np.any(x != 0, axis=-1))
+
+    # default == f32 tier (bit-identical to the env-forced run)
+    monkeypatch.delenv("WAVEFORM_TPU_KERNEL_TWIDDLE")
+    mag_def, _ = rfft_pair_mag_kernel(jnp.asarray(x), interpret=True)
+    np.testing.assert_array_equal(np.asarray(mag_def), np.asarray(mag))
+
+    # the compensated tier stays selectable and tighter
+    monkeypatch.setenv("WAVEFORM_TPU_KERNEL_TWIDDLE", "df")
+    mag_df, _ = rfft_pair_mag_kernel(jnp.asarray(x), interpret=True)
+    rel_df = np.abs(np.asarray(mag_df, np.float64) - want).max() / want.max()
+    assert rel_df < 2.5e-7, rel_df

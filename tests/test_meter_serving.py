@@ -219,3 +219,43 @@ def test_multi_engine_routes_meter_to_serving():
     v = scene.read_decibels(m0)
     assert v.shape == (1, 2) and v.max() > -10
     assert scene.read_decibels(s0).shape[-1] == scfg.fft_size // 2
+
+
+def test_meter_and_spectrum_share_one_cohort():
+    """A meter group and a spectrum group with equal packed row widths
+    fuse into ONE upload cohort (each engine parses its own rows with its
+    own meta layout), and both produce correct values through the fused
+    path."""
+    from waveform_tpu.runtime.multi import MultiEngine
+
+    mcfg = meter_cfg(rms_mode=True, temporal_smoothing=TSmoothingMode.NONE)
+    scfg = resolve(Settings(fft_size=2048,
+                            temporal_smoothing=TSmoothingMode.NONE),
+                   AudioInfo(SR, 2))
+    scene = MultiEngine()
+    ids = [scene.add_stream(mcfg), scene.add_stream(mcfg),
+           scene.add_stream(scfg), scene.add_stream(scfg)]
+    now = NS
+    for k in range(30):
+        t = (np.arange(480) + k * 480) / SR
+        tone = np.sin(2 * np.pi * 3000 * t).astype(np.float32)
+        sq = np.full(480, 0.5, np.float32)
+        for s in ids[:2]:
+            scene.feed(s, np.stack([sq, sq]), now, now_ns=now)
+        for s in ids[2:]:
+            scene.feed(s, np.stack([tone, tone]), now, now_ns=now)
+        now += 480 * NS // SR
+        scene.tick(now_ns=now)
+
+    meng = scene._engines[mcfg]
+    seng = scene._engines[scfg]
+    assert meng.packed_width == seng.packed_width
+    assert len(scene._cohorts) == 1 and len(scene._cohorts[0]["engines"]) == 2
+    # meter golden: 0.5 square wave -> -6.02 dBFS RMS
+    np.testing.assert_allclose(scene.read_decibels(ids[0]),
+                               20 * np.log10(0.5), atol=0.1)
+    # spectrum golden: tone resolves at 3 kHz near full scale
+    db = scene.read_decibels(ids[2])
+    pk = int(np.argmax(db[0])) * SR / scfg.fft_size
+    assert abs(pk - 3000) < 2 * SR / scfg.fft_size
+    assert db[0].max() > -2

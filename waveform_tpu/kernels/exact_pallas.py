@@ -459,7 +459,8 @@ def _kernel_plan_real(n: int, bs: int):
             vsplit_host(twr_hi), vsplit_host(twi_hi))
 
 
-def _kernel_real_mag(n1, n2, bs, ddt, x_ref, w_hi_ref, w_lo_ref, sel_ref,
+def _kernel_real_mag(n1, n2, bs, ddt, twiddle, x_ref, w_hi_ref,
+                     w_lo_ref, sel_ref,
                      f1d_ref, f2d_ref,
                      twr_hi_ref, twr_lo_ref, twi_hi_ref, twi_lo_ref,
                      twr_h_ref, twi_h_ref,
@@ -506,23 +507,48 @@ def _kernel_real_mag(n1, n2, bs, ddt, x_ref, w_hi_ref, w_lo_ref, sel_ref,
              a_lo[(2 * c + 1) * n1:(2 * c + 2) * n1, :])))
     _real_mag_tail(n1, n2, bs, dtype, chans,
                    twr_hi_ref, twr_lo_ref, twi_hi_ref, twi_lo_ref,
-                   twr_h_ref, twi_h_ref, f2d_ref, mag_ref)
+                   twr_h_ref, twi_h_ref, f2d_ref, mag_ref, twiddle)
 
 
 def _real_mag_tail(n1, n2, bs, dtype, chans,
                    twr_hi_ref, twr_lo_ref, twi_hi_ref, twi_lo_ref,
-                   twr_h_ref, twi_h_ref, f2d_ref, mag_ref):
+                   twr_h_ref, twi_h_ref, f2d_ref, mag_ref,
+                   twiddle: str = "df"):
     """Shared back half of the real-split kernels: outer twiddle per
     channel, regroup to stream-major rows, kept-half stage 2, magnitude.
     ``chans`` is [(ar, ai)] per capture channel, df pairs [n1, bs·n2]
     (in whatever k1 row order the stage-1 strategy produced — the twiddle
-    refs arrive in the same order, and the caller unscrambles bins)."""
+    refs arrive in the same order, and the caller unscrambles bins).
+
+    ``twiddle`` selects the accuracy tier of the outer twiddle multiply:
+    "df" (default) is the compensated Dekker product chain (~1e-9
+    relative end to end); "f32" rounds each product once (~1e-7 relative,
+    still ~50× under the 1e-4 dB gate), deleting the Veltkamp splits and
+    error terms — a measured VPU-pressure experiment (the roofline model
+    places the kernel's wait on exactly this serial df arithmetic)."""
     # twiddle constants arrive with their Veltkamp-high halves precomputed
     # on the host (tw*_h_ref): each df product then splits only the data
     # operand — 4 splits/channel-pair instead of 8 and the constant halves
     # cost one subtract each
     twr0, twi0 = twr_hi_ref[:], twi_hi_ref[:]
     twr1, twi1 = twr_lo_ref[:], twi_lo_ref[:]
+
+    # ---- twiddle per channel + regroup to stream-major rows ------------
+    rows_hi, rows_lo = [], []
+    if twiddle == "f32":
+        # single-rounding products; the stage-1 lo words still ride the
+        # lo lane (scaled by the f32 twiddle), so only the product
+        # roundings (~2^-24 relative) are given up
+        for ar, ai in chans:
+            br = (ar[0] * twr0 - ai[0] * twi0,
+                  ar[1] * twr0 - ai[1] * twi0)
+            bi = (ar[0] * twi0 + ai[0] * twr0,
+                  ar[1] * twi0 + ai[1] * twr0)
+            rows_hi.append((br[0], bi[0]))
+            rows_lo.append((br[1], bi[1]))
+        _tail_stage2(n1, n2, bs, dtype, rows_hi, rows_lo, f2d_ref, mag_ref)
+        return
+
     twrh, twih = twr_h_ref[:], twi_h_ref[:]
     twrl, twil = twr0 - twrh, twi0 - twih
 
@@ -539,8 +565,6 @@ def _real_mag_tail(n1, n2, bs, dtype, chans,
         e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
         return two_sum(p, e + (a0 * b1 + a1 * b0))
 
-    # ---- twiddle per channel + regroup to stream-major rows ------------
-    rows_hi, rows_lo = [], []
     for ar, ai in chans:
         arh, arl = vsplit(ar[0])
         aih, ail = vsplit(ai[0])
@@ -552,6 +576,11 @@ def _real_mag_tail(n1, n2, bs, dtype, chans,
         bi = df_add(qr, qi)
         rows_hi.append((br[0], bi[0]))
         rows_lo.append((br[1], bi[1]))
+    _tail_stage2(n1, n2, bs, dtype, rows_hi, rows_lo, f2d_ref, mag_ref)
+
+
+def _tail_stage2(n1, n2, bs, dtype, rows_hi, rows_lo, f2d_ref, mag_ref):
+    """Regroup to stream-major rows, kept-half stage 2, magnitude."""
 
     def stack(parts):
         # rows (si, c, k1): stream-major, then channel, then block row
@@ -653,7 +682,8 @@ def _kernel_plan_real3(n: int, bs: int):
             vsplit_host(twr_hi), vsplit_host(twi_hi))
 
 
-def _kernel_real_mag3(n1, n2, bs, a, ddt, x_ref, w_hi_ref, w_lo_ref,
+def _kernel_real_mag3(n1, n2, bs, a, ddt, twiddle, x_ref, w_hi_ref,
+                      w_lo_ref,
                       sel_ref,
                       c02_ref, c13_ref, f2d_ref,
                       twr_hi_ref, twr_lo_ref, twi_hi_ref, twi_lo_ref,
@@ -727,7 +757,26 @@ def _kernel_real_mag3(n1, n2, bs, a, ddt, x_ref, w_hi_ref, w_lo_ref,
 
     _real_mag_tail(n1, n2, bs, dtype, chans,
                    twr_hi_ref, twr_lo_ref, twi_hi_ref, twi_lo_ref,
-                   twr_h_ref, twi_h_ref, f2d_ref, mag_ref)
+                   twr_h_ref, twi_h_ref, f2d_ref, mag_ref, twiddle)
+
+
+def _twiddle_choice() -> str:
+    """Outer-twiddle accuracy tier: "f32" (single-rounding, the default)
+    or "df" (fully compensated Dekker products).
+
+    Default rationale, all measured on v5e: f32 is 20%/17%/12% faster at
+    N=4096/16384/65536 (0.576 vs 0.720 us/frame at 4096 int8) and its
+    END-TO-END accuracy through the windowed spectrum pipeline is
+    indistinguishable from df (4.02e-6 vs 3.99e-6 dB at N=4096, 8.45e-6
+    vs 8.6e-6 at 65536 vs the float64 oracle) — the pipeline's residual
+    error is dominated by the df window product and magnitude floor, not
+    the twiddle rounding.  Raw |rFFT| worst case at the -120dB-of-peak
+    edge: 1.5e-7 vs 1e-7 relative.  WAVEFORM_TPU_KERNEL_TWIDDLE=df
+    restores the compensated chain for applications that consume raw
+    magnitudes at extreme dynamic range.  Env-only: accuracy tiers are a
+    user decision, not a plan the tuner may silently flip."""
+    env = os.environ.get("WAVEFORM_TPU_KERNEL_TWIDDLE")
+    return env if env in ("df", "f32") else "f32"
 
 
 def _digit_dtype_choice(n: int) -> str:
@@ -825,11 +874,12 @@ def _lane_selector(n2: int, bs: int) -> np.ndarray:
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("interpret", "split", "ddt", "bs"))
+                   static_argnames=("interpret", "split", "ddt", "bs",
+                                    "twiddle"))
 def rfft_pair_mag_packed(x4: jnp.ndarray, w_hi: jnp.ndarray,
                          w_lo: jnp.ndarray, interpret: bool = False,
                          split: int = 2, ddt: str = "bf16",
-                         bs: int | None = None):
+                         bs: int | None = None, twiddle: str = "df"):
     """Raw channel-pair windows -> |rFFT| magnitudes + silence counts.
 
     ``x4``: [S, 2, N1, N2] f32 raw samples.  Returns ``(mag4, nzcount)``:
@@ -872,7 +922,8 @@ def rfft_pair_mag_packed(x4: jnp.ndarray, w_hi: jnp.ndarray,
     if split == 3:
         (n1, n2, a, c02, c13, f2d, twr_hi, twr_lo,
          twi_hi, twi_lo, twr_h, twi_h) = _kernel_plan_real3(n, bs)
-        kernel = functools.partial(_kernel_real_mag3, n1, n2, bs, a, ddt)
+        kernel = functools.partial(_kernel_real_mag3, n1, n2, bs, a, ddt,
+                                   twiddle)
         const_specs = [
             pl.BlockSpec((4 * a, 10 * 2 * a), lambda i: (0, 0),
                          memory_space=vm),
@@ -887,7 +938,8 @@ def rfft_pair_mag_packed(x4: jnp.ndarray, w_hi: jnp.ndarray,
     else:
         (n1, n2, f1d, f2d, twr_hi, twr_lo,
          twi_hi, twi_lo, twr_h, twi_h) = _kernel_plan_real(n, bs)
-        kernel = functools.partial(_kernel_real_mag, n1, n2, bs, ddt)
+        kernel = functools.partial(_kernel_real_mag, n1, n2, bs, ddt,
+                                   twiddle)
         const_specs = [
             pl.BlockSpec((4 * n1, 10 * two_n1), lambda i: (0, 0),
                          memory_space=vm),
@@ -938,7 +990,8 @@ def rfft_pair_mag_kernel(x, nbins: int | None = None, window=None,
         w_hi, w_lo = window
     mag4, nzc = rfft_pair_mag_packed(
         x.reshape(S, 2, n1, n2), w_hi, w_lo, interpret=interpret,
-        split=_stage1_split(n), ddt=_digit_dtype_choice(n))
+        split=_stage1_split(n), ddt=_digit_dtype_choice(n),
+        twiddle=_twiddle_choice())
     # block coords -> flat bins k = k1 + n1*k2 (kernel keeps k2 < n2//2)
     mag = jnp.swapaxes(mag4, -1, -2).reshape(S, 2, n // 2)
     mag = mag[..., :nbins].reshape(*shp, 2, nbins)

@@ -313,22 +313,64 @@ def _kernel_dtypes(ddt: str):
     return jnp.bfloat16, jnp.float32
 
 
-def _slice4(hi, lo, s_inv, dtype=jnp.bfloat16):
-    """4-digit slice of a df32 block scaled to [-1, 1] (VMEM-resident).
+# fixed-point geometry of the parallel extraction (see _slice4):
+# i = rint(r * 2^TOP) decomposes into 4 balanced base-128 fields
+_SLICE_TOP = FIRST_SHIFT + (_N_DIGITS - 1) * DIGIT_BITS        # 27
+_SLICE_BIAS = sum(64 << (_SLICE_TOP - FIRST_SHIFT - DIGIT_BITS * k)
+                  for k in range(_N_DIGITS))
+
+
+def _slice4(hi, lo, s_inv, dtype=jnp.bfloat16, exact: bool = False):
+    """4-digit slice of a df32 block scaled to [-1/2, 1/2] (VMEM-resident).
 
     Digits come out as bf16 by default: the values are integers <= 64,
     exactly representable, and bf16 operands keep the MXU dots
     single-pass — f32 operands at DEFAULT precision lower to the 3-pass
-    bf16x3 schedule (measured 2.0x end-to-end on the N=16384 kernel)."""
-    r = hi * s_inv
+    bf16x3 schedule (measured 2.0x end-to-end on the N=16384 kernel).
+
+    Two formulations, selected by the kernel accuracy tier:
+
+    * ``exact=False`` (fast tier, default): PARALLEL extraction — one
+      fixed-point conversion ``i = rint(r·2^27)`` (plus the lo word's),
+      then four INDEPENDENT offset-binary field extracts
+      ``d_k = ((i + BIAS) >> s_k) & 127 − 64``.  Reconstruction is exact
+      by construction (Σ d_k·2^{s_k} = i) and every digit is bounded by
+      64, so the MXU exactness invariants are identical to the serial
+      form; what changes is the representation floor: the single f32
+      product r·2^27 rounds at r's own ulp (~2^-25 relative) instead of
+      the serial chain's 2^-27 absolute truncation — the same ~1.5e-7
+      error class as the fast twiddle tier it ships with (measured
+      end-to-end indistinguishable; see _twiddle_choice).  Removing the
+      4-step serial round/subtract dependency measured 0.463 vs 0.578
+      µs/frame at N=4096/S=256 on v5e (+20% end-to-end).
+      The per-lane pow2 scale guarantees |r| ≤ 1/2 (the +1 exponent
+      margin in _pow2_scale_axis), so |i| ≤ 2^26 + the lo word's few
+      counts: the top offset-binary field cannot overflow.
+    * ``exact=True`` (df tier): the serial round/subtract chain, whose
+      residuals keep r's full mantissa down to 2^-27 absolute — the
+      ~1e-9-relative floor the compensated twiddle tier needs.
+    """
+    if exact:
+        r = hi * s_inv
+        digits = []
+        for k in range(_N_DIGITS):
+            if k == 3:
+                r = r + lo * s_inv
+            sc = jnp.float32(2.0 ** (FIRST_SHIFT + DIGIT_BITS * k))
+            d = jnp.round(r * sc)
+            digits.append(d.astype(dtype))
+            r = r - d / sc
+        return digits
+
+    sc = jnp.float32(2.0 ** _SLICE_TOP)
+    i = (jnp.rint(hi * s_inv * sc).astype(jnp.int32)
+         + jnp.rint(lo * s_inv * sc).astype(jnp.int32))
+    u = i + jnp.int32(_SLICE_BIAS)
     digits = []
     for k in range(_N_DIGITS):
-        if k == 3:
-            r = r + lo * s_inv
-        sc = jnp.float32(2.0 ** (FIRST_SHIFT + DIGIT_BITS * k))
-        d = jnp.round(r * sc)
+        sh = _SLICE_TOP - FIRST_SHIFT - DIGIT_BITS * k
+        d = jnp.bitwise_and(jnp.right_shift(u, sh), 127) - 64
         digits.append(d.astype(dtype))
-        r = r - d / sc
     return digits
 
 
@@ -383,7 +425,7 @@ def _core(n1, n2, bs, x_hi, x_lo, f1d_ref, f2d_ref,
     # ---- stage 1: A = F1b @ [x_r; x_i], digit-exact --------------------
     # per-column scales (isolation per stream lane): _pow2_scale_axis
     s, s_inv = _pow2_scale_axis(x_hi, axis=1)
-    digits = _slice4(x_hi, x_lo, s_inv)
+    digits = _slice4(x_hi, x_lo, s_inv, exact=True)
     a_hi, a_lo = _digit_stage(f1d_ref, digits, s, left=True)
 
     ar = (a_hi[:n1, :], a_lo[:n1, :])          # [n1, bs*n2] df
@@ -409,7 +451,7 @@ def _core(n1, n2, bs, x_hi, x_lo, f1d_ref, f2d_ref,
 
     # ---- stage 2: C = B @ F2b, digit-exact (per-row scales) -------------
     s2, s2_inv = _pow2_scale_axis(b_hi, axis=0)
-    digits2 = _slice4(b_hi, b_lo, s2_inv)
+    digits2 = _slice4(b_hi, b_lo, s2_inv, exact=True)
     return _digit_stage(f2d_ref, digits2, s2, left=False)
 
 
@@ -495,7 +537,7 @@ def _kernel_real_mag(n1, n2, bs, ddt, twiddle, x_ref, w_hi_ref,
     # channel row halves): see _pow2_scale_axis
     dtype = _kernel_dtypes(ddt)[0]
     s, s_inv = _pow2_scale_axis(x_hi, axis=1)
-    digits = _slice4(x_hi, x_lo, s_inv, dtype)
+    digits = _slice4(x_hi, x_lo, s_inv, dtype, exact=twiddle == "df")
     a_hi, a_lo = _digit_stage(f1d_ref, digits, s, left=True)  # [4n1, bs*n2]
 
     chans = []
@@ -546,7 +588,8 @@ def _real_mag_tail(n1, n2, bs, dtype, chans,
                   ar[1] * twi0 + ai[1] * twr0)
             rows_hi.append((br[0], bi[0]))
             rows_lo.append((br[1], bi[1]))
-        _tail_stage2(n1, n2, bs, dtype, rows_hi, rows_lo, f2d_ref, mag_ref)
+        _tail_stage2(n1, n2, bs, dtype, rows_hi, rows_lo, f2d_ref, mag_ref,
+                     exact=False)
         return
 
     twrh, twih = twr_h_ref[:], twi_h_ref[:]
@@ -576,10 +619,12 @@ def _real_mag_tail(n1, n2, bs, dtype, chans,
         bi = df_add(qr, qi)
         rows_hi.append((br[0], bi[0]))
         rows_lo.append((br[1], bi[1]))
-    _tail_stage2(n1, n2, bs, dtype, rows_hi, rows_lo, f2d_ref, mag_ref)
+    _tail_stage2(n1, n2, bs, dtype, rows_hi, rows_lo, f2d_ref, mag_ref,
+                 exact=True)
 
 
-def _tail_stage2(n1, n2, bs, dtype, rows_hi, rows_lo, f2d_ref, mag_ref):
+def _tail_stage2(n1, n2, bs, dtype, rows_hi, rows_lo, f2d_ref, mag_ref,
+                 exact: bool = False):
     """Regroup to stream-major rows, kept-half stage 2, magnitude."""
 
     def stack(parts):
@@ -597,7 +642,7 @@ def _tail_stage2(n1, n2, bs, dtype, rows_hi, rows_lo, f2d_ref, mag_ref):
     # per-row scales: rows are (si, c, k1)-major, so every (stream,
     # channel, k1) row keeps its own scale — see _pow2_scale_axis
     s2, s2_inv = _pow2_scale_axis(b_hi, axis=0)
-    digits2 = _slice4(b_hi, b_lo, s2_inv, dtype)
+    digits2 = _slice4(b_hi, b_lo, s2_inv, dtype, exact)
     c_hi, c_lo = _digit_stage(f2d_ref, digits2, s2, left=False)
     # cols [C_r | C_i] of the kept n2/2 bins
     keep = n2 // 2
@@ -730,11 +775,14 @@ def _kernel_real_mag3(n1, n2, bs, a, ddt, twiddle, x_ref, w_hi_ref,
     # per-column scales: U02/U13 columns are [c0 streams | c1 streams],
     # so every (channel, stream) lane is isolated (see _pow2_scale_axis)
     dtype = _kernel_dtypes(ddt)[0]
+    exact = twiddle == "df"
     sA, sA_inv = _pow2_scale_axis(U02[0], axis=1)
-    a02 = _digit_stage(c02_ref, _slice4(U02[0], U02[1], sA_inv, dtype), sA,
+    a02 = _digit_stage(c02_ref,
+                       _slice4(U02[0], U02[1], sA_inv, dtype, exact), sA,
                        left=True)                      # [4a, 2M]
     sB, sB_inv = _pow2_scale_axis(U13[0], axis=1)
-    a13 = _digit_stage(c13_ref, _slice4(U13[0], U13[1], sB_inv, dtype), sB,
+    a13 = _digit_stage(c13_ref,
+                       _slice4(U13[0], U13[1], sB_inv, dtype, exact), sB,
                        left=True)
 
     # ---- reassemble chunk-major [n1, M] (re, im) rows per channel ------

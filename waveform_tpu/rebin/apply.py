@@ -53,16 +53,29 @@ def make_rebin_fn(cfg: ResolvedConfig, *, apply_pixel_map: bool = True):
     # 8-tap gather IS a sparse matrix; filter_fma3.cpp:77-101).  The 2040
     # zero rows per column add exactly 0.0 in f32, so only the 8 real
     # taps reassociate — same ulp class as the einsum.  precision=HIGHEST
-    # keeps the f32 mantissa on the MXU's bf16 passes.  Default stays
-    # "gather" until the dense path measures faster on hardware.
-    dense = os.environ.get("WAVEFORM_TPU_REBIN", "gather") == "dense"
+    # keeps the f32 mantissa on the MXU's bf16 passes.
+    #
+    # MEASURED on v5e (r4, full tick at N=4096/S=256): dense 0.351 vs
+    # gather 0.386 ms/tick (+10% end-to-end; outputs within 1.5e-5 dB) —
+    # so dense is the TPU default up to 8192 input bins, where the
+    # materialized [nbins, P] matrix stays a few MB (at N=65536 it would
+    # be a 105 MB constant re-read every tick for 8 real taps/pixel —
+    # the gather keeps that sparse).  CPU keeps the gather (no MXU).
+    # rows = the config's bin-axis width (waveform mode repurposes
+    # fft_size as its pixel-buffer width; spectrum rebins num_bins)
+    from ..core.enums import DisplayMode
+    nbins_in = (cfg.fft_size
+                if cfg.display_mode == DisplayMode.WAVEFORM
+                else cfg.num_bins)
+    mode = os.environ.get("WAVEFORM_TPU_REBIN", "auto")
+    if mode not in ("dense", "gather"):
+        try:
+            on_tpu = jax.default_backend() == "tpu"
+        except Exception:   # backend init may fail mid-import
+            on_tpu = False
+        mode = "dense" if on_tpu and nbins_in <= 8192 else "gather"
+    dense = mode == "dense"
     if dense:
-        # rows = the config's bin-axis width (waveform mode repurposes
-        # fft_size as its pixel-buffer width; spectrum rebins num_bins)
-        from ..core.enums import DisplayMode
-        nbins_in = (cfg.fft_size
-                    if cfg.display_mode == DisplayMode.WAVEFORM
-                    else cfg.num_bins)
         imat = jnp.asarray(_interp_matrix(
             tables.taps, tables.weights, nbins_in))
 

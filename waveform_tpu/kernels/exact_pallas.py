@@ -379,8 +379,8 @@ def _dot(a, b, acc=jnp.float32):
                                preferred_element_type=acc)
 
 
-def _digit_stage(const_ref, digits, s, left: bool):
-    """Weight-class GEMMs + compensated recombination (VMEM).
+def _digit_stage(const_ref, digits, s, left: bool, exact: bool = True):
+    """Weight-class GEMMs + recombination (VMEM).
 
     ``const_ref`` holds the class-stacked DFT block matrix digits (bf16,
     see ``stacked_classes``); ``left`` selects C @ X vs X @ C.  Class t
@@ -388,6 +388,17 @@ def _digit_stage(const_ref, digits, s, left: bool):
     MXU pipes and 4 dots/stage instead of 10.  Exact: stacked integer
     partial sums stay <= 4*256*2^12 = 2^22 < 2^24 in the f32
     accumulator.  Mirrors exactfft._digit_gemm for MAX_T=3.
+
+    Recombination tiers (the dots are EXACT either way; only how the
+    four weighted class sums fold differs):
+
+    * ``exact=True``: TwoSum-compensated — the df pair carries the
+      rounding of v0 + tail (~1e-9-relative chain)
+    * ``exact=False`` (fast tier): plain f32 sum, lo ≡ 0 — one rounding
+      per add (~2^-24 of |v|), the same ~1.5e-7 class as the fast
+      twiddle/slice tiers; deletes the serial TwoSum from between the
+      MXU stages (measured with the fast magnitude: 0.462 → 0.374
+      µs/frame at N=4096/S=256 on v5e)
     """
     acc = jnp.int32 if digits[0].dtype == jnp.int8 else jnp.float32
     k1 = digits[0].shape[0 if left else 1]   # single-plane K
@@ -407,6 +418,11 @@ def _digit_stage(const_ref, digits, s, left: bool):
     def weighted(t, v):
         return v.astype(jnp.float32) * (
             jnp.float32(2.0 ** -(2 * FIRST_SHIFT + DIGIT_BITS * t)) * s)
+
+    if not exact:
+        v = (weighted(0, dots[0]) + weighted(1, dots[1])
+             + weighted(2, dots[2]) + weighted(3, dots[3]))
+        return v, jnp.zeros_like(v)
 
     v0 = weighted(0, dots[0])
     tail = weighted(3, dots[3])
@@ -536,9 +552,11 @@ def _kernel_real_mag(n1, n2, bs, ddt, twiddle, x_ref, w_hi_ref,
     # per-column scales (each column = one stream's lane across both
     # channel row halves): see _pow2_scale_axis
     dtype = _kernel_dtypes(ddt)[0]
+    ex = twiddle == "df"
     s, s_inv = _pow2_scale_axis(x_hi, axis=1)
-    digits = _slice4(x_hi, x_lo, s_inv, dtype, exact=twiddle == "df")
-    a_hi, a_lo = _digit_stage(f1d_ref, digits, s, left=True)  # [4n1, bs*n2]
+    digits = _slice4(x_hi, x_lo, s_inv, dtype, exact=ex)
+    a_hi, a_lo = _digit_stage(f1d_ref, digits, s, left=True,
+                              exact=ex)            # [4n1, bs*n2]
 
     chans = []
     for c in (0, 1):
@@ -625,7 +643,12 @@ def _real_mag_tail(n1, n2, bs, dtype, chans,
 
 def _tail_stage2(n1, n2, bs, dtype, rows_hi, rows_lo, f2d_ref, mag_ref,
                  exact: bool = False):
-    """Regroup to stream-major rows, kept-half stage 2, magnitude."""
+    """Regroup to stream-major rows, kept-half stage 2, magnitude.
+
+    The fast tier (exact=False) folds the df pair once and squares in
+    plain f32 — one rounding per op, the tier's ~1.5e-7 class — instead
+    of the df products + TwoSum ladder (measured +11% end-to-end at
+    N=4096/S=256)."""
 
     def stack(parts):
         # rows (si, c, k1): stream-major, then channel, then block row
@@ -643,7 +666,7 @@ def _tail_stage2(n1, n2, bs, dtype, rows_hi, rows_lo, f2d_ref, mag_ref,
     # channel, k1) row keeps its own scale — see _pow2_scale_axis
     s2, s2_inv = _pow2_scale_axis(b_hi, axis=0)
     digits2 = _slice4(b_hi, b_lo, s2_inv, dtype, exact)
-    c_hi, c_lo = _digit_stage(f2d_ref, digits2, s2, left=False)
+    c_hi, c_lo = _digit_stage(f2d_ref, digits2, s2, left=False, exact=exact)
     # cols [C_r | C_i] of the kept n2/2 bins
     keep = n2 // 2
     # clamp to +-2^63 before squaring: past ~2^64.5 the square overflows
@@ -651,12 +674,17 @@ def _tail_stage2(n1, n2, bs, dtype, rows_hi, rows_lo, f2d_ref, mag_ref,
     # finite huge magnitude that decays; inert for any real signal
     # (exactfft._df_mag applies the same bound)
     lim = jnp.float32(2.0 ** 63)
-    cr = (jnp.clip(c_hi[:, :keep], -lim, lim), c_lo[:, :keep])
-    ci = (jnp.clip(c_hi[:, keep:], -lim, lim), c_lo[:, keep:])
-    rr = df_mul(cr, cr)
-    ii = df_mul(ci, ci)
-    s0, e0 = two_sum(rr[0], ii[0])
-    mag = jnp.sqrt(jnp.maximum(s0 + (e0 + rr[1] + ii[1]), 0.0))
+    if exact:
+        cr = (jnp.clip(c_hi[:, :keep], -lim, lim), c_lo[:, :keep])
+        ci = (jnp.clip(c_hi[:, keep:], -lim, lim), c_lo[:, keep:])
+        rr = df_mul(cr, cr)
+        ii = df_mul(ci, ci)
+        s0, e0 = two_sum(rr[0], ii[0])
+        mag = jnp.sqrt(jnp.maximum(s0 + (e0 + rr[1] + ii[1]), 0.0))
+    else:
+        cr = jnp.clip(c_hi[:, :keep] + c_lo[:, :keep], -lim, lim)
+        ci = jnp.clip(c_hi[:, keep:] + c_lo[:, keep:], -lim, lim)
+        mag = jnp.sqrt(cr * cr + ci * ci)
     # note: transposing to flat bin order here (one VMEM swapaxes, making
     # the XLA-side reshape free) measured SLOWER end-to-end on v5e — 578k
     # vs 596-604k frames/s headline — the cross-tile relayout costs more
@@ -779,11 +807,11 @@ def _kernel_real_mag3(n1, n2, bs, a, ddt, twiddle, x_ref, w_hi_ref,
     sA, sA_inv = _pow2_scale_axis(U02[0], axis=1)
     a02 = _digit_stage(c02_ref,
                        _slice4(U02[0], U02[1], sA_inv, dtype, exact), sA,
-                       left=True)                      # [4a, 2M]
+                       left=True, exact=exact)         # [4a, 2M]
     sB, sB_inv = _pow2_scale_axis(U13[0], axis=1)
     a13 = _digit_stage(c13_ref,
                        _slice4(U13[0], U13[1], sB_inv, dtype, exact), sB,
-                       left=True)
+                       left=True, exact=exact)
 
     # ---- reassemble chunk-major [n1, M] (re, im) rows per channel ------
     chans = []

@@ -173,12 +173,13 @@ def main() -> int:
         peak = V5E_PEAK_TFLOPS[c["ddt"]]
         mxu_u = tf / peak
         hbm_u = gbs / V5E_PEAK_HBM_GBS
-        # when neither unit is near its roof, the serial VPU work between
-        # the dots (digit slicing, df twiddle/recombination, EMA) is what
-        # the kernel is waiting on — the honest verdict, since VPU
-        # op counts have no public peak to normalize against
+        # when neither unit is near its roof, the serial VPU/relayout
+        # work between the dots (slicing, twiddle, the stage-2 regroup)
+        # plus fixed per-tick overhead is what the kernel waits on — the
+        # honest verdict, since VPU op counts have no public peak to
+        # normalize against
         if max(mxu_u, hbm_u) < 0.4:
-            binds = "VPU/df-arith (MXU and HBM both under 40%)"
+            binds = "VPU/serial (MXU and HBM both under 40%)"
         else:
             binds = "MXU" if mxu_u >= hbm_u else "HBM"
         return (f"{tf:.1f} TFLOP/s ({c['ddt']}, {100 * mxu_u:.0f}% of "

@@ -164,10 +164,15 @@ def measure(n: int, streams: int = 64, ticks: int = 0, reps: int = 8,
                 return m.reshape(S, 2, n2 // 2, n1).swapaxes(-1, -2)
         else:
             split, ddt, bs = tag
+            # measure the accuracy tier production resolves (fast by
+            # default; WAVEFORM_TPU_KERNEL_TWIDDLE=df tunes the exact
+            # tier instead) — the tuner must time what serving will run
+            from ..kernels.exact_pallas import _twiddle_choice
+            twd = _twiddle_choice()
 
             def mag_fn(x4):
                 return rfft_pair_mag_packed(x4, w, wz, split=split,
-                                            ddt=ddt, bs=bs)[0]
+                                            ddt=ddt, bs=bs, twiddle=twd)[0]
 
         def run(x4):
             def body(carry, _):

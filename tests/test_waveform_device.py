@@ -248,3 +248,50 @@ def test_multi_engine_routes_waveform_to_device_engine():
     after = scene.read_decibels(w0)
     assert np.isfinite(after).all()
     assert scene.read_decibels(w1).shape == after.shape
+
+
+def test_waveform_cohort_matches_solo_engines():
+    """Two waveform groups sharing a packed row width fuse into ONE upload
+    cohort (r4 closes the last cohort gap — all three engine families now
+    speak the packed-row contract), and the fusion is a transfer-layer
+    change only: the scene must produce bit-identical displays to
+    standalone DeviceWaveformEngines fed the same audio."""
+    from waveform_tpu.runtime.multi import MultiEngine
+    from waveform_tpu.runtime.waveform_device import DeviceWaveformEngine
+
+    cfg_a = cfg_for(width=128, meter_buf=100)
+    cfg_b = cfg_for(width=128, meter_buf=100, fast_peaks=True)
+    assert cfg_a != cfg_b                      # two groups…
+    scene = MultiEngine()
+    a0, a1 = scene.add_stream(cfg_a), scene.add_stream(cfg_a)
+    b0 = scene.add_stream(cfg_b)
+
+    ref_a = DeviceWaveformEngine(cfg_a, 2)
+    ref_b = DeviceWaveformEngine(cfg_b, 1)
+    assert ref_a.packed_width == ref_b.packed_width   # …one cohort
+
+    rng = np.random.default_rng(11)
+    now = NS
+    for k in range(20):
+        pkts = [0.4 * rng.standard_normal((2, 480)).astype(np.float32)
+                for _ in range(3)]
+        if k % 7 == 3:
+            pkts[1] = np.zeros((2, 480), np.float32)  # silent stretch
+        for sid, j in [(a0, 0), (a1, 1), (b0, 2)]:
+            scene.feed(sid, pkts[j], now, now_ns=now)
+        ref_a.feed(0, pkts[0], now, now_ns=now)
+        ref_a.feed(1, pkts[1], now, now_ns=now)
+        ref_b.feed(0, pkts[2], now, now_ns=now)
+        now += 480 * NS // SR
+        scene.tick(now_ns=now)
+        ref_a.tick(now_ns=now)
+        ref_b.tick(now_ns=now)
+
+    assert len(scene._cohorts) == 1
+    assert len(scene._cohorts[0]["engines"]) == 2
+    np.testing.assert_array_equal(scene.read_decibels(a0),
+                                  ref_a.render_values()[0])
+    np.testing.assert_array_equal(scene.read_decibels(a1),
+                                  ref_a.render_values()[1])
+    np.testing.assert_array_equal(scene.read_decibels(b0),
+                                  ref_b.render_values()[0])

@@ -9,9 +9,10 @@ compiled program, all sharing the chip.
 
 :class:`MultiEngine` is that grouping: add streams with any config, feed
 and tick them through one object.  Spectrum configs ride
-:class:`ServingEngine`, meter configs :class:`MeterServingEngine` (both
-device-resident, packed-upload, cohort-fusable); waveform configs ride
-:class:`WaveformEngine`.
+:class:`ServingEngine`, meter configs :class:`MeterServingEngine`,
+waveform configs :class:`DeviceWaveformEngine` — all device-resident,
+packed-upload, and cohort-fusable (groups sharing a packed row width
+split one uploaded block).
 """
 
 from __future__ import annotations
@@ -133,11 +134,17 @@ class MultiEngine:
         self._rebuild_cohorts()
 
     def _rebuild_cohorts(self):
-        # upload cohorts: spectrum groups sharing a packed row width
-        by_width: dict[int, list[ServingEngine]] = {}
+        # upload cohorts: groups sharing a packed row width.  All three
+        # engine families speak the packed-row contract (packed_width /
+        # _bind_external / _assemble / bind_cohort / tick_from_cohort) —
+        # spectrum and meter rows are (C*H samples, [rms], 3 meta) and
+        # waveform rows add the W gather indices + 5 meta, so waveform
+        # groups typically cohort with each other while spectrum+meter
+        # groups can share one block
+        by_width: dict[int, list] = {}
         self._solo = []
         for eng in self._engines.values():
-            if isinstance(eng, ServingEngine):
+            if hasattr(eng, "bind_cohort"):
                 by_width.setdefault(eng.packed_width, []).append(eng)
             else:
                 self._solo.append(eng)

@@ -108,21 +108,28 @@ class DeviceWaveformEngine:
         else:
             self.rms_ring = None
 
-        # double-buffered host staging with completion fences: jit-argument
-        # transfers may be consumed after dispatch returns, so a tick must
-        # not overwrite host memory an in-flight tick still reads (same
-        # scheme as ServingEngine._bind_buf)
-        self._host_bufs = [
-            (np.zeros((num_streams, C, self.H), np.float32),
-             np.zeros((num_streams, self.H), np.float32))
+        # All host-side per-tick inputs ride ONE packed [S, packed_width]
+        # upload — samples, RMS squares, the per-pixel gather rows and the
+        # 5 meta columns (counts, n, run, timeout, reserve) — exactly the
+        # ServingEngine discipline (serving.py:156-173): over links where
+        # every transfer pays a round trip this turns the waveform tick's
+        # former 8 transfers into 1, and it is what lets waveform groups
+        # join MultiEngine upload cohorts.  Double-buffered with completion
+        # fences: jit-argument transfers may be consumed after dispatch
+        # returns, so a tick must not overwrite host memory an in-flight
+        # tick still reads (same scheme as ServingEngine._bind_buf).
+        self._bufs = [
+            np.zeros((num_streams, self.packed_width), np.float32)
             for _ in range(2)]
         self._fences: list = [None, None]
         self._flip = 0
         # fence arms only on XLA:CPU (see ServingEngine: accelerator clients
         # stage transfers during the call; CPU may defer the host read)
         self._fence_on = jax.default_backend() == "cpu"
-        self._push_buf, self._rms_buf = self._host_bufs[0]
-        self._step = jax.jit(self._make_step(), donate_argnums=(0, 1, 2, 9))
+        self._bind_external(self._bufs[0])
+        self._build_device_programs()
+        self._tick_cohort = None
+        self._row0 = 0
 
     # ------------------------------------------------------------------
 
@@ -220,6 +227,94 @@ class DeviceWaveformEngine:
 
         return step
 
+    # -- packed upload + cohort interface (the ServingEngine contract) ---
+
+    @property
+    def packed_width(self) -> int:
+        """Row width of the packed per-tick upload: C*H samples, the H RMS
+        squares only under volume normalization, the W per-pixel gather
+        indices (exact in float32: they are < L < 2**24), and 5 meta
+        columns (counts, n, run, timeout, reserve)."""
+        R = self.H if self._normalize else 0
+        return self.C * self.H + R + self.W + 5
+
+    def _bind_external(self, view: np.ndarray) -> None:
+        """Point the assembly views at an externally owned packed block (a
+        row slice of a cohort buffer; the caller owns double-buffering and
+        fences) — same contract as ServingEngine._bind_external."""
+        CH, H, W = self.C * self.H, self.H, self.W
+        R = H if self._normalize else 0
+        self._in_buf = view
+        self._push_buf = view[:, :CH].reshape(-1, self.C, H)
+        self._rms_buf = view[:, CH:CH + R]
+        self._idx_buf = view[:, CH + R:CH + R + W]
+        self._meta_buf = view[:, CH + R + W:]
+
+    def _bind_buf(self, i: int) -> None:
+        if self._bufs is None:   # released by bind_cohort
+            self._bufs = [
+                np.zeros((self.S, self.packed_width), np.float32)
+                for _ in range(2)]
+        fence = self._fences[i]
+        if fence is not None:
+            jax.block_until_ready(fence)
+            self._fences[i] = None
+        self._bind_external(self._bufs[i])
+
+    def _build_device_programs(self) -> None:
+        step = self._make_step()
+        C, H, W = self.C, self.H, self.W
+        normalize = self._normalize
+        R = H if normalize else 0
+
+        def packed_tick(flat, ring, buf, latch, rms_ring=None):
+            s = flat.shape[0]
+            new = flat[:, :C * H].reshape(s, C, H)
+            off = C * H
+            rms_sq = flat[:, off:off + R] if normalize else None
+            off += R
+            idx = flat[:, off:off + W].astype(jnp.int32)
+            off += W
+            counts = flat[:, off].astype(jnp.int32)
+            n = flat[:, off + 1].astype(jnp.int32)
+            run = flat[:, off + 2] > 0.5
+            timeout = flat[:, off + 3] > 0.5
+            reserve = flat[:, off + 4].astype(jnp.int32)
+            return step(ring, buf, latch, new, counts, idx, n, run,
+                        timeout, rms_ring, rms_sq, reserve)
+
+        self._packed_tick_fn = packed_tick
+        self._tick_packed = jax.jit(packed_tick, donate_argnums=(1, 2, 3, 4))
+
+    def bind_cohort(self, row0: int) -> None:
+        """Compile the cohort tick: this engine's rows live at
+        [row0, row0+S) of a shared uploaded block (one transfer serves
+        every engine in the cohort; see MultiEngine)."""
+        pt = self._packed_tick_fn
+        S = self.S
+        self._row0 = row0
+
+        def cohort_tick(cohort, ring, buf, latch, rms_ring=None):
+            flat = jax.lax.slice_in_dim(cohort, row0, row0 + S, axis=0)
+            return pt(flat, ring, buf, latch, rms_ring)
+
+        # cohort is NOT donated: sibling engines read other row blocks
+        self._tick_cohort = jax.jit(cohort_tick, donate_argnums=(1, 2, 3, 4))
+        self._bufs = None   # dead weight in cohort mode (see ServingEngine)
+        self._fences = [None, None]
+
+    def tick_from_cohort(self, cohort_dev, now_ns: int,
+                         dt: float | None = None):
+        """Dispatch this engine's tick against an already-uploaded cohort
+        block (``_bind_external`` + ``_assemble`` must have run for this
+        tick before the cohort was uploaded).  Returns the non-donated
+        completion token (the display buffer is donated into the next
+        step; read it via :attr:`display`/:meth:`render_values`)."""
+        self.ring, self.buf, self.latch, self.rms_ring, token = \
+            self._tick_cohort(cohort_dev, self.ring, self.buf, self.latch,
+                              self.rms_ring)
+        return token
+
     # ------------------------------------------------------------------
 
     def feed(self, stream: int, data: np.ndarray | None, timestamp_ns: int,
@@ -279,28 +374,20 @@ class DeviceWaveformEngine:
 
     # ------------------------------------------------------------------
 
-    def tick(self, now_ns: int | None = None):
-        """One batched frame; returns on-device display [S, D, W]."""
-        now_ns = time.monotonic_ns() if now_ns is None else now_ns
+    def _assemble(self, now_ns: int) -> None:
+        """Fill the bound packed buffer: samples, RMS squares, per-pixel
+        gather rows and the 5 meta columns (the host half of the tick —
+        all int64 timestamp math stays here; TPU ints are 32-bit)."""
         cfg = self.cfg
-        S, C, W = self.S, self.C, self.W
+        W = self.W
         sr = cfg.audio.samples_per_sec
 
-        counts = np.zeros(S, np.int32)
-        n = np.zeros(S, np.int32)
-        run = np.zeros(S, bool)
-        timeout = np.zeros(S, bool)
-        reserves = np.zeros(S, np.int32)
-        idx = np.full((S, W), 1, np.int64)
-        self._flip ^= 1
-        fence = self._fences[self._flip]
-        if fence is not None:
-            jax.block_until_ready(fence)
-            self._fences[self._flip] = None
-        self._push_buf, self._rms_buf = self._host_bufs[self._flip]
+        meta = self._meta_buf
         self._push_buf[:] = 0.0
         if self._normalize:
             self._rms_buf[:] = 0.0
+        self._idx_buf[:] = 1.0
+        meta[:] = 0.0
 
         pix = np.arange(W, dtype=np.int64) * self.step_ns
 
@@ -314,7 +401,7 @@ class DeviceWaveformEngine:
                 # must keep tracking the newest audio — otherwise feed()'s
                 # queue trim punches a gap and a resume gathers garbled
                 # stale samples across it
-                timeout[i] = True
+                meta[i, 3] = 1.0     # timeout
             # consume up to the hop budget; any backlog stays queued and the
             # effective "newest sample" timestamp excludes it, so the gather
             # only references samples that are really in the device ring
@@ -330,7 +417,7 @@ class DeviceWaveformEngine:
             # extreme timestamp lead clamps (renders early) instead of
             # starving the gather forever (the host ring would grow)
             reserve = min(reserve, self._reserve_limit)
-            reserves[i] = reserve
+            meta[i, 4] = reserve
             # reference ring size this tick: last tick's reserve + arrivals,
             # trimmed (feed-side) to reserve + waveform window
             total = p.total + take
@@ -362,7 +449,7 @@ class DeviceWaveformEngine:
                     p.chunks[0] = head[:, use:]
                 p.queued -= use
                 got += use
-            counts[i] = take
+            meta[i, 0] = take      # counts
             p.total = total
 
             if hidden or total <= reserve:
@@ -381,26 +468,29 @@ class DeviceWaveformEngine:
             ts = p.waveform_ts + pix
             ok = (ts < stop_ts) & (ts >= p.waveform_ts)
             ni = int(np.argmin(ok)) if not ok.all() else W
-            n[i] = ni
+            meta[i, 1] = ni        # fresh pixels
             if ni > 0:
-                idx[i, :ni] = ts_to_frames(sr, audio_eff - ts[:ni]).clip(
-                    reserve + 1, total)
-            run[i] = True
+                # gather indices < L < 2**24: exact as float32 row entries
+                self._idx_buf[i, :ni] = ts_to_frames(
+                    sr, audio_eff - ts[:ni]).clip(reserve + 1, total)
+            meta[i, 2] = 1.0       # run
             p.waveform_ts += ni * self.step_ns
             p.total = reserve  # consumed down to the sync reserve
 
-        # without volume normalization the step's rms branch is compiled
-        # out — don't pay the [S, H] H2D upload (~1.6 MB/frame at S=256)
-        # for an argument the program never reads
-        rms_arg = (jnp.asarray(self._rms_buf)
-                   if self.cfg.normalize_volume else None)
-        self.ring, self.buf, self.latch, self.rms_ring, token = self._step(
-            self.ring, self.buf, self.latch,
-            jnp.asarray(self._push_buf), jnp.asarray(counts),
-            jnp.asarray(idx.astype(np.int32)), jnp.asarray(n),
-            jnp.asarray(run), jnp.asarray(timeout), self.rms_ring,
-            rms_arg, jnp.asarray(reserves))
-        # fence: the staging pair is safe to rewrite once this step ran
+    def tick(self, now_ns: int | None = None):
+        """One batched frame; returns on-device display [S, D, W].
+
+        All host-side inputs travel as ONE packed upload (``_in_buf``);
+        without volume normalization the row simply has no RMS block, so
+        the program never reads (or pays for) it."""
+        now_ns = time.monotonic_ns() if now_ns is None else now_ns
+        self._flip ^= 1
+        self._bind_buf(self._flip)
+        self._assemble(now_ns)
+        self.ring, self.buf, self.latch, self.rms_ring, token = \
+            self._tick_packed(self._in_buf, self.ring, self.buf,
+                              self.latch, self.rms_ring)
+        # fence: the staging buffer is safe to rewrite once this step ran
         if self._fence_on:
             self._fences[self._flip] = token
         return self.display

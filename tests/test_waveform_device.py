@@ -295,3 +295,47 @@ def test_waveform_cohort_matches_solo_engines():
                                   ref_a.render_values()[1])
     np.testing.assert_array_equal(scene.read_decibels(b0),
                                   ref_b.render_values()[0])
+
+
+def test_waveform_microbatch_matches_k1():
+    """microbatch=k flushes k assembled frames as ONE scan dispatch with
+    frame-identical semantics: after a multiple-of-k tick count the
+    display must be bit-identical to a k=1 engine fed the same audio
+    (the ServingEngine microbatch contract, extended to waveform in r4)."""
+    cfg = cfg_for(width=96, meter_buf=80)
+    e1 = DeviceWaveformEngine(cfg, 3)
+    e3 = DeviceWaveformEngine(cfg, 3, microbatch=3)
+
+    rng = np.random.default_rng(7)
+    now = NS
+    for k in range(12):          # 12 % 3 == 0: both engines fully flushed
+        for s in range(3):
+            pkt = 0.3 * rng.standard_normal((2, 480)).astype(np.float32)
+            if s == 1 and k % 5 == 2:
+                pkt = np.zeros((2, 480), np.float32)
+            e1.feed(s, pkt, now, now_ns=now)
+            e3.feed(s, pkt, now, now_ns=now)
+        now += 480 * NS // SR
+        e1.tick(now_ns=now)
+        e3.tick(now_ns=now)
+
+    np.testing.assert_array_equal(e3.render_values(), e1.render_values())
+    np.testing.assert_array_equal(e3.last_silent, e1.last_silent)
+
+
+def test_waveform_auto_microbatch_resolves():
+    """microbatch="auto" probes the link and locks in some k; frames keep
+    flowing throughout (probe ticks are plain k=1 ticks)."""
+    cfg = cfg_for(width=64, meter_buf=60)
+    eng = DeviceWaveformEngine(cfg, 2, microbatch="auto")
+    now = NS
+    for k in range(10):
+        t = (np.arange(480) + k * 480) / SR
+        x = (0.4 * np.sin(2 * np.pi * 660 * t)).astype(np.float32)
+        for s in range(2):
+            eng.feed(s, np.stack([x, x]), now, now_ns=now)
+        now += 480 * NS // SR
+        eng.tick(now_ns=now)
+    assert eng.microbatch >= 1 and not eng._mb_auto
+    vals = eng.render_values()
+    assert np.isfinite(vals).all() and vals.max() > -12

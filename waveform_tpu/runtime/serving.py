@@ -54,6 +54,48 @@ def chunked_put(x: np.ndarray, sharding=None):
     return jnp.concatenate(parts, axis=0)
 
 
+def link_rtt() -> float:
+    """Median round trip of a minimal dispatch on the default backend —
+    the per-dispatch overhead microbatching amortizes.  A trivial program
+    isolates launch+sync cost from compute/transfer."""
+    f = jax.jit(lambda x: x + 1.0)
+    x = jnp.zeros((), jnp.float32)
+    jax.block_until_ready(f(x))          # compile outside the timing
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        jax.block_until_ready(f(x))
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    return ts[len(ts) // 2]
+
+
+def choose_microbatch(budget: float, rtt: float, tick: float,
+                      mb_max: int = 8) -> int:
+    """The auto-microbatch latency policy (shared by every engine family):
+
+    * one tick already meets the budget → k=1 (lowest completion
+      latency; nothing to amortize)
+    * the non-RTT share fits the budget → the smallest k whose
+      amortized cost RTT/k + (tick−RTT) meets it
+    * budget unreachable (transfer/compute alone exceed it) → the
+      smallest k whose next doubling would shave less than 10% of
+      the non-RTT cost: amortization has flattened, and every further
+      k only worsens per-frame completion p99
+    """
+    rest = max(tick - rtt, 1e-6)
+    if tick <= budget:
+        return 1
+    if rest < budget:
+        need = rtt / (budget - rest)
+    else:
+        need = rtt / (0.2 * rest)   # RTT/(2k) <= 0.1*rest
+    k = 1
+    while k < mb_max and k < need:
+        k *= 2
+    return k
+
+
 class DeviceScalarCache:
     """Host value → cached device scalar, so steady-state ticks re-upload
     nothing but the packed input rows.  Bounded: clears wholesale past
@@ -664,47 +706,13 @@ class ServingEngine:
     _MB_MAX = 8             # worst-case completion grows one frame per k
 
     def _link_rtt(self) -> float:
-        """Median round trip of a minimal dispatch on this engine's
-        backend — the per-dispatch overhead k amortizes.  A trivial
-        program isolates launch+sync cost from compute/transfer."""
-        import jax
-
-        f = jax.jit(lambda x: x + 1.0)
-        x = jnp.zeros((), jnp.float32)
-        jax.block_until_ready(f(x))          # compile outside the timing
-        ts = []
-        for _ in range(5):
-            t0 = time.perf_counter()
-            jax.block_until_ready(f(x))
-            ts.append(time.perf_counter() - t0)
-        ts.sort()
-        return ts[len(ts) // 2]
+        return link_rtt()
 
     def _choose_microbatch(self, budget: float, rtt: float,
                            tick: float) -> int:
-        """The latency policy (VERDICT: probe RTT, meet the frame budget
-        when possible, else stop at diminishing returns):
-
-        * one tick already meets the budget → k=1 (lowest completion
-          latency; nothing to amortize)
-        * the non-RTT share fits the budget → the smallest k whose
-          amortized cost RTT/k + (tick−RTT) meets it
-        * budget unreachable (transfer/compute alone exceed it) → the
-          smallest k whose next doubling would shave less than 10% of
-          the non-RTT cost: amortization has flattened, and every further
-          k only worsens per-frame completion p99
-        """
-        rest = max(tick - rtt, 1e-6)
-        if tick <= budget:
-            return 1
-        if rest < budget:
-            need = rtt / (budget - rest)
-        else:
-            need = rtt / (0.2 * rest)   # RTT/(2k) <= 0.1*rest
-        k = 1
-        while k < self._MB_MAX and k < need:
-            k *= 2
-        return k
+        """See :func:`choose_microbatch` (the policy is shared with the
+        waveform engine's microbatch path)."""
+        return choose_microbatch(budget, rtt, tick, self._MB_MAX)
 
     def _tick_probe(self, now_ns: int, dt_f: float):
         """Auto-mode startup: run normal k=1 ticks, timing completion;

@@ -59,7 +59,8 @@ class DeviceWaveformEngine:
     """Batched oscilloscope serving for S independently-synced streams."""
 
     def __init__(self, cfg: ResolvedConfig, num_streams: int,
-                 hop_budget: int | None = None, max_lead_s: float = 0.25):
+                 hop_budget: int | None = None, max_lead_s: float = 0.25,
+                 microbatch: int | str = 1):
         if cfg.display_mode.value != "waveform":
             raise ValueError("DeviceWaveformEngine needs waveform mode")
         self.cfg = cfg
@@ -130,6 +131,20 @@ class DeviceWaveformEngine:
         self._build_device_programs()
         self._tick_cohort = None
         self._row0 = 0
+        # microbatch (k-frame scan flush), the ServingEngine live-path
+        # latency amortizer: k assembled packed slots flush as ONE scan
+        # dispatch with frame-identical semantics; "auto" probes the link
+        # RTT and picks k via the shared policy (serving.choose_microbatch)
+        self._mb_auto = microbatch == "auto"
+        self._mb_req = microbatch
+        self._mb = 1 if self._mb_auto else max(int(microbatch), 1)
+        self._mb_fill = 0
+        self._mb_slots: list = []
+        self._mb_bufs = None
+        self._mb_fences: list = [None, None]
+        self._mb_flip = 0
+        self._scan_packed = None
+        self._probe_ticks: list[float] = []
 
     # ------------------------------------------------------------------
 
@@ -482,8 +497,17 @@ class DeviceWaveformEngine:
 
         All host-side inputs travel as ONE packed upload (``_in_buf``);
         without volume normalization the row simply has no RMS block, so
-        the program never reads (or pays for) it."""
+        the program never reads (or pays for) it.
+
+        With ``microbatch=k`` the engine accumulates k assembled frames
+        and dispatches them as ONE scan every k-th tick (frame-identical
+        semantics; the display is up to k−1 frames behind between
+        flushes — the ServingEngine contract)."""
         now_ns = time.monotonic_ns() if now_ns is None else now_ns
+        if self._mb > 1:
+            return self._tick_microbatch(now_ns)
+        if self._mb_auto:
+            return self._tick_probe(now_ns)
         self._flip ^= 1
         self._bind_buf(self._flip)
         self._assemble(now_ns)
@@ -494,6 +518,86 @@ class DeviceWaveformEngine:
         if self._fence_on:
             self._fences[self._flip] = token
         return self.display
+
+    def _build_scan_packed(self) -> None:
+        """Compile the microbatch flush: k packed ticks chained through
+        one lax.scan (state carried on device).  The k slots arrive as
+        SEPARATE jit arguments, stacked inside the program — the same
+        one-round-trip shape ServingEngine measured out (serving.py)."""
+        pt = self._packed_tick_fn
+
+        def scan_packed(slots, ring, buf, latch, rms_ring=None):
+            def body(carry, flat):
+                ring, buf, latch, rms_ring = carry
+                ring, buf, latch, rms_ring, token = pt(flat, ring, buf,
+                                                       latch, rms_ring)
+                return (ring, buf, latch, rms_ring), token
+            (ring, buf, latch, rms_ring), tokens = jax.lax.scan(
+                body, (ring, buf, latch, rms_ring), jnp.stack(slots))
+            return ring, buf, latch, rms_ring, tokens[-1]
+
+        self._scan_packed = jax.jit(scan_packed, donate_argnums=(1, 2, 3, 4))
+
+    def _tick_microbatch(self, now_ns: int):
+        from .serving import H2D_CHUNK_BYTES, chunked_put
+        k = self._mb
+        if self._mb_bufs is None:
+            self._mb_bufs = [
+                np.zeros((k, self.S, self.packed_width), np.float32)
+                for _ in range(2)]
+        if self._mb_fill == 0:
+            self._mb_flip ^= 1
+            fence = self._mb_fences[self._mb_flip]
+            if fence is not None:
+                jax.block_until_ready(fence)
+                self._mb_fences[self._mb_flip] = None
+            self._mb_slots = []
+        slot = self._mb_bufs[self._mb_flip][self._mb_fill]
+        self._bind_external(slot)
+        self._assemble(now_ns)
+        self._mb_slots.append(slot)
+        self._mb_fill += 1
+        if self._mb_fill < k:
+            return self.display
+        self._mb_fill = 0
+        if self._scan_packed is None:
+            self._build_scan_packed()
+        slots = tuple(s if s.nbytes <= H2D_CHUNK_BYTES else chunked_put(s)
+                      for s in self._mb_slots)
+        self._mb_slots = []
+        self.ring, self.buf, self.latch, self.rms_ring, token = \
+            self._scan_packed(slots, self.ring, self.buf, self.latch,
+                              self.rms_ring)
+        if self._fence_on:
+            self._mb_fences[self._mb_flip] = token
+        return self.display
+
+    _PROBE_TICKS = 4     # k=1 ticks timed before deciding (first tick
+                         # carries the compile and is discarded)
+
+    def _tick_probe(self, now_ns: int):
+        """Auto-mode startup: run normal k=1 ticks, timing completion;
+        after _PROBE_TICKS decide k via the shared policy and lock it."""
+        from .serving import choose_microbatch, link_rtt
+        t0 = time.perf_counter()
+        self._mb_auto = False          # plain tick below
+        try:
+            out = self.tick(now_ns=now_ns)
+        finally:
+            self._mb_auto = True
+        jax.block_until_ready(out)
+        self._probe_ticks.append(time.perf_counter() - t0)
+        if len(self._probe_ticks) > self._PROBE_TICKS:
+            tick = float(np.median(self._probe_ticks[1:]))   # drop compile
+            k = choose_microbatch(1.0 / self.cfg.fps, link_rtt(), tick)
+            self._mb_auto = False
+            self._mb = k
+        return out
+
+    @property
+    def microbatch(self) -> int:
+        """The active microbatch k (after "auto" resolves its probe)."""
+        return self._mb
 
     @property
     def display(self):
@@ -524,7 +628,9 @@ class DeviceWaveformEngine:
                              f"{keep}")
         eng = DeviceWaveformEngine(self.cfg, num_streams,
                                    hop_budget=self.H,
-                                   max_lead_s=self._max_lead_s)
+                                   max_lead_s=self._max_lead_s,
+                                   microbatch=(self._mb_req if self._mb_auto
+                                               else self._mb))
         k = len(keep)
         if not k:
             return eng

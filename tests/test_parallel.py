@@ -517,3 +517,92 @@ def test_sharded_meter_pad_trim_and_resize():
     got = np.asarray(sh2.meter_values)
     np.testing.assert_allclose(got[0], vals[4], atol=1e-6)
     np.testing.assert_allclose(got[1], vals[0], atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# mesh-sharded waveform serving (waveform mode at pod scale — completes the
+# engine-family trio: spectrum r2, meter r4, waveform r4 continuation)
+# ---------------------------------------------------------------------------
+
+def _wf_cfg(**kw):
+    from waveform_tpu.core.enums import DisplayMode, TSmoothingMode
+    return resolve(Settings(display_mode=DisplayMode.WAVEFORM,
+                            temporal_smoothing=TSmoothingMode.NONE, **kw),
+                   AudioInfo(48000, 2))
+
+
+def _wf_drive(eng, rng, S, ticks=6, hop=480):
+    """Per-stream packet schedule shared by solo/sharded engines."""
+    now = NSC
+    for t in range(ticks):
+        for s in range(S):
+            pkt = (0.4 * rng.standard_normal((2, hop))).astype(np.float32)
+            eng.feed(s, pkt, now, now_ns=now)
+        now += hop * NSC // 48000
+        eng.tick(now_ns=now)
+    return eng.render_values()
+
+
+def test_sharded_waveform_matches_single_device():
+    """Mesh-sharded waveform serving equals the single-device engine
+    tick-for-tick (the step is purely per-stream, so stream-DP must be
+    bit-preserving)."""
+    from waveform_tpu.parallel.sharded_waveform import ShardedWaveformEngine
+    from waveform_tpu.runtime.waveform_device import DeviceWaveformEngine
+
+    cfg = _wf_cfg()
+    S = 16
+    r1, r2 = (np.random.default_rng(31) for _ in range(2))
+    want = _wf_drive(DeviceWaveformEngine(cfg, S), r1, S)
+    sh = ShardedWaveformEngine(cfg, S)
+    got = _wf_drive(sh, r2, S)
+    np.testing.assert_allclose(got, np.asarray(want), rtol=0, atol=1e-5)
+    assert sh.local_streams == (0, 16)
+
+
+def test_sharded_waveform_pad_trim_and_resize():
+    """user_streams=5 pads to the mesh multiple; reads trim back; live
+    resize migrates surviving rows (including onto the same mesh)."""
+    from waveform_tpu.parallel.sharded_waveform import ShardedWaveformEngine
+
+    cfg = _wf_cfg()
+    rng = np.random.default_rng(37)
+    sh = ShardedWaveformEngine(cfg, 5)       # pads to 8 on the 8-dev mesh
+    assert sh.S == 8 and sh.user_streams == 5
+    vals = _wf_drive(sh, rng, 5)
+    assert vals.shape[0] == 5 and np.isfinite(vals).all()
+    assert sh.last_silent.shape == (5,)
+
+    sh2 = sh.resized(9, keep=[4, 0])
+    assert isinstance(sh2, ShardedWaveformEngine)
+    got = sh2.render_values()
+    np.testing.assert_array_equal(got[0], vals[4])
+    np.testing.assert_array_equal(got[1], vals[0])
+    # migrated host sync objects keep ticking: feed the carried rows more
+    now2 = NSC * 5
+    pkt = (0.3 * rng.standard_normal((2, 480))).astype(np.float32)
+    for s in range(2):
+        sh2.feed(s, pkt, now2, now_ns=now2)
+    sh2.tick(now_ns=now2 + 480 * NSC // 48000)
+    assert np.isfinite(sh2.render_values()).all()
+
+
+def test_sharded_waveform_normalize_volume_and_microbatch():
+    """Volume normalization's device RMS ring shards along streams too,
+    and the k-frame microbatch flush matches k=1 frame-for-frame."""
+    from waveform_tpu.parallel.sharded_waveform import ShardedWaveformEngine
+
+    cfg = _wf_cfg(normalize_volume=True, volume_target=-6.0)
+    S = 4
+    r1, r2 = (np.random.default_rng(41) for _ in range(2))
+    want = _wf_drive(ShardedWaveformEngine(cfg, S), r1, S, ticks=6)
+    mb = ShardedWaveformEngine(cfg, S, microbatch=3)
+    got = _wf_drive(mb, r2, S, ticks=6)      # 6 ticks = 2 full flushes
+    np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_waveform_rejects_cohort_binding():
+    from waveform_tpu.parallel.sharded_waveform import ShardedWaveformEngine
+    sh = ShardedWaveformEngine(_wf_cfg(), 4)
+    with pytest.raises(NotImplementedError):
+        sh.bind_cohort(0)

@@ -12,12 +12,18 @@ from .mesh import (
     stream_axis_size,
     stream_sharding,
 )
-from .sharded_serving import ShardedServingEngine
+from .sharded_serving import (
+    ShardedMeterServingEngine,
+    ShardedServingEngine,
+)
+from .sharded_waveform import ShardedWaveformEngine
 
 __all__ = [
     "PIXEL_AXIS",
     "STREAM_AXIS",
+    "ShardedMeterServingEngine",
     "ShardedServingEngine",
+    "ShardedWaveformEngine",
     "make_mesh",
     "pad_stream_dim",
     "padded_streams",

@@ -108,6 +108,7 @@ class DeviceWaveformEngine:
                 num_streams, 1, cfg.input_rms_size + self._reserve_limit)
         else:
             self.rms_ring = None
+        self._place_buffers()
 
         # All host-side per-tick inputs ride ONE packed [S, packed_width]
         # upload — samples, RMS squares, the per-pixel gather rows and the
@@ -299,7 +300,29 @@ class DeviceWaveformEngine:
                         timeout, rms_ring, rms_sq, reserve)
 
         self._packed_tick_fn = packed_tick
-        self._tick_packed = jax.jit(packed_tick, donate_argnums=(1, 2, 3, 4))
+        self._tick_packed = self._jit_tick_packed(packed_tick)
+
+    # -- placement hooks (overridden by parallel.ShardedWaveformEngine) --
+
+    def _place_buffers(self) -> None:
+        """Initial placement of ring/buf/latch/rms_ring (default: wherever
+        jnp created them; the mesh-sharded subclass re-places them with a
+        stream-axis sharding)."""
+
+    def _prep(self, x):
+        """Host packed buffer → jit argument (identity here; multi-host
+        sharded engines contribute only their local stream rows)."""
+        return x
+
+    def _prep_mb_slot(self, x):
+        from .serving import H2D_CHUNK_BYTES, chunked_put
+        return x if x.nbytes <= H2D_CHUNK_BYTES else chunked_put(x)
+
+    def _jit_tick_packed(self, fn):
+        return jax.jit(fn, donate_argnums=(1, 2, 3, 4))
+
+    def _jit_scan_packed(self, fn):
+        return jax.jit(fn, donate_argnums=(1, 2, 3, 4))
 
     def bind_cohort(self, row0: int) -> None:
         """Compile the cohort tick: this engine's rows live at
@@ -512,7 +535,7 @@ class DeviceWaveformEngine:
         self._bind_buf(self._flip)
         self._assemble(now_ns)
         self.ring, self.buf, self.latch, self.rms_ring, token = \
-            self._tick_packed(self._in_buf, self.ring, self.buf,
+            self._tick_packed(self._prep(self._in_buf), self.ring, self.buf,
                               self.latch, self.rms_ring)
         # fence: the staging buffer is safe to rewrite once this step ran
         if self._fence_on:
@@ -536,10 +559,9 @@ class DeviceWaveformEngine:
                 body, (ring, buf, latch, rms_ring), jnp.stack(slots))
             return ring, buf, latch, rms_ring, tokens[-1]
 
-        self._scan_packed = jax.jit(scan_packed, donate_argnums=(1, 2, 3, 4))
+        self._scan_packed = self._jit_scan_packed(scan_packed)
 
     def _tick_microbatch(self, now_ns: int):
-        from .serving import H2D_CHUNK_BYTES, chunked_put
         k = self._mb
         if self._mb_bufs is None:
             self._mb_bufs = [
@@ -562,8 +584,7 @@ class DeviceWaveformEngine:
         self._mb_fill = 0
         if self._scan_packed is None:
             self._build_scan_packed()
-        slots = tuple(s if s.nbytes <= H2D_CHUNK_BYTES else chunked_put(s)
-                      for s in self._mb_slots)
+        slots = tuple(self._prep_mb_slot(s) for s in self._mb_slots)
         self._mb_slots = []
         self.ring, self.buf, self.latch, self.rms_ring, token = \
             self._scan_packed(slots, self.ring, self.buf, self.latch,

@@ -214,7 +214,7 @@ def test_short_channel_packet_zero_fills():
             eng.feed(0, x, now, now_ns=now)
             now += 480 * NS // SR
             eng.tick(now_ns=now)
-        buf = np.asarray(eng.ring.buf)
+        buf = np.asarray(eng.ring.view3)   # serving rings ride flat [S*C, L]
         assert (buf[0, 0, -400:] == 0.5).all()
         assert (buf[0, 1] == 0.0).all(), use_native
 

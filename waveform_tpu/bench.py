@@ -57,7 +57,13 @@ def main() -> int:
     ap.add_argument("--streams", type=int, default=256)
     ap.add_argument("--fft", type=int, default=4096)
     ap.add_argument("--width", type=int, default=800)
-    ap.add_argument("--scan", type=int, default=32, help="ticks per dispatch")
+    # scan=128: one dispatch's completion pays one relay round trip
+    # (~30 ms here); at scan=32/reps=10 that RTT inflated the reported
+    # per-tick time ~1.5x (jax.profiler device-true: 196 us/tick vs 290
+    # reported).  128 ticks/dispatch cuts the RTT share under 10% while
+    # keeping per-round elapsed ~0.3 s; on production PCIe the launch
+    # overhead is ~us and the choice is immaterial.
+    ap.add_argument("--scan", type=int, default=128, help="ticks per dispatch")
     ap.add_argument("--reps", type=int, default=10)
     ap.add_argument("--warmup", type=int, default=2)
     ap.add_argument("--sizes", default="1024,16384,32768,65536",
@@ -127,7 +133,10 @@ def main() -> int:
                        AudioInfo(SR, 2))
 
     def build_dispatch(cfg, s):
-        """T full ticks in one jitted scan; fresh on-device PRNG audio."""
+        """T full ticks in one jitted scan; fresh on-device PRNG audio.
+        The ring rides FLAT [S*C, N] (DeviceRing.channels), exactly like
+        ServingEngine — the T(8,128)-friendly carry measured -13%
+        device-true tick time vs the 3-D form."""
         step = make_spectrum_step(cfg)
         rebin = make_rebin_fn(cfg, apply_pixel_map=False)
         hop_c = int(SR / cfg.fps)
@@ -142,7 +151,7 @@ def main() -> int:
                 bits = jax.random.bits(k, (s, 2, hop_c), jnp.uint32)
                 new = bits.astype(jnp.float32) * jnp.float32(2.0 ** -32) - 0.5
                 ring = push(ring, new, jnp.int32(hop_c))
-                state = step(ring.buf, state, dt, active, rms)
+                state = step(ring.view3, state, dt, active, rms)
                 px = rebin(display_decibels(cfg, state))
                 # carry a cheap reduction so nothing is dead code
                 return (ring, state), px.mean()
@@ -190,7 +199,7 @@ def main() -> int:
     def measure(cfg, s, reps, warmup, rounds=3):
         """Best-of-rounds scan throughput for one (size, streams)."""
         fn, step = build_dispatch(cfg, s)
-        ring = init_ring(s, 2, cfg.fft_size)
+        ring = init_ring(s, 2, cfg.fft_size, flat=True)
         state = init_state(cfg, s)
         dt = jnp.float32(1 / 60)
         active = jnp.ones(s, bool)
@@ -223,7 +232,7 @@ def main() -> int:
     ticks_per_sec = T * args.reps / elapsed
 
     # --- accuracy gate vs float64 oracle on the current ring window ---
-    window = np.asarray(ring.buf[0]).astype(np.float64)
+    window = np.asarray(ring.view3[0]).astype(np.float64)
     acc_cfg = resolve(Settings(fft_size=N, width=W, window=FFTWindow.HANN,
                                temporal_smoothing=TSmoothingMode.NONE,
                                enable_large_fft=True), AudioInfo(SR, 2))
@@ -266,7 +275,7 @@ def main() -> int:
         bits = jax.random.bits(k, (S, 2, hop), jnp.uint32)
         new = bits.astype(jnp.float32) * jnp.float32(2.0 ** -32) - 0.5
         ring = push(ring, new, jnp.int32(hop))
-        state = step(ring.buf, state, dt, active, rms)
+        state = step(ring.view3, state, dt, active, rms)
         px = rebin(display_decibels(cfg, state))
         return px.mean(), ring, state
 
@@ -443,8 +452,9 @@ def main() -> int:
           f"S={S} N={N} hop={hop} scan={T} reps={args.reps} "
           f"elapsed={elapsed:.3f}s "
           f"({elapsed / (args.reps * T) * 1e3:.2f} ms/tick); "
-          f"device-only per-tick buffer->spectrum p50 {dev_p50:.1f} ms / "
-          f"p99 {dev_p99:.1f} ms (no H2D); "
+          f"single-tick dispatch completion p50 {dev_p50:.1f} ms / "
+          f"p99 {dev_p99:.1f} ms (one dispatch per tick, no H2D - relay-"
+          f"RTT bound here, ~chip-cost on PCIe); "
           f"METER serving (device-only, S={S}, {mcfg.fft_size}-sample "
           f"window): {meter_fps:,.0f} frames/s "
           f"({meter_fps / frames_per_sec:.2f}x spectrum); "

@@ -128,10 +128,20 @@ class ShardedServingEngine(ServingEngine):
             host[:k] = np.asarray(old)[idx]   # copy); migrate user rows
             return jax.device_put(host, sh)
 
-        eng.ring = jax.tree.map(mig, eng.ring, self.ring)
+        def mig_ring(new_r, old_r):
+            # flat rings store [S*C, L]: migrate at STREAM granularity
+            # through the 3-D view, then restore the flat layout
+            from ..dsp.devring import DeviceRing
+            host = np.array(np.asarray(new_r.view3))
+            host[:k] = np.asarray(old_r.view3)[idx]
+            buf = host.reshape(new_r.buf.shape)
+            return DeviceRing(buf=jax.device_put(buf, sh),
+                              channels=new_r.channels)
+
+        eng.ring = mig_ring(eng.ring, self.ring)
         eng.state = jax.tree.map(mig, eng.state, self.state)
         if self.rms_ring is not None and eng.rms_ring is not None:
-            eng.rms_ring = jax.tree.map(mig, eng.rms_ring, self.rms_ring)
+            eng.rms_ring = mig_ring(eng.rms_ring, self.rms_ring)
         for i, j in enumerate(keep):
             eng._pending[i] = self._pending[j]
         if self._native is not None and eng._native is not None:

@@ -256,16 +256,23 @@ class ServingEngine:
         self._place_buffers()
 
     def _init_device_state(self) -> None:
-        """Allocate the device-resident per-stream state (mode hook)."""
+        """Allocate the device-resident per-stream state (mode hook).
+
+        The sample ring stores FLAT [S*C, L] (see DeviceRing.channels):
+        the 3-D [S, 2, L] form tiled T(2,128) and paid a full-ring
+        relayout copy into the exact kernel's T(8,128) blocks every tick
+        plus a 2-sublane push fusion — measured −13% device-true tick
+        time from this one representation change (v5e, N=4096/S=256)."""
         cfg = self.cfg
-        self.ring = init_ring(self.S, self.C, cfg.fft_size)
+        self.ring = init_ring(self.S, self.C, cfg.fft_size, flat=True)
         self.state = init_state(cfg, self.S)
         # device-resident volume-normalization RMS window: the reference
         # keeps a 1 s host ring of per-timepoint max-channel squares
         # (src/source.cpp:1843-1871, 810-835); here it rides the same
         # device-ring mechanism as the samples, synced by construction
         if self._normalize:
-            self.rms_ring = init_ring(self.S, 1, cfg.input_rms_size)
+            self.rms_ring = init_ring(self.S, 1, cfg.input_rms_size,
+                                      flat=True)
         else:
             self.rms_ring = None
 
@@ -294,10 +301,9 @@ class ServingEngine:
                 # rms_sq holds raw (pre-mute) per-timepoint max-channel
                 # squares: the reference computes the normalization RMS
                 # before the mute zero-fill (src/source.cpp:1843-1871)
-                rms_ring = push(rms_ring, rms_sq[:, None, :], counts)
-                rms = jnp.sqrt(jnp.sum(rms_ring.buf[:, 0], axis=-1)
-                               / rms_size)
-            state = step(ring.buf, state, dt, active, rms)
+                rms_ring = push(rms_ring, rms_sq, counts)
+                rms = jnp.sqrt(jnp.sum(rms_ring.buf, axis=-1) / rms_size)
+            state = step(ring.view3, state, dt, active, rms)
             pixels = self._constrain_pixels(rebin(display_decibels(cfg, state)))
             return pixels, ring, state, rms_ring
 
@@ -335,11 +341,10 @@ class ServingEngine:
                 ring = push(ring, new, counts)
                 r = rms
                 if normalize and rms_ring is not None:
-                    sq = jnp.max(jnp.abs(new), axis=1, keepdims=True) ** 2
+                    sq = jnp.max(jnp.abs(new), axis=1) ** 2
                     rms_ring = push(rms_ring, sq, counts)
-                    r = jnp.sqrt(jnp.sum(rms_ring.buf[:, 0], axis=-1)
-                                 / rms_size)
-                state = step(ring.buf, state, dt, active, r)
+                    r = jnp.sqrt(jnp.sum(rms_ring.buf, axis=-1) / rms_size)
+                state = step(ring.view3, state, dt, active, r)
                 return ((ring, state, rms_ring),
                         self._constrain_pixels(
                             rebin(display_decibels(cfg, state))))
@@ -978,10 +983,18 @@ class ServingEngine:
             def mig(new, old):
                 return new.at[:k].set(old[idx])
 
-            eng.ring = jax.tree.map(mig, eng.ring, self.ring)
+            def mig_ring(new_r: DeviceRing, old_r: DeviceRing) -> DeviceRing:
+                # migrate at STREAM granularity through the 3-D view (flat
+                # rings store [S*C, L]; row i there is a (stream, channel)
+                # pair, not a stream)
+                v = mig(new_r.view3, old_r.view3)
+                return DeviceRing(
+                    buf=v.reshape(new_r.buf.shape), channels=new_r.channels)
+
+            eng.ring = mig_ring(eng.ring, self.ring)
             eng.state = jax.tree.map(mig, eng.state, self.state)
             if self.rms_ring is not None and eng.rms_ring is not None:
-                eng.rms_ring = jax.tree.map(mig, eng.rms_ring, self.rms_ring)
+                eng.rms_ring = mig_ring(eng.rms_ring, self.rms_ring)
             for i, j in enumerate(keep):
                 eng._pending[i] = self._pending[j]
             if self._native is not None and eng._native is not None:

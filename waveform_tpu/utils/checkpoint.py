@@ -29,8 +29,16 @@ def load_pytree(path: str, like):
     for i, ref in enumerate(leaves):
         arr = data[f"leaf_{i}"]
         if arr.shape != ref.shape:
-            raise ValueError(
-                f"checkpoint leaf {i} shape {arr.shape} != expected "
-                f"{ref.shape}; was the config or stream count changed?")
+            if arr.size == np.prod(ref.shape, dtype=np.int64) \
+                    and arr.ndim != np.ndim(ref):
+                # layout evolution, not a config change: r3 checkpoints
+                # store the sample ring [S, C, L]; r4 engines carry it
+                # flat [S*C, L] (dsp/devring.py DeviceRing.channels) —
+                # the row-major reshape is exactly the flatten
+                arr = arr.reshape(ref.shape)
+            else:
+                raise ValueError(
+                    f"checkpoint leaf {i} shape {arr.shape} != expected "
+                    f"{ref.shape}; was the config or stream count changed?")
         loaded.append(arr.astype(ref.dtype))
     return jax.tree.unflatten(treedef, loaded)

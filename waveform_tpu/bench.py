@@ -338,6 +338,43 @@ def main() -> int:
         met_elapsed = min(met_elapsed, time.perf_counter() - t0)
     meter_fps = S * T * 3 / met_elapsed
 
+    # --- waveform serving: the third engine family --------------------
+    # DeviceWaveformEngine's per-pixel resample rows are host int64
+    # timestamp math, so a pure device scan can't stand in for the tick;
+    # the honest number is the full engine (host assembly + ONE packed
+    # upload + device step) with microbatch amortizing the per-dispatch
+    # RTT — the same serving discipline the live spectrum path uses.
+    from waveform_tpu.core.enums import TSmoothingMode
+    from waveform_tpu.runtime.waveform_device import DeviceWaveformEngine
+    wcfg = resolve(Settings(display_mode=DisplayMode.WAVEFORM,
+                            temporal_smoothing=TSmoothingMode.NONE),
+                   AudioInfo(SR, 2))
+    WK = 8
+    weng = DeviceWaveformEngine(wcfg, S, microbatch=WK)
+    whop = int(SR / wcfg.fps)
+    wpkt = np.asarray(0.5 * np.random.default_rng(1).standard_normal(
+        (2, whop)), np.float32)
+    wnow = 1_000_000_000
+    wstep_ns = whop * 1_000_000_000 // SR
+    for _ in range(2 * WK):           # warmup: two full flushes
+        for s_i in range(S):
+            weng.feed(s_i, wpkt, wnow, now_ns=wnow)
+        wnow += wstep_ns
+        weng.tick(now_ns=wnow)
+    jax.block_until_ready(weng.display)
+    wf_elapsed = float("inf")
+    for r in range(3):
+        t0 = time.perf_counter()
+        for _ in range(2 * WK):
+            for s_i in range(S):
+                weng.feed(s_i, wpkt, wnow, now_ns=wnow)
+            wnow += wstep_ns
+            weng.tick(now_ns=wnow)
+        jax.block_until_ready(weng.display)
+        wf_elapsed = min(wf_elapsed, time.perf_counter() - t0)
+    wf_fps = S * 2 * WK / wf_elapsed
+    wf_ms = wf_elapsed / (2 * WK) * 1e3
+
     # --- shard_map + Mosaic certification on the REAL TPU mesh ---------
     # VERDICT r3: the sharded engine's kernel path had only ever compiled
     # in interpret mode on the CPU mesh; a 1-device TPU mesh compiles the
@@ -458,6 +495,9 @@ def main() -> int:
           f"METER serving (device-only, S={S}, {mcfg.fft_size}-sample "
           f"window): {meter_fps:,.0f} frames/s "
           f"({meter_fps / frames_per_sec:.2f}x spectrum); "
+          f"WAVEFORM serving (full engine incl. host assembly + packed "
+          f"upload over relay, S={S}, microbatch={WK}): "
+          f"{wf_fps:,.0f} frames/s, amortized {wf_ms:.1f} ms/frame; "
           f"shard_map+Mosaic on real TPU mesh: {shard_line}; "
           f"tunnel-limited per-tick serving (incl. H2D over relay): "
           f"{serving_fps:,.0f} frames/s, p99 buffer->spectrum latency "

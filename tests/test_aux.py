@@ -434,3 +434,34 @@ def test_packaged_plans_v5e_gate_and_no_failure_latch(monkeypatch, tmp_path):
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     assert plans.plan_for(4096) is not None   # recovered, not cached-empty
     plans._packaged_plans.cache_clear()
+
+
+def test_checkpoint_r3_ring_layout_loads(tmp_path, rng):
+    """An r3-layout checkpoint (sample ring stored [S, C, L]) loads into
+    an r4 engine whose ring rides flat [S*C, L] — the row-major reshape
+    is exactly the flatten (utils/checkpoint.py size-match fixup)."""
+    from waveform_tpu.dsp.devring import DeviceRing
+    from waveform_tpu.runtime.serving import ServingEngine
+    from waveform_tpu.utils.checkpoint import save_pytree
+    NS, SR = 1_000_000_000, 48000
+    cfg = resolve(Settings(fft_size=1024), AudioInfo(SR, 2))
+    eng = ServingEngine(cfg, 2)
+    now = NS
+    for k in range(6):
+        x = rng.standard_normal((2, 2, 480)).astype(np.float32)
+        for s in range(2):
+            eng.feed(s, x[s], now, now_ns=now)
+        now += 480 * NS // SR
+        eng.tick(now_ns=now)
+    assert eng.ring.channels == 2          # flat serving layout
+    assert eng.ring.buf.shape == (4, 1024)
+    assert eng.ring.view3.shape == (2, 2, 1024)
+    # write the checkpoint the way an r3 engine would have (3-D ring)
+    old_style = (eng.state, DeviceRing(buf=np.asarray(eng.ring.view3)), None)
+    p = str(tmp_path / "r3_state.npz")
+    save_pytree(p, old_style)
+    eng2 = ServingEngine(cfg, 2)
+    eng2.load_state(p)
+    np.testing.assert_array_equal(np.asarray(eng2.ring.buf),
+                                  np.asarray(eng.ring.buf))
+    np.testing.assert_array_equal(eng2.read_decibels(), eng.read_decibels())

@@ -34,10 +34,9 @@ from ..core.config import (
     MAX_TS_DELTA_NS,
     ResolvedConfig,
 )
-from ..core.ring import audio_frames_to_ns, ns_to_audio_frames
+from ..core.ring import audio_frames_to_ns
 from ..dsp.devring import DeviceRing, init_ring, push
 from ..dsp.spectrum import dbfs
-from .waveform_host import ts_to_frames
 
 
 class _WfStream:
@@ -85,6 +84,15 @@ class DeviceWaveformEngine:
         self.step_ns = (cfg.meter_ms * 1_000_000) // self.W
 
         self._streams = [_WfStream() for _ in range(num_streams)]
+        # vectorized-assembly scratch (see _assemble): per-stream int64
+        # state snapshots + the per-pixel timestamp offsets
+        self._pix = np.arange(self.W, dtype=np.int64) * self.step_ns
+        self._v_hidden = np.zeros(num_streams, bool)
+        self._v_take = np.zeros(num_streams, np.int64)
+        self._v_left = np.zeros(num_streams, np.int64)
+        self._v_audio = np.zeros(num_streams, np.int64)
+        self._v_total0 = np.zeros(num_streams, np.int64)
+        self._v_wts = np.zeros(num_streams, np.int64)
         # startup prefill: fft_size (= width) silent samples, exactly like
         # StreamSource (src/source.cpp:1243-1248; runtime/source.py:76-80)
         for p in self._streams:
@@ -415,10 +423,24 @@ class DeviceWaveformEngine:
     def _assemble(self, now_ns: int) -> None:
         """Fill the bound packed buffer: samples, RMS squares, per-pixel
         gather rows and the 5 meta columns (the host half of the tick —
-        all int64 timestamp math stays here; TPU ints are 32-bit)."""
+        all int64 timestamp math stays here; TPU ints are 32-bit).
+
+        VECTORIZED over streams: the original per-stream Python loop ran
+        ~20 numpy calls per stream and measured 6.6 ms/tick at S=256
+        (W=4096) — 2.5× the whole device step and the real waveform-mode
+        capacity wall.  Only the chunk drain (a data-dependent deque
+        walk) stays per stream; every timestamp/reserve computation runs
+        as [S]-shaped int64 array math with semantics identical to the
+        scalar loop (the host parity suites in
+        tests/test_waveform_device.py pin this), and the per-pixel index
+        math is bounded to the FRESH columns via the closed-form ni (see
+        below).  Measured at S=256/W=4096 on the dev box: 6.56 → ~1 ms
+        per tick (phase-1 python loop + memsets dominate what remains)."""
         cfg = self.cfg
         W = self.W
+        S = self.S
         sr = cfg.audio.samples_per_sec
+        NSC = 1_000_000_000
 
         meta = self._meta_buf
         self._push_buf[:] = 0.0
@@ -427,48 +449,29 @@ class DeviceWaveformEngine:
         self._idx_buf[:] = 1.0
         meta[:] = 0.0
 
-        pix = np.arange(W, dtype=np.int64) * self.step_ns
-
+        # --- phase 1: per-stream drain + state pickup (deque walk) ------
+        # The drain runs UNCONDITIONALLY, hidden or not: the device ring
+        # is the reference's capture ring, which fills on the audio thread
+        # regardless of show — otherwise feed()'s queue trim punches a gap
+        # and a resume gathers garbled stale samples across it.
+        hidden = self._v_hidden
+        take_a = self._v_take
+        left_a = self._v_left
+        audio_a = self._v_audio
+        total0 = self._v_total0
+        wts0 = self._v_wts
         for i, p in enumerate(self._streams):
-            hidden = ((not p.show)
-                      or (now_ns - p.capture_ts) > CAPTURE_TIMEOUT_NS)
-            if hidden:
-                # display freezes/blanks (run stays False below), but the
-                # DRAIN still runs: the reference's capture ring fills on
-                # the audio thread regardless of show, so the device ring
-                # must keep tracking the newest audio — otherwise feed()'s
-                # queue trim punches a gap and a resume gathers garbled
-                # stale samples across it
-                meta[i, 3] = 1.0     # timeout
-            # consume up to the hop budget; any backlog stays queued and the
-            # effective "newest sample" timestamp excludes it, so the gather
-            # only references samples that are really in the device ring
+            hidden[i] = ((not p.show)
+                         or (now_ns - p.capture_ts) > CAPTURE_TIMEOUT_NS)
+            # consume up to the hop budget; any backlog stays queued and
+            # the effective "newest sample" timestamp excludes it, so the
+            # gather only references samples really in the device ring
             take = min(p.queued, self.H)
-            leftover = p.queued - take
-            audio_eff = p.audio_ts - audio_frames_to_ns(sr, leftover)
-            dtaudio = min(abs(audio_eff + cfg.ts_offset_ns - now_ns),
-                          MAX_TS_DELTA_NS)
-            if audio_eff + cfg.ts_offset_ns < now_ns:
-                dtaudio = -dtaudio
-            reserve = ns_to_audio_frames(sr, dtaudio) if dtaudio > 0 else 0
-            # the static device ring budgets _reserve_limit of lead; an
-            # extreme timestamp lead clamps (renders early) instead of
-            # starving the gather forever (the host ring would grow)
-            reserve = min(reserve, self._reserve_limit)
-            meta[i, 4] = reserve
-            # reference ring size this tick: last tick's reserve + arrivals,
-            # trimmed (feed-side) to reserve + waveform window
-            total = p.total + take
-            max_size = cfg.waveform_samples + reserve
-            total = min(total, max_size, self.L)
-
-            # drain queued samples into the device push buffer UNCONDITIONALLY
-            # — the device ring is the reference's capture ring, which fills
-            # regardless of whether this tick renders.  Gating the drain on
-            # total > reserve deadlocks large sync reserves: p.total could
-            # never accumulate past one hop, so the render condition was
-            # unreachable for timestamp leads over ~H/sr (the host scroller
-            # handles leads up to 16 s).
+            take_a[i] = take
+            left_a[i] = p.queued - take
+            audio_a[i] = p.audio_ts
+            total0[i] = p.total
+            wts0[i] = p.waveform_ts
             got = 0
             while got < take and p.chunks:
                 head = p.chunks[0]
@@ -487,33 +490,65 @@ class DeviceWaveformEngine:
                     p.chunks[0] = head[:, use:]
                 p.queued -= use
                 got += use
-            meta[i, 0] = take      # counts
-            p.total = total
 
-            if hidden or total <= reserve:
-                continue  # no render this tick; ring keeps filling
+        # --- phase 2: vectorized timestamp / reserve / index math -------
+        # Exact int64 floor-division equivalents of audio_frames_to_ns /
+        # ns_to_audio_frames / ts_to_frames; every multiply operates on a
+        # bounded DELTA (≤16 s or ≤L frames), so int64 never overflows
+        # even for epoch-scale wall timestamps.
+        audio_eff = audio_a - (left_a * NSC) // sr
+        delta = audio_eff + cfg.ts_offset_ns - now_ns
+        lag = np.minimum(np.abs(delta), MAX_TS_DELTA_NS)
+        reserve = np.where(delta > 0, (lag * sr) // NSC, 0)
+        # the static device ring budgets _reserve_limit of lead; an
+        # extreme timestamp lead clamps (renders early) instead of
+        # starving the gather forever (the host ring would grow)
+        np.minimum(reserve, self._reserve_limit, out=reserve)
+        # reference ring size this tick: last tick's reserve + arrivals,
+        # trimmed (feed-side) to reserve + waveform window
+        total = np.minimum(total0 + take_a,
+                           np.minimum(cfg.waveform_samples + reserve,
+                                      self.L))
+        meta[:, 0] = take_a      # counts
+        meta[:, 3] = hidden      # timeout (display blanks; drain ran)
+        meta[:, 4] = reserve
 
-            start_ts = audio_eff - audio_frames_to_ns(sr, total)
-            stop_ts = audio_eff - audio_frames_to_ns(sr, reserve)
-            if start_ts >= audio_eff or stop_ts > audio_eff:
-                continue  # timestamp rollover, give up
-            if p.waveform_ts < start_ts:
-                p.waveform_ts = start_ts
-            if (p.waveform_ts > stop_ts
-                    and (p.waveform_ts - stop_ts) > self.step_ns):
-                p.waveform_ts = start_ts
-
-            ts = p.waveform_ts + pix
-            ok = (ts < stop_ts) & (ts >= p.waveform_ts)
-            ni = int(np.argmin(ok)) if not ok.all() else W
-            meta[i, 1] = ni        # fresh pixels
-            if ni > 0:
-                # gather indices < L < 2**24: exact as float32 row entries
-                self._idx_buf[i, :ni] = ts_to_frames(
-                    sr, audio_eff - ts[:ni]).clip(reserve + 1, total)
-            meta[i, 2] = 1.0       # run
-            p.waveform_ts += ni * self.step_ns
-            p.total = reserve  # consumed down to the sync reserve
+        run = ~hidden & (total > reserve)
+        start_ts = audio_eff - (total * NSC) // sr
+        stop_ts = audio_eff - (reserve * NSC) // sr
+        # timestamp rollover: give up on this tick's render
+        run &= (start_ts < audio_eff) & (stop_ts <= audio_eff)
+        wts = np.where(wts0 < start_ts, start_ts, wts0)
+        wts = np.where((wts > stop_ts) & (wts - stop_ts > self.step_ns),
+                       start_ts, wts)
+        # fresh-pixel count in closed form: the scalar loop's ok-mask is
+        # ok(p) = (wts + p·step < stop_ts)  — ts ≥ wts always holds in
+        # int64 (wts + W·step can't wrap) — which is monotone in p, so
+        # #leading-Trues = ceil((stop−wts)/step), capped at W.  This
+        # replaces an [S, W] mask + argmin AND bounds the index math
+        # below to the FRESH columns only: at steady 60 fps ni ≈
+        # W·hop/window ≪ W (e.g. ~140 of 4096), a ~30× cut in the only
+        # remaining [S, ·] array work.
+        span = stop_ts - wts
+        ni = np.clip((span + self.step_ns - 1) // self.step_ns, 0, W)
+        ni = np.where(run, ni, 0)
+        meta[:, 1] = ni          # fresh pixels
+        meta[:, 2] = run
+        nmax = int(ni.max()) if S else 0
+        if nmax:
+            # gather indices < L < 2**24: exact as float32 row entries
+            tsn = wts[:, None] + self._pix[None, :nmax]     # [S, nmax]
+            frames = ((audio_eff[:, None] - tsn) * sr) // NSC
+            idx = np.clip(frames, (reserve + 1)[:, None], total[:, None])
+            colmask = (np.arange(nmax)[None, :] < ni[:, None]) \
+                & run[:, None]
+            np.copyto(self._idx_buf[:, :nmax], idx.astype(np.float32),
+                      where=colmask)
+        new_wts = np.where(run, wts + ni * self.step_ns, wts0)
+        new_total = np.where(run, reserve, total)  # consumed to the reserve
+        for i, p in enumerate(self._streams):
+            p.waveform_ts = int(new_wts[i])
+            p.total = int(new_total[i])
 
     def tick(self, now_ns: int | None = None):
         """One batched frame; returns on-device display [S, D, W].

@@ -465,3 +465,35 @@ def test_checkpoint_r3_ring_layout_loads(tmp_path, rng):
     np.testing.assert_array_equal(np.asarray(eng2.ring.buf),
                                   np.asarray(eng.ring.buf))
     np.testing.assert_array_equal(eng2.read_decibels(), eng.read_decibels())
+
+
+def test_checkpoint_cross_config_ring_raises(tmp_path):
+    """The r3 flatten fixup is restricted to the ONE known layout
+    evolution: a [S, C, L] ring whose channel count matches the target
+    ring's.  A cross-config checkpoint that merely element-count-matches
+    (mono-8-stream [8, 1, L] into a stereo-4-stream flat [8, L]) must
+    raise the config-change error, not load with rows mapped to the wrong
+    (stream, channel) pairs (ADVICE r4)."""
+    from waveform_tpu.dsp.devring import DeviceRing, init_ring
+    from waveform_tpu.utils.checkpoint import load_pytree, save_pytree
+
+    old = DeviceRing(buf=np.arange(8 * 64, dtype=np.float32)
+                     .reshape(8, 1, 64))
+    p = str(tmp_path / "ring.npz")
+    save_pytree(p, old)
+
+    stereo4 = init_ring(4, 2, 64, flat=True)   # [8, 64], channels=2
+    with pytest.raises(ValueError, match="config or stream count"):
+        load_pytree(p, stereo4)
+
+    # the legitimate mono flatten (channels match) still loads
+    mono8 = init_ring(8, 1, 64, flat=True)     # [8, 64], channels=1
+    got = load_pytree(p, mono8)
+    np.testing.assert_array_equal(np.asarray(got.buf),
+                                  np.asarray(old.buf).reshape(8, 64))
+
+    # and a non-ring leaf with a matching element count but different
+    # ndim is a config change too (no silent reshape outside DeviceRing)
+    save_pytree(p, np.zeros((2, 3, 4), np.float32))
+    with pytest.raises(ValueError, match="config or stream count"):
+        load_pytree(p, np.zeros((6, 4), np.float32))

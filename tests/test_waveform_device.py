@@ -339,3 +339,112 @@ def test_waveform_auto_microbatch_resolves():
     assert eng.microbatch >= 1 and not eng._mb_auto
     vals = eng.render_values()
     assert np.isfinite(vals).all() and vals.max() > -12
+
+
+def _native_available():
+    from waveform_tpu.native import load_library
+    return load_library() is not None
+
+
+def test_native_waveform_assembly_bit_identical():
+    """The C++ waveform assembly (native/assembler.cpp::wf_assemble_waveform)
+    must be BIT-identical to the NumPy ``_assemble`` under a torture
+    schedule: uneven cadence, mutes, a bogus timestamp, sync lag and lead,
+    show toggles, a capture dropout, volume normalization — the packed rows
+    feed the same jitted step, so any host-math divergence shows up in the
+    display."""
+    import pytest
+    if not _native_available():
+        pytest.skip("native assembler unavailable")
+    cfg = cfg_for(width=192, meter_buf=110, normalize_volume=True,
+                  volume_target=-8, max_gain=30, audio_sync_offset=40)
+    S = 4
+    nat = DeviceWaveformEngine(cfg, S, use_native=True)
+    pyt = DeviceWaveformEngine(cfg, S, use_native=False)
+    rng = np.random.default_rng(11)
+    now = NS
+    for k in range(90):
+        for s in range(S):
+            if s == 1 and k % 3 != 0:
+                continue                      # uneven cadence
+            frames = [480, 960, 444][k % 3]
+            pkt = (0.25 * (s + 1) / S
+                   * rng.standard_normal((2, frames))).astype(np.float32)
+            ts = now
+            if s == 2:
+                ts = now - 60_000_000         # steady 60 ms lag
+            if s == 3:
+                ts = now + 90_000_000         # 90 ms lead (within budget)
+            if k == 40 and s == 0:
+                ts = now + 30 * NS            # bogus timestamp (> 16 s)
+            muted = (s == 0 and 50 <= k < 55)
+            if not (s == 3 and 60 <= k < 70):  # s3: capture dropout window
+                nat.feed(s, pkt, ts, now_ns=now, muted=muted)
+                pyt.feed(s, pkt, ts, now_ns=now, muted=muted)
+        if k == 20:
+            nat.set_show(1, False)
+            pyt.set_show(1, False)
+        if k == 30:
+            nat.set_show(1, True)
+            pyt.set_show(1, True)
+        now += 480 * NS // SR
+        nat.tick(now_ns=now)
+        pyt.tick(now_ns=now)
+        np.testing.assert_array_equal(nat.render_values(),
+                                      pyt.render_values(), err_msg=f"tick {k}")
+    np.testing.assert_array_equal(nat.last_silent, pyt.last_silent)
+
+
+def test_native_waveform_resize_migrates_scroll_state():
+    """resized() on the native path must carry sync timestamps AND the
+    waveform scroll cursor: post-resize ticks stay bit-identical to the
+    Python-assembly engine resized the same way."""
+    import pytest
+    if not _native_available():
+        pytest.skip("native assembler unavailable")
+    cfg = cfg_for(width=128, meter_buf=100)
+    nat = DeviceWaveformEngine(cfg, 3, use_native=True)
+    pyt = DeviceWaveformEngine(cfg, 3, use_native=False)
+    rng = np.random.default_rng(5)
+    now = NS
+
+    def drive(engines, k0, k1, S):
+        nonlocal now
+        for k in range(k0, k1):
+            pkts = [(0.4 * rng.standard_normal((2, 480))).astype(np.float32)
+                    for _ in range(S)]
+            for eng, use in engines:
+                for s in range(S):
+                    eng.feed(s, pkts[s], now, now_ns=now)
+            now += 480 * NS // SR
+            for eng, use in engines:
+                eng.tick(now_ns=now)
+
+    drive([(nat, True), (pyt, False)], 0, 25, 3)
+    nat2 = nat.resized(2, keep=[2, 0])
+    pyt2 = pyt.resized(2, keep=[2, 0])
+    assert nat2._native is not None           # native carried through
+    drive([(nat2, True), (pyt2, False)], 25, 40, 2)
+    np.testing.assert_array_equal(nat2.render_values(), pyt2.render_values())
+
+
+def test_waveform_feed_batch_matches_per_stream():
+    """feed_batch (one native call / shared timestamp) == S per-stream
+    feeds with the same timestamp, on both host paths."""
+    cfg = cfg_for(width=96, meter_buf=80)
+    rng = np.random.default_rng(3)
+    for use_native in (False, True):
+        if use_native and not _native_available():
+            continue
+        a = DeviceWaveformEngine(cfg, 3, use_native=use_native)
+        b = DeviceWaveformEngine(cfg, 3, use_native=use_native)
+        now = NS
+        for k in range(15):
+            pkt = (0.3 * rng.standard_normal((3, 2, 480))).astype(np.float32)
+            a.feed_batch(pkt, now, now_ns=now)
+            for s in range(3):
+                b.feed(s, pkt[s], now, now_ns=now)
+            now += 480 * NS // SR
+            a.tick(now_ns=now)
+            b.tick(now_ns=now)
+        np.testing.assert_array_equal(a.render_values(), b.render_values())

@@ -352,13 +352,13 @@ def main() -> int:
     WK = 8
     weng = DeviceWaveformEngine(wcfg, S, microbatch=WK)
     whop = int(SR / wcfg.fps)
-    wpkt = np.asarray(0.5 * np.random.default_rng(1).standard_normal(
-        (2, whop)), np.float32)
+    wpkt = np.ascontiguousarray(np.broadcast_to(
+        np.asarray(0.5 * np.random.default_rng(1).standard_normal(
+            (2, whop)), np.float32), (S, 2, whop)))
     wnow = 1_000_000_000
     wstep_ns = whop * 1_000_000_000 // SR
     for _ in range(2 * WK):           # warmup: two full flushes
-        for s_i in range(S):
-            weng.feed(s_i, wpkt, wnow, now_ns=wnow)
+        weng.feed_batch(wpkt, wnow, now_ns=wnow)
         wnow += wstep_ns
         weng.tick(now_ns=wnow)
     jax.block_until_ready(weng.display)
@@ -366,8 +366,7 @@ def main() -> int:
     for r in range(3):
         t0 = time.perf_counter()
         for _ in range(2 * WK):
-            for s_i in range(S):
-                weng.feed(s_i, wpkt, wnow, now_ns=wnow)
+            weng.feed_batch(wpkt, wnow, now_ns=wnow)
             wnow += wstep_ns
             weng.tick(now_ns=wnow)
         jax.block_until_ready(weng.display)

@@ -84,6 +84,18 @@ def load_library():
             ctypes.c_void_p, ctypes.c_longlong, ctypes.c_int,
             ctypes.c_void_p, ctypes.c_longlong, ctypes.c_int,
             ctypes.c_int]
+        lib.wf_set_trim_cap.argtypes = [ctypes.c_void_p, ctypes.c_longlong]
+        lib.wf_assemble_waveform.argtypes = [
+            ctypes.c_void_p, ctypes.c_longlong, ctypes.c_int, ctypes.c_int,
+            ctypes.c_longlong, ctypes.c_longlong, ctypes.c_longlong,
+            ctypes.c_longlong, ctypes.c_void_p, ctypes.c_longlong,
+            ctypes.c_int]
+        lib.wf_get_wf_state.argtypes = [
+            ctypes.c_void_p, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_longlong),
+            ctypes.POINTER(ctypes.c_longlong)]
+        lib.wf_set_wf_state.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                        ctypes.c_longlong, ctypes.c_longlong]
         lib.wf_set_show.argtypes = [ctypes.c_void_p, ctypes.c_int,
                                     ctypes.c_int]
         lib.wf_detach.argtypes = [ctypes.c_void_p, ctypes.c_int]
@@ -207,6 +219,40 @@ class NativeAssembler:
             self._h, now_ns, hop_budget,
             flat.ctypes.data_as(ctypes.c_void_p), flat.shape[1],
             1 if with_rms else 0, 1 if split_active else 0)
+
+    def set_trim_cap(self, cap: int) -> None:
+        """Switch the feed-side queue trim to waveform mode: keep the
+        newest ``cap`` samples flat (the device ring's capacity) instead
+        of the spectrum-mode sync-reserve + window rule."""
+        self._lib.wf_set_trim_cap(self._h, cap)
+
+    def assemble_waveform(self, now_ns: int, hop_budget: int, width: int,
+                          step_ns: int, wf_window: int, ring_cap: int,
+                          reserve_limit: int, flat: np.ndarray,
+                          with_rms: bool) -> None:
+        """Waveform-mode packed assembly (the DeviceWaveformEngine row
+        layout: C*H samples, H RMS squares when ``with_rms``, W gather
+        indices, 5 meta columns).  ``flat`` must be a C-contiguous
+        [S, row_stride] float32 array."""
+        assert flat.flags.c_contiguous and flat.dtype == np.float32
+        self._lib.wf_assemble_waveform(
+            self._h, now_ns, hop_budget, width, step_ns, wf_window,
+            ring_cap, reserve_limit,
+            flat.ctypes.data_as(ctypes.c_void_p), flat.shape[1],
+            1 if with_rms else 0)
+
+    def get_wf_state(self, stream: int) -> tuple[int, int]:
+        """(waveform_ts, total) — the waveform scroll state, for live-
+        resize migration alongside :meth:`get_sync`."""
+        wts = ctypes.c_longlong()
+        tot = ctypes.c_longlong()
+        self._lib.wf_get_wf_state(self._h, stream, ctypes.byref(wts),
+                                  ctypes.byref(tot))
+        return int(wts.value), int(tot.value)
+
+    def set_wf_state(self, stream: int, waveform_ts: int,
+                     total: int) -> None:
+        self._lib.wf_set_wf_state(self._h, stream, waveform_ts, total)
 
     def set_show(self, stream: int, show: bool) -> None:
         self._lib.wf_set_show(self._h, stream, 1 if show else 0)

@@ -105,6 +105,11 @@ struct Stream {
                             // normalization RMS before the mute zero-fill)
   int64_t capture_ts = 0;
   int64_t audio_ts = 0;
+  // waveform-mode scroll state (runtime/waveform_device.py _WfStream:
+  // the per-stream resample cursor and the reference ring's post-trim
+  // size, src/source_generic.cpp:299-334); unused by spectrum/meter
+  int64_t waveform_ts = 0;
+  int64_t wf_total = 0;
   uint8_t show = 1;
 };
 
@@ -115,9 +120,20 @@ struct Engine {
   int64_t sample_rate;
   int64_t ts_offset_ns;
   int rms_enabled = 0;
+  // waveform mode trims the queue with a FLAT cap (keep the newest
+  // trim_cap samples; the device ring holds exactly that much history)
+  // instead of the spectrum-mode sync-reserve + window rule; 0 = off
+  int64_t trim_cap = 0;
   std::vector<Stream> streams;
   std::vector<float> rms_scratch;  // one packet of squared peaks
 };
+
+// Python-semantics floor division for signed int64 (the host waveform
+// timestamp math is specified in numpy int64 // terms).
+inline int64_t floordiv(int64_t a, int64_t b) {
+  int64_t q = a / b, r = a % b;
+  return (r != 0 && ((r < 0) != (b < 0))) ? q - 1 : q;
+}
 
 inline int64_t audio_sync(const Engine& e, const Stream& s, int64_t ts) {
   int64_t audio_ts = s.audio_ts + e.ts_offset_ns;
@@ -142,11 +158,19 @@ Engine* wf_create2(int num_streams, int channels, long long window,
   e->streams = std::vector<Stream>(num_streams);
   for (auto& s : e->streams) {
     s.rings.resize(channels);
-    if (prefill)  // startup silence prefill (src/source.cpp:1243-1248)
+    if (prefill) {  // startup silence prefill (src/source.cpp:1243-1248)
       for (auto& r : s.rings) r.push(nullptr, (size_t)window);
+      // the RMS-squares queue drains in lockstep with the sample queue
+      // (runtime/waveform_device.py prefills both), so it must prefill too
+      if (rms_enabled) s.rms_ring.push(nullptr, (size_t)window);
+    }
   }
   return e;
 }
+
+// Waveform-mode queue policy: keep the newest ``cap`` samples flat
+// (the device ring's capacity L; runtime/waveform_device.py feed trim).
+void wf_set_trim_cap(Engine* e, long long cap) { e->trim_cap = cap; }
 
 Engine* wf_create(int num_streams, int channels, long long window,
                   long long sample_rate, long long ts_offset_ns,
@@ -187,7 +211,8 @@ int wf_feed(Engine* e, int stream, const float* data, int frames,
 
   int64_t dtaudio = audio_sync(*e, s, s.capture_ts);
   int64_t dtsamples = dtaudio > 0 ? ns_to_frames(e->sample_rate, dtaudio) : 0;
-  size_t max_size = (size_t)(dtsamples + e->window);
+  size_t max_size = e->trim_cap > 0 ? (size_t)e->trim_cap
+                                    : (size_t)(dtsamples + e->window);
 
   if (e->rms_enabled) {
     // per-timepoint max-channel squares from the RAW (pre-mute) samples
@@ -343,6 +368,119 @@ void wf_assemble_hop_packed2(Engine* e, long long now_ns, int H, float* flat,
 void wf_assemble_hop_packed(Engine* e, long long now_ns, int H, float* flat,
                             long long row_stride, int with_rms) {
   wf_assemble_hop_packed2(e, now_ns, H, flat, row_stride, with_rms, 0);
+}
+
+// Waveform-mode packed assembly: the host half of the oscilloscope tick
+// (runtime/waveform_device.py::_assemble — itself the batched form of the
+// reference's per-source resample loop, src/source_generic.cpp:271-390).
+// Each stream's row of the [S, row_stride] packed upload gets:
+//   C*H drained samples | H raw RMS squares (with_rms) | W gather indices |
+//   5 meta columns (counts, fresh-pixels ni, run, timeout, reserve).
+// All timestamp math is int64 with Python floor-division semantics — the
+// jitted device step consumes the row bit-for-bit like the NumPy assembly,
+// so the two host paths are interchangeable (tests pin display equality).
+//
+// H = hop budget; W = display width (pixels); step_ns = ns per pixel;
+// wf_window = cfg.waveform_samples; ring_cap = the device ring length L;
+// reserve_limit = the static ring's sync-reserve budget (leads clamp).
+void wf_assemble_waveform(Engine* e, long long now_ns, int H, int W,
+                          long long step_ns, long long wf_window,
+                          long long ring_cap, long long reserve_limit,
+                          float* flat, long long row_stride, int with_rms) {
+  const int C = e->channels;
+  const size_t idx0 = (size_t)C * H + (with_rms ? (size_t)H : 0);
+  const size_t meta = idx0 + (size_t)W;
+  constexpr int64_t NSC = 1000000000LL;
+  const int64_t sr = e->sample_rate;
+  for (int i = 0; i < e->num_streams; ++i) {
+    Stream& s = e->streams[i];
+    std::lock_guard<std::timed_mutex> lk(s.mtx);
+    float* row = flat + (size_t)i * (size_t)row_stride;
+    const bool hidden =
+        !s.show || (now_ns - s.capture_ts) > kCaptureTimeoutNs;
+    // drain up to the hop budget — UNCONDITIONALLY, hidden or not: the
+    // device ring is the capture ring and must keep filling, or a resume
+    // would gather garbled stale samples across the gap.
+    //
+    // No zero-pad past ``take``: the device push consumes only the first
+    // counts[s] columns (devring.push slices (ring ++ new)[c : c+L]), so
+    // bytes beyond the drained samples are never read — skipping the
+    // [take, H) memsets (and the stale gather-index fill below) is most
+    // of this function's bandwidth at steady state (take ≈ hop ≪ H only
+    // after backlog; idx ni ≪ W always).
+    const int64_t queued = (int64_t)s.rings[0].size();
+    const int64_t take = std::min<int64_t>(queued, H);
+    for (int c = 0; c < C; ++c) {
+      float* dst = row + (size_t)c * H;
+      size_t got = s.rings[c].pop(dst, (size_t)take);
+      if ((int64_t)got < take)  // defensive: rings advance in lockstep
+        std::memset(dst + got, 0, ((size_t)take - got) * sizeof(float));
+    }
+    if (with_rms) {
+      float* dst = row + (size_t)C * H;
+      size_t got = s.rms_ring.pop(dst, (size_t)take);
+      if ((int64_t)got < take)
+        std::memset(dst + got, 0, ((size_t)take - got) * sizeof(float));
+    }
+    // timestamp → reserve → gather-index math; the effective "newest
+    // sample" timestamp excludes the backlog still queued past the hop
+    const int64_t left = queued - take;
+    const int64_t audio_eff = s.audio_ts - floordiv(left * NSC, sr);
+    const int64_t delta = audio_eff + e->ts_offset_ns - now_ns;
+    const int64_t lag = std::min<int64_t>(std::llabs(delta), kMaxTsDeltaNs);
+    int64_t reserve = delta > 0 ? floordiv(lag * sr, NSC) : 0;
+    reserve = std::min<int64_t>(reserve, reserve_limit);  // lead clamp
+    // reference ring size this tick: last tick's post-consume size plus
+    // arrivals, feed-trimmed to reserve + waveform window (ring cap max)
+    const int64_t total = std::min<int64_t>(
+        s.wf_total + take, std::min<int64_t>(wf_window + reserve, ring_cap));
+    bool run = !hidden && total > reserve;
+    const int64_t start_ts = audio_eff - floordiv(total * NSC, sr);
+    const int64_t stop_ts = audio_eff - floordiv(reserve * NSC, sr);
+    run = run && start_ts < audio_eff && stop_ts <= audio_eff;  // rollover
+    const int64_t wts0 = s.waveform_ts;
+    int64_t wts = wts0 < start_ts ? start_ts : wts0;
+    if (wts > stop_ts && wts - stop_ts > step_ns) wts = start_ts;
+    // fresh-pixel count in closed form: ceil((stop - wts) / step), in [0, W]
+    int64_t ni = floordiv(stop_ts - wts + step_ns - 1, step_ns);
+    ni = std::clamp<int64_t>(ni, 0, W);
+    if (!run) ni = 0;
+    float* idx = row + idx0;
+    for (int64_t p = 0; p < ni; ++p) {
+      const int64_t tsn = wts + p * step_ns;
+      const int64_t frames = floordiv((audio_eff - tsn) * sr, NSC);
+      // gather depth clamps to (reserve, total]; < L < 2^24 ⇒ exact float
+      idx[p] = (float)std::clamp(frames, reserve + 1, total);
+    }
+    // columns >= ni stay stale: the device scroll consumes gathered[:n]
+    // only, and every past write here (or the zero init) is a valid
+    // in-range gather index, so no per-tick fill is needed
+    row[meta + 0] = (float)take;
+    row[meta + 1] = (float)ni;
+    row[meta + 2] = run ? 1.0f : 0.0f;
+    row[meta + 3] = hidden ? 1.0f : 0.0f;
+    row[meta + 4] = (float)reserve;
+    s.waveform_ts = run ? wts + ni * step_ns : wts0;
+    s.wf_total = run ? reserve : total;  // consumed down to the reserve
+  }
+}
+
+// Waveform scroll-state migration (live resize: the resample cursor and
+// the reference ring's post-trim size move with their stream row).
+void wf_get_wf_state(Engine* e, int stream, long long* waveform_ts,
+                     long long* total) {
+  Stream& s = e->streams[stream];
+  std::lock_guard<std::timed_mutex> lk(s.mtx);
+  *waveform_ts = s.waveform_ts;
+  *total = s.wf_total;
+}
+
+void wf_set_wf_state(Engine* e, int stream, long long waveform_ts,
+                     long long total) {
+  Stream& s = e->streams[stream];
+  std::lock_guard<std::timed_mutex> lk(s.mtx);
+  s.waveform_ts = waveform_ts;
+  s.wf_total = total;
 }
 
 // Sync-state migration for live engine resizes (runtime/serving.py

@@ -167,4 +167,5 @@ class ShardedWaveformEngine(DeviceWaveformEngine):
             eng.rms_ring = jax.tree.map(mig, eng.rms_ring, self.rms_ring)
         for i, j in enumerate(keep):
             eng._streams[i] = self._streams[j]
+        self._migrate_native(eng, keep)
         return eng

@@ -59,12 +59,14 @@ class DeviceWaveformEngine:
 
     def __init__(self, cfg: ResolvedConfig, num_streams: int,
                  hop_budget: int | None = None, max_lead_s: float = 0.25,
-                 microbatch: int | str = 1):
+                 microbatch: int | str = 1,
+                 use_native: bool | None = None):
         if cfg.display_mode.value != "waveform":
             raise ValueError("DeviceWaveformEngine needs waveform mode")
         self.cfg = cfg
         self.S = num_streams
         self._max_lead_s = max_lead_s   # kept for resized()
+        self._use_native_req = use_native
         C = max(cfg.capture_channels, 1)
         self.C = C
         self.W = cfg.fft_size  # display width in pixels (src/source.cpp:1140)
@@ -116,6 +118,28 @@ class DeviceWaveformEngine:
                 num_streams, 1, cfg.input_rms_size + self._reserve_limit)
         else:
             self.rms_ring = None
+
+        # native C++ assembler (waveform_tpu/native): per-stream rings +
+        # sync + the whole waveform host assembly (drain, int64 timestamp
+        # math, gather-index rows) without per-stream Python work — the
+        # r4 bench measured the NumPy assembly at 1.8 ms/tick (S=256,
+        # W=4096) against a 0.20 ms/frame device step; the C++ path is
+        # what closes that host-side wall (same move as ServingEngine's)
+        self._native = None
+        if use_native or use_native is None:
+            try:
+                from ..native import NativeAssembler
+                self._native = NativeAssembler(
+                    num_streams, C, cfg.fft_size,
+                    cfg.audio.samples_per_sec, cfg.ts_offset_ns,
+                    prefill=True, rms=self._normalize)
+                # waveform mode trims the feed queue to the device ring's
+                # flat capacity (feed() NOTE below), not the spectrum rule
+                self._native.set_trim_cap(self.L)
+            except (RuntimeError, OSError):
+                if use_native:
+                    raise
+                self._native = None
         self._place_buffers()
 
         # All host-side per-tick inputs ride ONE packed [S, packed_width]
@@ -370,6 +394,14 @@ class DeviceWaveformEngine:
         frames = 0 if data is None else data.shape[-1]
         if frames == 0 or cfg.capture_channels == 0:
             return
+        if self._native is not None:
+            if data is not None:
+                data = np.asarray(
+                    data[cfg.channel_base:cfg.channel_base + self.C],
+                    np.float32)
+            self._native.feed(stream, data, timestamp_ns, now_ns,
+                              muted and not cfg.settings.ignore_mute)
+            return
         p = self._streams[stream]
         p.capture_ts = now_ns
         audio_len = audio_frames_to_ns(cfg.audio.samples_per_sec, frames)
@@ -415,8 +447,33 @@ class DeviceWaveformEngine:
                 p.queued -= drop
                 break
 
+    def feed_batch(self, data: np.ndarray, timestamp_ns: int,
+                   now_ns: int | None = None, muted: bool = False) -> None:
+        """Synchronized ingestion for all S streams at once.
+
+        ``data`` is [S, channels, frames] float32 planar with one shared
+        timestamp — the fan-out case and the serving fast path: one native
+        call (or one Python loop in the fallback) instead of S ctypes
+        round trips.  Same contract as :meth:`ServingEngine.feed_batch`."""
+        now_ns = time.monotonic_ns() if now_ns is None else now_ns
+        cfg = self.cfg
+        frames = data.shape[-1]
+        if frames == 0 or cfg.capture_channels == 0:
+            return
+        if self._native is not None:
+            self._native.feed_batch(
+                np.asarray(
+                    data[:, cfg.channel_base:cfg.channel_base + self.C],
+                    np.float32),
+                timestamp_ns, now_ns, muted and not cfg.settings.ignore_mute)
+            return
+        for s in range(self.S):
+            self.feed(s, data[s], timestamp_ns, now_ns=now_ns, muted=muted)
+
     def set_show(self, stream: int, show: bool) -> None:
         self._streams[stream].show = show
+        if self._native is not None:
+            self._native.set_show(stream, bool(show))
 
     # ------------------------------------------------------------------
 
@@ -441,6 +498,16 @@ class DeviceWaveformEngine:
         S = self.S
         sr = cfg.audio.samples_per_sec
         NSC = 1_000_000_000
+
+        if self._native is not None:
+            # C++ writes the whole row — drained samples, RMS squares,
+            # gather indices and the 5 meta columns — with bit-identical
+            # int64 semantics (tests pin display equality vs this path)
+            self._native.assemble_waveform(
+                now_ns, self.H, W, self.step_ns,
+                int(cfg.waveform_samples), self.L, self._reserve_limit,
+                self._in_buf, self._normalize)
+            return
 
         meta = self._meta_buf
         self._push_buf[:] = 0.0
@@ -686,7 +753,8 @@ class DeviceWaveformEngine:
                                    hop_budget=self.H,
                                    max_lead_s=self._max_lead_s,
                                    microbatch=(self._mb_req if self._mb_auto
-                                               else self._mb))
+                                               else self._mb),
+                                   use_native=self._use_native_req)
         k = len(keep)
         if not k:
             return eng
@@ -699,4 +767,17 @@ class DeviceWaveformEngine:
                 buf=eng.rms_ring.buf.at[:k].set(self.rms_ring.buf[idx]))
         for i, j in enumerate(keep):
             eng._streams[i] = self._streams[j]
+        self._migrate_native(eng, keep)
         return eng
+
+    def _migrate_native(self, eng: "DeviceWaveformEngine",
+                        keep: list[int]) -> None:
+        """Carry native sync timestamps + visibility + waveform scroll
+        state so surviving streams stay active (and keep their resample
+        cursor) across a live resize; ring backlog stays behind by design
+        (sub-hop gap), exactly like ServingEngine.resized."""
+        if self._native is None or eng._native is None:
+            return
+        for i, j in enumerate(keep):
+            eng._native.set_sync(i, *self._native.get_sync(j))
+            eng._native.set_wf_state(i, *self._native.get_wf_state(j))

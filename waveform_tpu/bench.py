@@ -441,14 +441,24 @@ def main() -> int:
     # measured here exactly like r3's manual k=4 for comparability.
     eng2 = ServingEngine(cfg, S, microbatch="auto", hop_budget=hb)
     now = NSC
-    # warmup covers the probe window (k=1 ticks) + two flushes at the
-    # chosen k
-    for i in range(eng2._PROBE_TICKS + 1 + 2 * eng2._MB_MAX):
+    # warmup: drive until the probe AND the closed-loop validation lock k
+    # (validation may step k down through several candidates), then two
+    # clean flushes at the final k
+    guard = eng2._PROBE_TICKS + 1 + 4 * eng2._MB_MAX * (
+        eng2._VALIDATE_FLUSHES + 1)
+    while eng2._mb_auto and guard > 0:
+        eng2.feed_batch(pkt, now, now_ns=now)
+        now += hop * NSC // SR
+        eng2.tick(now_ns=now)
+        guard -= 1
+    for i in range(2 * eng2.microbatch):
         eng2.feed_batch(pkt, now, now_ns=now)
         now += hop * NSC // SR
         eng2.tick(now_ns=now)
     jax.block_until_ready(eng2._last_pixels)
     k_mb = eng2.microbatch
+    mb_val = eng2.microbatch_completion
+    mb_val_ms = f"{mb_val * 1e3:.1f}" if mb_val is not None else "n/a"
     frames = 10 * max(k_mb, 2)
     mb_amort, mb_p99, mb_fps = float("inf"), float("inf"), 0.0
     for _ in range(3):   # best-of-3 (same tunnel-phase rationale as above)
@@ -504,8 +514,11 @@ def main() -> int:
           f"LIVE AUTO-microbatch k={k_mb} hop_budget={hb} (incl. H2D): "
           f"{mb_fps:,.0f} frames/s, "
           f"amortized {mb_amort:.1f} ms/frame vs 16.7 ms budget, "
-          f"per-frame completion p99 {mb_p99:.1f} ms "
-          f"(device-only amortized {elapsed / (args.reps * T) * 1e3:.2f} "
+          f"per-frame completion p99 {mb_p99:.1f} ms, validated flush "
+          f"completion {mb_val_ms} ms "
+          f"(closed-loop probe: completion-capped candidate k, accepted "
+          f"only if measured flushes beat the k=1 tick; device-only "
+          f"amortized {elapsed / (args.reps * T) * 1e3:.2f} "
           f"ms/frame from the scan; r3 manual k=4 was 67.1 ms amortized / "
           f"294.7 ms p99); backend={jax.default_backend()}",
           file=sys.stderr)

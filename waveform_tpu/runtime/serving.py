@@ -71,7 +71,8 @@ def link_rtt() -> float:
 
 
 def choose_microbatch(budget: float, rtt: float, tick: float,
-                      mb_max: int = 8) -> int:
+                      mb_max: int = 8,
+                      completion_factor: float = 3.0) -> int:
     """The auto-microbatch latency policy (shared by every engine family):
 
     * one tick already meets the budget → k=1 (lowest completion
@@ -82,6 +83,17 @@ def choose_microbatch(budget: float, rtt: float, tick: float,
       smallest k whose next doubling would shave less than 10% of
       the non-RTT cost: amortization has flattened, and every further
       k only worsens per-frame completion p99
+
+    Either way a COMPLETION guard bounds k: a flush's first frame
+    completes after ~k·(tick−rtt) + rtt (it waits out the whole batch),
+    and k stops doubling once the next doubling would push that past
+    ``completion_factor × tick`` — amortized gains must not buy an
+    unbounded per-frame completion p99 (the r4 artifact recorded k=8
+    regressing p99 2.3× over manual k=4 for a 4% amortized gain; the
+    reference's analog is its hard real-time frame budget,
+    /root/reference/src/source.cpp:1156-1167).  The prediction is only
+    as good as the probe's tick/rtt split, so the engines ALSO validate
+    the chosen k against measured flushes (see ``validate_flush``).
     """
     rest = max(tick - rtt, 1e-6)
     if tick <= budget:
@@ -90,10 +102,32 @@ def choose_microbatch(budget: float, rtt: float, tick: float,
         need = rtt / (budget - rest)
     else:
         need = rtt / (0.2 * rest)   # RTT/(2k) <= 0.1*rest
+    cap = max(completion_factor * tick, 2.0 * budget)
     k = 1
-    while k < mb_max and k < need:
+    while k < mb_max and k < need and 2 * k * rest + rtt <= cap:
         k *= 2
     return k
+
+
+def validate_flush(flushes: list, k: int, probe_tick: float, budget: float,
+                   completion_factor: float = 3.0) -> tuple[bool, int]:
+    """Closed-loop check of a candidate microbatch k against MEASURED
+    flush completions (batch-start → flush-ready; ``flushes[0]`` carries
+    the scan compile and is dropped).
+
+    The probe's tick/rtt split is unreliable over jittery links — the r4
+    bench artifact shows the open-loop policy picking k=8 and regressing
+    completion p99 689 ms vs manual k=4's 295 ms for a 4% amortized gain
+    — so the engines confirm with real flushes before locking: accept
+    only if the measured completion stays under the cap AND the
+    amortized cost (flush/k) actually beats the measured k=1 tick.
+    Returns (accept, next_k): on reject, retry at k//2 (k=1 always
+    accepts by construction — it IS the probe baseline)."""
+    flush = float(np.median(flushes[1:]))
+    cap = max(completion_factor * probe_tick, 2.0 * budget)
+    if flush <= cap and flush / k < probe_tick:
+        return True, k
+    return False, k // 2
 
 
 class DeviceScalarCache:
@@ -620,10 +654,10 @@ class ServingEngine:
         a round trip (the relay tunnel; production per-launch overhead)."""
         now_ns = time.monotonic_ns() if now_ns is None else now_ns
         dt_f = (1.0 / self.cfg.fps) if dt is None else float(dt)
+        if self._mb_auto:   # probe (k=1) or validation (candidate k) phase
+            return self._tick_probe(now_ns, dt_f)
         if self._mb > 1:
             return self._tick_microbatch(now_ns, dt_f)
-        if self._mb_auto:
-            return self._tick_probe(now_ns, dt_f)
         dtv = self._dt_scalar(dt_f)
         self._flip ^= 1
         self._bind_buf(self._flip)
@@ -709,6 +743,9 @@ class ServingEngine:
     _PROBE_TICKS = 4        # k=1 ticks timed before deciding (first tick
                             # carries the compile and is discarded)
     _MB_MAX = 8             # worst-case completion grows one frame per k
+    _VALIDATE_FLUSHES = 2   # measured flushes per candidate k (plus one
+                            # dropped for the scan compile)
+    _COMPLETION_FACTOR = 3.0  # flush completion cap, × the k=1 tick
 
     def _link_rtt(self) -> float:
         return link_rtt()
@@ -721,8 +758,12 @@ class ServingEngine:
 
     def _tick_probe(self, now_ns: int, dt_f: float):
         """Auto-mode startup: run normal k=1 ticks, timing completion;
-        after _PROBE_TICKS decide k and lock the policy in.  Frame
-        semantics are identical to the chosen mode throughout."""
+        after _PROBE_TICKS pick a candidate k, then VALIDATE it against
+        measured flushes before locking (see :func:`validate_flush` — the
+        open-loop pick alone regressed completion p99 in the r4 artifact).
+        Frame semantics are identical to the chosen mode throughout."""
+        if self._mb > 1:               # validation phase
+            return self._tick_validate(now_ns, dt_f)
         t0 = time.perf_counter()
         self._mb_auto = False          # plain tick below
         try:
@@ -732,12 +773,69 @@ class ServingEngine:
         jax.block_until_ready(px)
         self._probe_ticks.append(time.perf_counter() - t0)
         if len(self._probe_ticks) > self._PROBE_TICKS:
-            tick = float(np.median(self._probe_ticks[1:]))   # drop compile
+            self._probe_tick = float(
+                np.median(self._probe_ticks[1:]))            # drop compile
             k = self._choose_microbatch(1.0 / self.cfg.fps,
-                                        self._link_rtt(), tick)
-            self._mb_auto = False
-            self._mb = k
+                                        self._link_rtt(), self._probe_tick)
+            if k <= 1:
+                self._mb_auto = False
+                self._mb = 1
+            else:
+                self._mb = k           # candidate: validate before locking
+                self._val_flushes = []
         return px
+
+    def _tick_validate(self, now_ns: int, dt_f: float):
+        """Run the candidate k as real microbatch ticks, timing each
+        batch-start → flush-ready completion; after _VALIDATE_FLUSHES
+        measured flushes (plus one dropped for the scan compile), accept
+        or halve (:func:`validate_flush`)."""
+        if self._mb_fill == 0:
+            self._val_t0 = time.perf_counter()
+        self._mb_auto = False
+        try:
+            px = self._tick_microbatch(now_ns, dt_f)
+        finally:
+            self._mb_auto = True
+        if self._mb_fill == 0:         # a flush just completed
+            jax.block_until_ready(px)
+            self._val_flushes.append(time.perf_counter() - self._val_t0)
+            if len(self._val_flushes) > self._VALIDATE_FLUSHES:
+                ok, nk = validate_flush(
+                    self._val_flushes, self._mb, self._probe_tick,
+                    1.0 / self.cfg.fps, self._COMPLETION_FACTOR)
+                if ok:
+                    self._mb_auto = False
+                    self._mb_completion = float(
+                        np.median(self._val_flushes[1:]))
+                elif nk <= 1:
+                    self._mb_auto = False
+                    self._mb = 1
+                    self._reset_mb_state()
+                else:
+                    self._mb = nk      # re-validate the halved candidate
+                    self._val_flushes = []
+                    self._reset_mb_state()
+        return px
+
+    def _reset_mb_state(self) -> None:
+        """Drop k-shaped microbatch machinery so the next tick rebuilds
+        it at the current ``self._mb`` (validation stepping k down)."""
+        self._mb_bufs = None
+        self._mb_fences = [None, None]
+        self._mb_fill = 0
+        self._mb_slots = []
+        self._mb_uniform = []
+        self._mb_dts = []
+        self._scan_packed = None
+        self._scan_packed_u = None
+
+    @property
+    def microbatch_completion(self) -> float | None:
+        """Measured median batch-start→flush-ready completion (s) of the
+        validated k, when "auto" resolved through validation — the
+        engine's own per-frame completion prediction for the bench line."""
+        return getattr(self, "_mb_completion", None)
 
     def _uniform_count(self) -> tuple[bool, int]:
         """Host-side program choice for this tick: True selects the scalar

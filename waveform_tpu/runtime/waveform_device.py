@@ -629,10 +629,10 @@ class DeviceWaveformEngine:
         semantics; the display is up to k−1 frames behind between
         flushes — the ServingEngine contract)."""
         now_ns = time.monotonic_ns() if now_ns is None else now_ns
+        if self._mb_auto:   # probe (k=1) or validation (candidate k) phase
+            return self._tick_probe(now_ns)
         if self._mb > 1:
             return self._tick_microbatch(now_ns)
-        if self._mb_auto:
-            return self._tick_probe(now_ns)
         self._flip ^= 1
         self._bind_buf(self._flip)
         self._assemble(now_ns)
@@ -697,11 +697,17 @@ class DeviceWaveformEngine:
 
     _PROBE_TICKS = 4     # k=1 ticks timed before deciding (first tick
                          # carries the compile and is discarded)
+    _VALIDATE_FLUSHES = 2
+    _COMPLETION_FACTOR = 3.0
 
     def _tick_probe(self, now_ns: int):
         """Auto-mode startup: run normal k=1 ticks, timing completion;
-        after _PROBE_TICKS decide k via the shared policy and lock it."""
+        after _PROBE_TICKS pick a candidate k via the shared policy, then
+        VALIDATE it against measured flushes before locking (the
+        ServingEngine closed loop; serving.validate_flush)."""
         from .serving import choose_microbatch, link_rtt
+        if self._mb > 1:               # validation phase
+            return self._tick_validate(now_ns)
         t0 = time.perf_counter()
         self._mb_auto = False          # plain tick below
         try:
@@ -711,11 +717,64 @@ class DeviceWaveformEngine:
         jax.block_until_ready(out)
         self._probe_ticks.append(time.perf_counter() - t0)
         if len(self._probe_ticks) > self._PROBE_TICKS:
-            tick = float(np.median(self._probe_ticks[1:]))   # drop compile
-            k = choose_microbatch(1.0 / self.cfg.fps, link_rtt(), tick)
-            self._mb_auto = False
-            self._mb = k
+            self._probe_tick = float(
+                np.median(self._probe_ticks[1:]))            # drop compile
+            k = choose_microbatch(1.0 / self.cfg.fps, link_rtt(),
+                                  self._probe_tick)
+            if k <= 1:
+                self._mb_auto = False
+                self._mb = 1
+            else:
+                self._mb = k           # candidate: validate before locking
+                self._val_flushes: list[float] = []
         return out
+
+    def _tick_validate(self, now_ns: int):
+        """Time candidate-k flushes (batch-start → flush-ready); accept
+        or halve via the shared serving.validate_flush rule."""
+        from .serving import validate_flush
+        if self._mb_fill == 0:
+            self._val_t0 = time.perf_counter()
+        self._mb_auto = False
+        try:
+            out = self._tick_microbatch(now_ns)
+        finally:
+            self._mb_auto = True
+        if self._mb_fill == 0:         # a flush just completed
+            jax.block_until_ready(out)
+            self._val_flushes.append(time.perf_counter() - self._val_t0)
+            if len(self._val_flushes) > self._VALIDATE_FLUSHES:
+                ok, nk = validate_flush(
+                    self._val_flushes, self._mb, self._probe_tick,
+                    1.0 / self.cfg.fps, self._COMPLETION_FACTOR)
+                if ok:
+                    self._mb_auto = False
+                    self._mb_completion = float(
+                        np.median(self._val_flushes[1:]))
+                elif nk <= 1:
+                    self._mb_auto = False
+                    self._mb = 1
+                    self._reset_mb_state()
+                else:
+                    self._mb = nk      # re-validate the halved candidate
+                    self._val_flushes = []
+                    self._reset_mb_state()
+        return out
+
+    def _reset_mb_state(self) -> None:
+        """Drop k-shaped microbatch machinery so the next tick rebuilds
+        it at the current ``self._mb``."""
+        self._mb_bufs = None
+        self._mb_fences = [None, None]
+        self._mb_fill = 0
+        self._mb_slots = []
+        self._scan_packed = None
+
+    @property
+    def microbatch_completion(self) -> float | None:
+        """Measured median batch-start→flush-ready completion (s) of the
+        validated k (None unless "auto" resolved through validation)."""
+        return getattr(self, "_mb_completion", None)
 
     @property
     def microbatch(self) -> int:

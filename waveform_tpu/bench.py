@@ -244,6 +244,11 @@ def main() -> int:
     got = np.asarray(display_decibels(acc_cfg, st2))[0]
     vis = want > -120.0
     max_err = float(np.abs(got[vis] - want[vis]).max())
+    # FFTW's companion metric: relative L2 over the visible bins
+    # (deps/fftw-3.3.11/libbench2/verify-lib.c:464-477 reports
+    # ||got-want||/||want||; max|dB err| alone can hide a broad bias)
+    l2_err = float(np.linalg.norm(got[vis] - want[vis])
+                   / max(np.linalg.norm(want[vis]), 1e-30))
     if max_err > 1e-4:
         print(json.dumps({"metric": "accuracy_gate_failed",
                           "value": max_err, "unit": "dB",
@@ -494,7 +499,8 @@ def main() -> int:
     }))
     for ln in mfu_lines:
         print(ln, file=sys.stderr)
-    print(f"# accuracy max|dB err| vs float64 oracle: {max_err:.2e}; "
+    print(f"# accuracy max|dB err| vs float64 oracle: {max_err:.2e} "
+          f"(rel L2 {l2_err:.2e}, the FFTW verify-lib metric); "
           f"S={S} N={N} hop={hop} scan={T} reps={args.reps} "
           f"elapsed={elapsed:.3f}s "
           f"({elapsed / (args.reps * T) * 1e3:.2f} ms/tick); "

@@ -284,15 +284,14 @@ def test_nan_stream_isolated(rng):
 def test_real_split_int8_digits_bitexact(split, rng):
     """int8 digit planes (int32 MXU accumulation) are the same exact
     integers as the bf16 planes — results must be bit-identical."""
-    from waveform_tpu.kernels.exact_pallas import rfft_pair_mag_packed
+    from waveform_tpu.kernels.exact_pallas import rfft_rows_mag_packed
     n = 4096
-    x4 = (0.4 * rng.standard_normal((2, 2, n // 128, 128))).astype(
-        np.float32)
+    x2 = (0.4 * rng.standard_normal((4, n))).astype(np.float32)
     w = jnp.ones((n,), jnp.float32)
     wz = jnp.zeros((n,), jnp.float32)
-    mb, nzb = rfft_pair_mag_packed(jnp.asarray(x4), w, wz, interpret=True,
+    mb, nzb = rfft_rows_mag_packed(jnp.asarray(x2), w, wz, interpret=True,
                                    split=split, ddt="bf16")
-    mi, nzi = rfft_pair_mag_packed(jnp.asarray(x4), w, wz, interpret=True,
+    mi, nzi = rfft_rows_mag_packed(jnp.asarray(x2), w, wz, interpret=True,
                                    split=split, ddt="int8")
     np.testing.assert_array_equal(np.asarray(mb), np.asarray(mi))
     np.testing.assert_array_equal(np.asarray(nzb), np.asarray(nzi))

@@ -119,6 +119,7 @@ def main() -> int:
     from waveform_tpu.dsp.spectrum import (
         display_decibels,
         init_state,
+        kernel_bin_perm,
         make_spectrum_step,
     )
     from waveform_tpu.rebin.apply import make_rebin_fn
@@ -136,9 +137,16 @@ def main() -> int:
         """T full ticks in one jitted scan; fresh on-device PRNG audio.
         The ring rides FLAT [S*C, N] (DeviceRing.channels), exactly like
         ServingEngine — the T(8,128)-friendly carry measured -13%
-        device-true tick time vs the 3-D form."""
-        step = make_spectrum_step(cfg)
-        rebin = make_rebin_fn(cfg, apply_pixel_map=False)
+        device-true tick time vs the 3-D form.  Bin axes ride the
+        kernel's BLOCK order end to end when the kernel is active
+        (kernel_bin_perm) — the r5 zero-relayout layout, exactly like
+        ServingEngine: the kernel emits flat half-paired rows and the
+        EMA/rebin consume them with permuted constants (measured 175.9
+        -> 160.6 us device-true tick at N=4096/S=256 on v5e)."""
+        perm = kernel_bin_perm(cfg)
+        step = make_spectrum_step(
+            cfg, bin_order="block" if perm is not None else "natural")
+        rebin = make_rebin_fn(cfg, apply_pixel_map=False, bin_perm=perm)
         hop_c = int(SR / cfg.fps)
 
         def bench_dispatch(key, ring, state, dt, active, rms):
@@ -274,7 +282,8 @@ def main() -> int:
     # --- device-only per-tick latency: on-device PRNG audio, no H2D ---
     # Isolates buffer→spectrum compute+dispatch from transfer cost; the
     # reference's real-time budget is per-frame (src/source.cpp:1156-1167).
-    rebin = make_rebin_fn(cfg, apply_pixel_map=False)
+    rebin = make_rebin_fn(cfg, apply_pixel_map=False,
+                          bin_perm=kernel_bin_perm(cfg))
 
     def single_tick(k, ring, state, dt, active, rms):
         bits = jax.random.bits(k, (S, 2, hop), jnp.uint32)

@@ -36,7 +36,13 @@ from .windows import window_coefficients, window_sum
 
 @struct.dataclass
 class SpectrumState:
-    """Per-stream carried state (the functional ``m_*`` members)."""
+    """Per-stream carried state (the functional ``m_*`` members).
+
+    The bin axis rides in whatever order the producing step was built
+    with (make_spectrum_step's ``bin_order``): natural frequency order by
+    default, or the Pallas kernel's block layout on the zero-relayout
+    serving path — engines own the boundary conversions (readback,
+    checkpoint canonicalization) via :func:`kernel_bin_perm`."""
 
     tsmooth: jnp.ndarray      # [S, C, nbins] f32 — EMA magnitudes
     decibels: jnp.ndarray     # [S, O, nbins] f32 — the m_decibels buffers
@@ -127,7 +133,8 @@ def resolve_fft_backend(fft_backend: str = "auto") -> str:
 def _magnitude_pipeline(cfg: ResolvedConfig, samples: jnp.ndarray,
                         rfft_fn, fft_backend: str = "auto",
                         with_nz: bool = False,
-                        allow_exact_kernel: bool = True):
+                        allow_exact_kernel: bool = True,
+                        bin_order: str = "natural"):
     """window → rFFT → |z|·2/Σw → slope (src/source_generic.cpp:97-122).
 
     ``fft_backend``: "exact" runs the digit-sliced integer-GEMM FFT
@@ -138,6 +145,12 @@ def _magnitude_pipeline(cfg: ResolvedConfig, samples: jnp.ndarray,
     Rayleigh nulls); "xla" jnp.fft.rfft; "auto" picks exact on TPU (the
     north-star <1e-4 dB target binds there), xla elsewhere.  An explicit
     ``rfft_fn`` overrides.
+
+    ``bin_order="block"`` keeps the bin axis in the Pallas kernel's
+    native layout (kernels/exact_pallas.block_bin_of_pos) — ZERO
+    relayout between the kernel and the EMA/dB consumer on the serving
+    hot path; non-kernel backends emit the same order via a gather so
+    the contract holds regardless of which lowering ran.
     """
     nbins = cfg.fft_size // 2
     fft_backend = resolve_fft_backend(fft_backend)
@@ -157,11 +170,13 @@ def _magnitude_pipeline(cfg: ResolvedConfig, samples: jnp.ndarray,
         if with_nz:
             mag, nz = rfft_mag_exact(samples, nbins, window=window,
                                      with_nz=True,
-                                     allow_kernel=allow_exact_kernel)
+                                     allow_kernel=allow_exact_kernel,
+                                     bin_order=bin_order)
         else:
             mag = rfft_mag_exact(samples, nbins, window=window,
-                                 allow_kernel=allow_exact_kernel)
-        return _mag_tail(cfg, nbins, mag, nz, with_nz)
+                                 allow_kernel=allow_exact_kernel,
+                                 bin_order=bin_order)
+        return _mag_tail(cfg, nbins, mag, nz, with_nz, bin_order)
 
     x = samples
     if cfg.window != FFTWindow.NONE:
@@ -183,19 +198,26 @@ def _magnitude_pipeline(cfg: ResolvedConfig, samples: jnp.ndarray,
             raise ValueError(f"unknown fft_backend {fft_backend!r}; "
                              "expected 'auto', 'exact', 'matmul', or 'xla'")
 
-    return _mag_tail(cfg, nbins, mag, None, with_nz)
+    if bin_order == "block":
+        from ..kernels.exactfft import _to_block_order
+        mag = _to_block_order(mag, cfg.fft_size)
+    return _mag_tail(cfg, nbins, mag, None, with_nz, bin_order)
 
 
-def _mag_tail(cfg, nbins, mag, nz, with_nz):
+def _mag_tail(cfg, nbins, mag, nz, with_nz, bin_order: str = "natural"):
     """Shared normalization + slope tail (ONE copy for every backend, so
-    the exact and XLA/matmul paths can never desynchronize here)."""
+    the exact and XLA/matmul paths can never desynchronize here).  Under
+    block bin order the per-bin slope CONSTANTS permute instead of the
+    data (kernel_bin_perm's whole point)."""
     mag_coeff = 2.0 / window_sum(cfg.window, cfg.fft_size,
                                  cfg.sine_exponent)
     mag = mag * jnp.float32(mag_coeff)
     if cfg.slope > 0.0:
-        mods = jnp.asarray(
-            slope_modifiers(nbins, cfg.slope).astype(np.float32))
-        mag = mag * mods
+        mods = slope_modifiers(nbins, cfg.slope).astype(np.float32)
+        if bin_order == "block":
+            from ..kernels.exact_pallas import block_bin_of_pos
+            mods = mods[block_bin_of_pos(cfg.fft_size)]
+        mag = mag * jnp.asarray(mods)
     return (mag, nz) if with_nz else mag
 
 
@@ -211,10 +233,36 @@ def _exact_kernel_active(cfg: ResolvedConfig, rfft_fn, fft_backend) -> bool:
     return kernel_would_run(cfg.fft_size)
 
 
+def kernel_bin_perm(cfg: ResolvedConfig, rfft_fn=None,
+                    fft_backend: str = "auto",
+                    allow_exact_kernel: bool = True,
+                    stream_shard=None) -> np.ndarray | None:
+    """The bin permutation a block-order spectrum step carries, or None.
+
+    Returns ``bin_of_pos`` (natural bin index at each stored position,
+    kernels/exact_pallas.block_bin_of_pos) exactly when a step built with
+    these arguments routes magnitudes through the Pallas exact kernel —
+    the layout under which the kernel's output IS the EMA/dB state layout
+    and no per-tick relayout exists.  Engines resolve this ONCE, next to
+    their make_spectrum_step call, and hand it to every other bin-axis
+    consumer they own (rebin tables, renderer, host readback, checkpoint
+    canonicalization) so data layout and constant layout can never
+    desynchronize.  None means natural order (CPU paths, explicit
+    rfft_fn, non-exact backends, unsupported sizes).
+    """
+    if not _exact_kernel_active(cfg, rfft_fn, fft_backend):
+        return None
+    if not (allow_exact_kernel or stream_shard is not None):
+        return None
+    from ..kernels.exact_pallas import block_bin_of_pos
+    return block_bin_of_pos(cfg.fft_size)
+
+
 def make_spectrum_step(cfg: ResolvedConfig, rfft_fn=None,
                        fft_backend: str = "auto",
                        allow_exact_kernel: bool = True,
-                       stream_shard=None):
+                       stream_shard=None,
+                       bin_order: str = "natural"):
     """Build the jit-able spectrum step for a resolved config.
 
     Returns ``step(samples, state, dt, active, input_rms) -> SpectrumState``:
@@ -234,6 +282,14 @@ def make_spectrum_step(cfg: ResolvedConfig, rfft_fn=None,
     PRECEDENCE over ``allow_exact_kernel=False``, which only governs the
     non-shard_map fallback (sharded engines pass both: kernel inside
     shard_map, XLA lowering otherwise).
+
+    ``bin_order="block"`` carries the whole state (EMA trail, dB buffer)
+    in the Pallas kernel's bin layout so the kernel output feeds the tail
+    with NO relayout; per-bin constants (slope, rolloff) permute instead.
+    Position 0 is bin 0 under either order (block_bin_of_pos[0] == 0), so
+    the reference's bins>=1 normalization/rolloff slices stay positional.
+    Engines resolve the matching permutation via :func:`kernel_bin_perm`
+    for their rebin/render/readback sides.
     """
     nbins = cfg.fft_size // 2
     C = max(cfg.capture_channels, 1)
@@ -242,9 +298,14 @@ def make_spectrum_step(cfg: ResolvedConfig, rfft_fn=None,
     floor_gate = jnp.float32(cfg.floor - 10)
 
     if cfg.rolloff_q > 0.0 and cfg.rolloff_rate > 0.0:
-        rolloff = jnp.asarray(rolloff_modifiers(
+        roll = rolloff_modifiers(
             cfg.fft_size, cfg.audio.samples_per_sec, cfg.cutoff_low,
-            cfg.cutoff_high, cfg.rolloff_q, cfg.rolloff_rate).astype(np.float32))
+            cfg.cutoff_high, cfg.rolloff_q,
+            cfg.rolloff_rate).astype(np.float32)
+        if bin_order == "block":
+            from ..kernels.exact_pallas import block_bin_of_pos
+            roll = roll[block_bin_of_pos(cfg.fft_size)]
+        rolloff = jnp.asarray(roll)
     else:
         rolloff = None
 
@@ -274,13 +335,15 @@ def make_spectrum_step(cfg: ResolvedConfig, rfft_fn=None,
             spec = PartitionSpec(axis)
             mag, nz_k = shard_map(
                 lambda s: _magnitude_pipeline(cfg, s, rfft_fn, fft_backend,
-                                              with_nz=True),
+                                              with_nz=True,
+                                              bin_order=bin_order),
                 mesh=mesh, in_specs=spec, out_specs=(spec, spec),
                 check_vma=False)(samples)
         else:
             mag, nz_k = _magnitude_pipeline(
                 cfg, samples, rfft_fn, fft_backend, with_nz=True,
-                allow_exact_kernel=allow_exact_kernel)  # [S, C, nbins]
+                allow_exact_kernel=allow_exact_kernel,
+                bin_order=bin_order)  # [S, C, nbins]
 
         if cfg.tsmoothing != TSmoothingMode.NONE:
             old = state.tsmooth

@@ -517,7 +517,8 @@ def _kernel_plan_real(n: int, bs: int):
             vsplit_host(twr_hi), vsplit_host(twi_hi))
 
 
-def _kernel_real_mag(n1, n2, bs, ddt, twiddle, x_ref, w_hi_ref,
+def _kernel_real_mag(n1, n2, bs, ddt, twiddle, flat_in, flat_out, x_ref,
+                     w_hi_ref,
                      w_lo_ref, sel_ref,
                      f1d_ref, f2d_ref,
                      twr_hi_ref, twr_lo_ref, twi_hi_ref, twi_lo_ref,
@@ -528,12 +529,28 @@ def _kernel_real_mag(n1, n2, bs, ddt, twiddle, x_ref, w_hi_ref,
     Real-split formulation (see _kernel_plan_real): window, digit FFT,
     twiddle, and magnitude never touch HBM between stages, there is no
     conjugate-symmetry unpack, and the kernel writes only the kept
-    half-spectrum f32 magnitudes ([bs, 2, n1, n2/2] block coords — flat
-    bin k = k1 + n1*k2) — an 8x smaller output than the df32 complex
-    spectrum of the packed path.
+    half-spectrum f32 magnitudes — an 8x smaller output than the df32
+    complex spectrum of the packed path.
+
+    I/O rides FLAT (stream, channel) ROWS in both directions — ``x_ref``
+    [2bs, N] raw rows exactly as the serving ring stores them
+    (dsp/devring.py: [S·C, L], T(8,128) tiles) and ``mag_ref`` [2bs, N/2]
+    magnitude rows in block bin order (pos = k1·(n2/2) + k2, see
+    :func:`block_bin_of_pos`) exactly as the EMA/dB consumer carries
+    them — so neither side of the kernel needs an HBM relayout (the r4
+    device trace itemized 11 µs ring→kernel + 10 µs mag→EMA relayouts of
+    a 169 µs tick, both pure layout waste).  The retile to block
+    coordinates happens HERE, in VMEM, where a relayout costs ~20× less
+    than in HBM — FFTW's transposed-layout plan variants exist for the
+    same reason (deps/fftw-3.3.11/mpi/dft-rank-geq2-transposed.c).
+
+    ``flat_io=False`` is the small-bs fallback (2·bs < 8 rows, below the
+    Mosaic block minimum): refs arrive/leave 3-D [2bs, n1, n2] /
+    [2bs, n1, keep] and the caller owns the XLA-side relayouts.
     """
+    x3 = x_ref[:].reshape(2 * bs, n1, n2) if flat_in else x_ref[:]
     xcat = jnp.concatenate(
-        [jnp.concatenate([x_ref[si, c] for si in range(bs)], axis=1)
+        [jnp.concatenate([x3[2 * si + c] for si in range(bs)], axis=1)
          for c in (0, 1)], axis=0)                     # [2n1, bs*n2] raw
 
     # silence scan on the RAW samples (reference semantics: pre-window,
@@ -567,13 +584,14 @@ def _kernel_real_mag(n1, n2, bs, ddt, twiddle, x_ref, w_hi_ref,
              a_lo[(2 * c + 1) * n1:(2 * c + 2) * n1, :])))
     _real_mag_tail(n1, n2, bs, dtype, chans,
                    twr_hi_ref, twr_lo_ref, twi_hi_ref, twi_lo_ref,
-                   twr_h_ref, twi_h_ref, f2d_ref, mag_ref, twiddle)
+                   twr_h_ref, twi_h_ref, f2d_ref, mag_ref, twiddle,
+                   flat_out)
 
 
 def _real_mag_tail(n1, n2, bs, dtype, chans,
                    twr_hi_ref, twr_lo_ref, twi_hi_ref, twi_lo_ref,
                    twr_h_ref, twi_h_ref, f2d_ref, mag_ref,
-                   twiddle: str = "df"):
+                   twiddle: str = "df", flat_out: bool = True):
     """Shared back half of the real-split kernels: outer twiddle per
     channel, regroup to stream-major rows, kept-half stage 2, magnitude.
     ``chans`` is [(ar, ai)] per capture channel, df pairs [n1, bs·n2]
@@ -607,7 +625,7 @@ def _real_mag_tail(n1, n2, bs, dtype, chans,
             rows_hi.append((br[0], bi[0]))
             rows_lo.append((br[1], bi[1]))
         _tail_stage2(n1, n2, bs, dtype, rows_hi, rows_lo, f2d_ref, mag_ref,
-                     exact=False)
+                     exact=False, flat_out=flat_out)
         return
 
     twrh, twih = twr_h_ref[:], twi_h_ref[:]
@@ -638,11 +656,11 @@ def _real_mag_tail(n1, n2, bs, dtype, chans,
         rows_hi.append((br[0], bi[0]))
         rows_lo.append((br[1], bi[1]))
     _tail_stage2(n1, n2, bs, dtype, rows_hi, rows_lo, f2d_ref, mag_ref,
-                 exact=True)
+                 exact=True, flat_out=flat_out)
 
 
 def _tail_stage2(n1, n2, bs, dtype, rows_hi, rows_lo, f2d_ref, mag_ref,
-                 exact: bool = False):
+                 exact: bool = False, flat_out: bool = True):
     """Regroup to stream-major rows, kept-half stage 2, magnitude.
 
     The fast tier (exact=False) folds the df pair once and squares in
@@ -685,15 +703,38 @@ def _tail_stage2(n1, n2, bs, dtype, rows_hi, rows_lo, f2d_ref, mag_ref,
         cr = jnp.clip(c_hi[:, :keep] + c_lo[:, :keep], -lim, lim)
         ci = jnp.clip(c_hi[:, keep:] + c_lo[:, keep:], -lim, lim)
         mag = jnp.sqrt(cr * cr + ci * ci)
-    # note: transposing to flat bin order here (one VMEM swapaxes, making
-    # the XLA-side reshape free) measured SLOWER end-to-end on v5e — 578k
-    # vs 596-604k frames/s headline — the cross-tile relayout costs more
-    # than the [S, 2, n1, keep] -> flat transpose it replaces, so the
-    # block-coord output stays and XLA owns the final transpose
-    for si in range(bs):
-        for c in (0, 1):
-            r0 = (si * 2 + c) * n1
-            mag_ref[si, c] = mag[r0:r0 + n1, :]
+    # flat-row emission: mag's rows are already (si, c, k1)-major, so
+    # each (si, c) block of n1 rows collapses into ONE [n1·keep]-lane row
+    # and the HBM output lands in the EMA consumer's exact [S·C, nbins]
+    # layout (block bin order — see block_bin_of_pos).  Mosaic's v5e
+    # backend CRASHES (tpu_compile_helper exit 1, reproduced on every
+    # shape tried) on any reshape whose SOURCE rows are sub-lane-width
+    # (keep = 64 < 128 lanes), so the collapse goes through a 128-lane
+    # intermediate: pair each block's row j with row j+n1/2 along lanes
+    # (both are full-width contiguous slices; the pairing is just another
+    # fixed bin permutation, folded into block_bin_of_pos), THEN collapse
+    # — reshapes from exactly-128-lane sources compile and are
+    # layout-only.  note: transposing to NATURAL flat bin order here
+    # instead measured SLOWER on v5e (578k vs 596-604k frames/s headline,
+    # r3) — a cross-tile transpose is real work even in VMEM, while this
+    # pairing is lane-concat + row-collapse; consumers absorb the block
+    # order by permuting their per-bin constants/gather indices instead
+    # (dsp/spectrum.py kernel_bin_perm).
+    if flat_out:
+        h = n1 // 2
+        parts = []
+        for q in range(2 * bs):
+            blk = mag[q * n1:(q + 1) * n1]
+            parts.append(jnp.concatenate([blk[:h], blk[h:]], axis=1))
+        mag_ref[:] = jnp.concatenate(parts, axis=0).reshape(
+            2 * bs, n1 * (n2 // 2))
+    else:
+        # small-bs fallback (2·bs < 8 rows — N >= 32768 VMEM budgets):
+        # 3-D [2bs, n1, keep] blocks; the caller reproduces the SAME
+        # paired bin order with an XLA-side relayout (those sizes paid it
+        # before this change too)
+        for q in range(2 * bs):
+            mag_ref[q] = mag[q * n1:(q + 1) * n1]
 
 
 
@@ -755,17 +796,22 @@ def _kernel_plan_real3(n: int, bs: int):
             vsplit_host(twr_hi), vsplit_host(twi_hi))
 
 
-def _kernel_real_mag3(n1, n2, bs, a, ddt, twiddle, x_ref, w_hi_ref,
+def _kernel_real_mag3(n1, n2, bs, a, ddt, twiddle, flat_in, flat_out,
+                      x_ref,
+                      w_hi_ref,
                       w_lo_ref,
                       sel_ref,
                       c02_ref, c13_ref, f2d_ref,
                       twr_hi_ref, twr_lo_ref, twi_hi_ref, twi_lo_ref,
                       twr_h_ref, twi_h_ref, mag_ref, nz_ref):
     """3-factor variant of _kernel_real_mag: radix-4 + twiddle-folded
-    DFT_a stage 1 (see _kernel_plan_real3), shared tail."""
+    DFT_a stage 1 (see _kernel_plan_real3), shared tail.  Same flat-row
+    I/O contract as _kernel_real_mag (its mag rows additionally carry the
+    chunk-major k1 order — block_bin_of_pos folds that in)."""
     M = bs * n2
+    x3 = x_ref[:].reshape(2 * bs, n1, n2) if flat_in else x_ref[:]
     xcat = jnp.concatenate(
-        [jnp.concatenate([x_ref[si, c] for si in range(bs)], axis=1)
+        [jnp.concatenate([x3[2 * si + c] for si in range(bs)], axis=1)
          for c in (0, 1)], axis=0)                     # [2n1, bs*n2] raw
 
     mask = (xcat != 0.0).astype(jnp.bfloat16)
@@ -833,7 +879,8 @@ def _kernel_real_mag3(n1, n2, bs, a, ddt, twiddle, x_ref, w_hi_ref,
 
     _real_mag_tail(n1, n2, bs, dtype, chans,
                    twr_hi_ref, twr_lo_ref, twi_hi_ref, twi_lo_ref,
-                   twr_h_ref, twi_h_ref, f2d_ref, mag_ref, twiddle)
+                   twr_h_ref, twi_h_ref, f2d_ref, mag_ref, twiddle,
+                   flat_out)
 
 
 def _twiddle_choice() -> str:
@@ -949,25 +996,67 @@ def _lane_selector(n2: int, bs: int) -> np.ndarray:
     return sel
 
 
+@lru_cache(maxsize=32)
+def block_bin_of_pos(n: int, split: int | None = None) -> np.ndarray:
+    """Natural bin index stored at each flat position of a kernel mag row.
+
+    :func:`rfft_rows_mag_packed` emits each (stream, channel)'s kept-half
+    magnitudes as ONE [N/2]-lane row in BLOCK bin order: the stage-2 rows
+    (one per stage-1 k1 row, keep = N2/2 kept lanes each) land in
+    half-paired 128-lane chunks — chunk j carries row j's keep bins then
+    row j + N1/2's (the pairing that lets the in-VMEM collapse run from
+    full-lane-width sources, see _tail_stage2).  Position
+    p = j·2keep + l therefore holds stage-2 row r = j + (N1/2)·(l // keep)
+    at k2 = l % keep; the stage-1 row order maps r to k1 (identity for
+    the 2-factor split; chunk-major for the 3-factor, see
+    _kernel_plan_real3) and the natural bin is k = k1 + N1·k2.
+    Consumers that keep their whole pipeline in block order (EMA, dB,
+    rebin — dsp/spectrum.py, rebin/apply.py) permute their per-bin
+    CONSTANTS by this map instead of relayouting the data every tick.
+    ``split=None`` resolves the same env/plan choice the kernel uses —
+    callers building a consumer and its kernel in one breath get
+    matching orders by construction.
+    """
+    n1, n2 = _factors(n)
+    keep = n2 // 2
+    if split not in (2, 3):
+        split = _stage1_split(n)
+    p = np.arange(n1 * keep)
+    j, l = p // (2 * keep), p % (2 * keep)
+    r = j + (n1 // 2) * (l // keep)
+    k2 = l % keep
+    if split == 3:
+        a = n1 // 4
+        k1 = (r % a) * 4 + r // a          # inverse of _row_unscramble
+    else:
+        k1 = r
+    return (k1 + n1 * k2).astype(np.int32)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("interpret", "split", "ddt", "bs",
                                     "twiddle"))
-def rfft_pair_mag_packed(x4: jnp.ndarray, w_hi: jnp.ndarray,
+def rfft_rows_mag_packed(x2: jnp.ndarray, w_hi: jnp.ndarray,
                          w_lo: jnp.ndarray, interpret: bool = False,
                          split: int = 2, ddt: str = "bf16",
                          bs: int | None = None, twiddle: str = "df"):
-    """Raw channel-pair windows -> |rFFT| magnitudes + silence counts.
+    """Raw channel-pair rows -> |rFFT| magnitude rows + silence counts.
 
-    ``x4``: [S, 2, N1, N2] f32 raw samples.  Returns ``(mag4, nzcount)``:
-    ``mag4`` [S, 2, N1, N2//2] f32 kept-half magnitudes in block coords
-    (flat bin k = k1 + N1*k2), ``nzcount`` [S, 2] f32 per-(stream,
-    channel) raw nonzero counts.  ``split`` is the stage-1 strategy,
-    ``ddt`` the digit dtype for the MXU passes and ``bs`` an explicit
-    streams-per-block request (all static: callers resolve env/plan
-    reads so they never hide inside a cached trace).
+    ``x2``: [S·2, N] f32 raw samples, one (stream, channel) row each —
+    the serving ring's native flat layout (dsp/devring.py).  Returns
+    ``(mag2, nzcount)``: ``mag2`` [S·2, N/2] f32 kept-half magnitudes in
+    block bin order (see :func:`block_bin_of_pos`), ``nzcount`` [S, 2]
+    f32 per-(stream, channel) raw nonzero counts.  Both sides are flat
+    T(8,128)-tiled rows, so the kernel call inserts NO HBM relayout in
+    either direction.  ``split`` is the stage-1 strategy, ``ddt`` the
+    digit dtype for the MXU passes and ``bs`` an explicit streams-per-
+    block request (all static: callers resolve env/plan reads so they
+    never hide inside a cached trace).
     """
-    S, _, n1, n2 = x4.shape
-    n = n1 * n2
+    S2, n = x2.shape
+    S = S2 // 2
+    n1, n2 = _factors(n)
+    keep = n2 // 2
     bs = _block_streams(n, split=split, ddt=ddt, want=bs)
     while S % bs:
         bs //= 2
@@ -977,21 +1066,56 @@ def rfft_pair_mag_packed(x4: jnp.ndarray, w_hi: jnp.ndarray,
 
     vm = pltpu.VMEM
     two_n1 = 2 * n1
+    # flat 2-D rows need >= 8-row (or whole-array) blocks; the big-N VMEM
+    # budgets that force bs < 4 fall back to 3-D blocks with XLA-side
+    # relayouts (what those sizes paid before flat I/O existed).  The in
+    # and out sides decide independently: the INPUT keeps the pre-r5 3-D
+    # blocks (Mosaic lowers the [2bs, n] -> [2bs, n1, n2] lane-split
+    # reshape to lane shuffles measured ~3x the whole kernel; the XLA-
+    # side relayout it would save is 11 us of a 169 us tick), while the
+    # OUTPUT emits flat half-paired rows (the lane-concat + row-collapse
+    # is layout-only and deletes the EMA-side transpose entirely).
+    # WAVEFORM_TPU_KERNEL_FLAT_IO=in,out / in / out / none overrides for
+    # measurement.
+    blocks_ok = (2 * bs) % 8 == 0 or 2 * bs == S2
+    io_env = os.environ.get("WAVEFORM_TPU_KERNEL_FLAT_IO", "out")
+    flat_in = blocks_ok and "in" in io_env.split(",")
+    # the in-VMEM half-pairing lane-concats blk[:h] with blk[h:] — the
+    # second operand must start on a sublane-tile boundary (h % 8 == 0,
+    # i.e. N1 % 16 == 0) or Mosaic rejects the concat ("result/input
+    # offset mismatch on non-concat dimension", reproduced at N=1024);
+    # misaligned sizes keep 3-D blocks + the XLA-side pairing
+    flat_out = (blocks_ok and (n1 // 2) % 8 == 0
+                and "out" in io_env.split(","))
     tw_spec = pl.BlockSpec((n1, bs * n2), lambda i: (0, 0), memory_space=vm)
+    if flat_in:
+        x_in = x2
+        x_spec = pl.BlockSpec((2 * bs, n), lambda i: (i, 0),
+                              memory_space=vm)
+    else:
+        x_in = x2.reshape(S2, n1, n2)
+        x_spec = pl.BlockSpec((2 * bs, n1, n2), lambda i: (i, 0, 0),
+                              memory_space=vm)
+    if flat_out:
+        mag_spec = pl.BlockSpec((2 * bs, n // 2), lambda i: (i, 0),
+                                memory_space=vm)
+        mag_shape = jax.ShapeDtypeStruct((S2, n // 2), jnp.float32)
+    else:
+        mag_spec = pl.BlockSpec((2 * bs, n1, keep), lambda i: (i, 0, 0),
+                                memory_space=vm)
+        mag_shape = jax.ShapeDtypeStruct((S2, n1, keep), jnp.float32)
     common_in = [
-        pl.BlockSpec((bs, 2, n1, n2), lambda i: (i, 0, 0, 0),
-                     memory_space=vm),
+        x_spec,
         pl.BlockSpec((two_n1, bs * n2), lambda i: (0, 0), memory_space=vm),
         pl.BlockSpec((two_n1, bs * n2), lambda i: (0, 0), memory_space=vm),
         pl.BlockSpec((bs * n2, bs), lambda i: (0, 0), memory_space=vm),
     ]
     out_specs = [
-        pl.BlockSpec((bs, 2, n1, n2 // 2), lambda i: (i, 0, 0, 0),
-                     memory_space=vm),
+        mag_spec,
         pl.BlockSpec((1, 2, bs), lambda i: (i, 0, 0), memory_space=vm),
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((S, 2, n1, n2 // 2), jnp.float32),
+        mag_shape,
         jax.ShapeDtypeStruct((S // bs, 2, bs), jnp.float32),
     ]
 
@@ -999,7 +1123,7 @@ def rfft_pair_mag_packed(x4: jnp.ndarray, w_hi: jnp.ndarray,
         (n1, n2, a, c02, c13, f2d, twr_hi, twr_lo,
          twi_hi, twi_lo, twr_h, twi_h) = _kernel_plan_real3(n, bs)
         kernel = functools.partial(_kernel_real_mag3, n1, n2, bs, a, ddt,
-                                   twiddle)
+                                   twiddle, flat_in, flat_out)
         const_specs = [
             pl.BlockSpec((4 * a, 10 * 2 * a), lambda i: (0, 0),
                          memory_space=vm),
@@ -1015,7 +1139,7 @@ def rfft_pair_mag_packed(x4: jnp.ndarray, w_hi: jnp.ndarray,
         (n1, n2, f1d, f2d, twr_hi, twr_lo,
          twi_hi, twi_lo, twr_h, twi_h) = _kernel_plan_real(n, bs)
         kernel = functools.partial(_kernel_real_mag, n1, n2, bs, ddt,
-                                   twiddle)
+                                   twiddle, flat_in, flat_out)
         const_specs = [
             pl.BlockSpec((4 * n1, 10 * two_n1), lambda i: (0, 0),
                          memory_space=vm),
@@ -1025,7 +1149,7 @@ def rfft_pair_mag_packed(x4: jnp.ndarray, w_hi: jnp.ndarray,
         cdt = _kernel_dtypes(ddt)[0]
         consts = (jnp.asarray(f1d, cdt), jnp.asarray(f2d, cdt))
 
-    mag4, nz = pl.pallas_call(
+    mag2, nz = pl.pallas_call(
         kernel,
         grid=(S // bs,),
         in_specs=common_in + const_specs
@@ -1033,26 +1157,36 @@ def rfft_pair_mag_packed(x4: jnp.ndarray, w_hi: jnp.ndarray,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(x4, wtile(w_hi), wtile(w_lo),
+    )(x_in, wtile(w_hi), wtile(w_lo),
       jnp.asarray(_lane_selector(n2, bs), jnp.bfloat16),
       *consts,
       jnp.asarray(twr_hi), jnp.asarray(twr_lo),
       jnp.asarray(twi_hi), jnp.asarray(twi_lo),
       jnp.asarray(twr_h), jnp.asarray(twi_h))
 
-    if split == 3:
-        # chunk-major k1 rows -> natural order (see _kernel_plan_real3)
-        mag4 = jnp.take(mag4, jnp.asarray(_row_unscramble(n)), axis=-2)
-    return mag4, jnp.swapaxes(nz, 1, 2).reshape(S, 2)
+    if not flat_out:
+        # reproduce the flat contract's half-paired row layout (see
+        # block_bin_of_pos) from the 3-D fallback blocks
+        h = n1 // 2
+        mag2 = jnp.concatenate([mag2[:, :h], mag2[:, h:]],
+                               axis=-1).reshape(S2, n // 2)
+    return mag2, jnp.swapaxes(nz, 1, 2).reshape(S, 2)
 
 
 def rfft_pair_mag_kernel(x, nbins: int | None = None, window=None,
-                         interpret: bool = False):
+                         interpret: bool = False,
+                         bin_order: str = "natural"):
     """|rFFT| + silence predicate for [..., 2, N] raw f32 channel pairs.
 
     The all-in-VMEM path behind exactfft.rfft_pair_mag_exact: window,
     FFT, conjugate-symmetry unpack, and magnitude never touch HBM between
     stages.  Returns ``(mag [..., 2, nbins] f32, nz [..., 2] bool)``.
+
+    ``bin_order="block"`` returns the kernel's native row layout (bin at
+    position p is :func:`block_bin_of_pos`(N)[p]) with NO relayout at all
+    — the serving engine's hot path, whose EMA/dB/rebin stages consume
+    block order directly; requires ``nbins == N//2``.  The default
+    "natural" order pays one transpose, exactly the pre-r5 contract.
     """
     shp = x.shape[:-2]
     n = x.shape[-1]
@@ -1064,14 +1198,23 @@ def rfft_pair_mag_kernel(x, nbins: int | None = None, window=None,
         w_lo = jnp.zeros((n,), jnp.float32)
     else:
         w_hi, w_lo = window
-    mag4, nzc = rfft_pair_mag_packed(
-        x.reshape(S, 2, n1, n2), w_hi, w_lo, interpret=interpret,
-        split=_stage1_split(n), ddt=_digit_dtype_choice(n),
+    split = _stage1_split(n)
+    mag2, nzc = rfft_rows_mag_packed(
+        x.reshape(S * 2, n), w_hi, w_lo, interpret=interpret,
+        split=split, ddt=_digit_dtype_choice(n),
         twiddle=_twiddle_choice())
-    # block coords -> flat bins k = k1 + n1*k2 (kernel keeps k2 < n2//2)
-    mag = jnp.swapaxes(mag4, -1, -2).reshape(S, 2, n // 2)
-    mag = mag[..., :nbins].reshape(*shp, 2, nbins)
-    return mag, (nzc > 0).reshape(*shp, 2)
+    nz = (nzc > 0).reshape(*shp, 2)
+    if bin_order == "block":
+        if nbins != n // 2:
+            raise ValueError("bin_order='block' requires nbins == N//2 "
+                             f"(got nbins={nbins}, N={n})")
+        return mag2.reshape(*shp, 2, n // 2), nz
+    # block rows -> natural flat bins: one constant-index gather inverts
+    # the whole layout (half-pairing, 3-factor chunk order, and the
+    # k1-major transpose at once — see block_bin_of_pos)
+    inv = np.argsort(block_bin_of_pos(n, split))[:nbins]
+    mag = jnp.take(mag2, jnp.asarray(inv.astype(np.int32)), axis=-1)
+    return mag.reshape(*shp, 2, nbins), nz
 
 
 def cfft_exact_kernel(re, im, interpret: bool = False):

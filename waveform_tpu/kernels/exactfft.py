@@ -628,10 +628,21 @@ def _use_real_split_xla(n: int) -> bool:
             == "never" and _split_factors(n)[1] % 2 == 0)
 
 
+def _to_block_order(mag, n: int):
+    """Natural-order magnitudes -> the Pallas kernel's block bin order
+    (exact_pallas.block_bin_of_pos) via one constant-index gather — how
+    the non-kernel fallbacks honor a ``bin_order="block"`` request, so
+    the layout contract holds no matter which lowering actually ran."""
+    from .exact_pallas import block_bin_of_pos
+    perm = jnp.asarray(block_bin_of_pos(n))
+    return jnp.take(mag, perm, axis=-1)
+
+
 def rfft_pair_mag_exact(x, nbins: int | None = None,
                         window: tuple | None = None,
                         with_nz: bool = False,
-                        allow_kernel: bool = True):
+                        allow_kernel: bool = True,
+                        bin_order: str = "natural"):
     """|rFFT| of a channel pair with exact-accumulation arithmetic.
 
     ``x`` is [..., 2, N] f32; ``window`` an optional (hi, lo) f32 pair of
@@ -642,9 +653,16 @@ def rfft_pair_mag_exact(x, nbins: int | None = None,
     silence-scan predicate (src/source_generic.cpp:63-66), computed for
     free inside the Pallas kernel (which reads every raw sample anyway)
     instead of a separate [S, C, N] HBM re-scan.
+
+    ``bin_order="block"`` (requires ``nbins == N//2``) returns the Pallas
+    kernel's native bin layout with zero relayout on the kernel path —
+    consumers that stay in block order end to end (dsp/spectrum.py)
+    request it; fallback lowerings emit the same order via a gather.
     """
     n = x.shape[-1]
     nbins = n // 2 if nbins is None else nbins
+    if bin_order == "block" and nbins != n // 2:
+        raise ValueError("bin_order='block' requires nbins == N//2")
 
     from .exact_pallas import kernel_would_run, rfft_pair_mag_kernel
     nz = None
@@ -660,13 +678,16 @@ def rfft_pair_mag_exact(x, nbins: int | None = None,
         # shard_map'd kernel plumbing of the sharded serving engine.
         mag, nz = rfft_pair_mag_kernel(
             x, nbins, window,
-            interpret=_os.environ.get("WAVEFORM_TPU_EXACT_INTERPRET") == "1")
+            interpret=_os.environ.get("WAVEFORM_TPU_EXACT_INTERPRET") == "1",
+            bin_order=bin_order)
         return (mag, nz) if with_nz else mag
     if _use_real_split_xla(n):
         # real-split XLA reference lowering (see _rfft_mag_real_xla);
         # odd-N2 factorizations (e.g. 336 -> 16x21) have no clean
         # kept-half column split, so they stay on the packed path
         mag = _rfft_mag_real_xla(x, nbins, window)
+        if bin_order == "block":
+            mag = _to_block_order(mag, n)
         if with_nz:
             return mag, jnp.any(x != 0.0, axis=-1)
         return mag
@@ -695,6 +716,8 @@ def rfft_pair_mag_exact(x, nbins: int | None = None,
     mag0 = _df_mag(x0r, x0i)
     mag1 = _df_mag(x1r, x1i)
     mag = jnp.stack([mag0, mag1], axis=-2)
+    if bin_order == "block":
+        mag = _to_block_order(mag, n)
     return (mag, nz) if with_nz else mag
 
 
@@ -707,11 +730,14 @@ def _windowed_df(x, w_hi, w_lo):
 def rfft_mag_exact(x, nbins: int | None = None,
                    window: tuple | None = None,
                    with_nz: bool = False,
-                   allow_kernel: bool = True):
+                   allow_kernel: bool = True,
+                   bin_order: str = "natural"):
     """|rFFT| for [..., C, N] with exact accumulation; pairs channels.
 
     With ``with_nz``, also returns the per-channel raw-sample nonzero
-    predicate [..., C] bool (see :func:`rfft_pair_mag_exact`)."""
+    predicate [..., C] bool (see :func:`rfft_pair_mag_exact`).
+    ``bin_order="block"`` propagates the kernel's zero-relayout bin
+    layout (see :func:`rfft_pair_mag_exact`)."""
     c, n = x.shape[-2], x.shape[-1]
     nbins = n // 2 if nbins is None else nbins
 
@@ -721,6 +747,8 @@ def rfft_mag_exact(x, nbins: int | None = None,
         # call covers stereo, mono, and any multichannel layout
         if _use_real_split_xla(n):
             mag = _rfft_mag_real_xla(x, nbins, window)
+            if bin_order == "block":
+                mag = _to_block_order(mag, n)
             if with_nz:
                 return mag, jnp.any(x != 0.0, axis=-1)
             return mag
@@ -730,7 +758,8 @@ def rfft_mag_exact(x, nbins: int | None = None,
     for i in range(0, c - 1, 2):
         r = rfft_pair_mag_exact(x[..., i:i + 2, :], nbins, window,
                                 with_nz=with_nz,
-                                allow_kernel=allow_kernel)
+                                allow_kernel=allow_kernel,
+                                bin_order=bin_order)
         if with_nz:
             r, nz = r
             nzs.append(nz)
@@ -754,7 +783,7 @@ def rfft_mag_exact(x, nbins: int | None = None,
                     [flat, jnp.zeros((1, n), flat.dtype)], axis=0)
             m2, nz2 = rfft_pair_mag_exact(
                 flat.reshape(-1, 2, n), nbins, window, with_nz=True,
-                allow_kernel=True)
+                allow_kernel=True, bin_order=bin_order)
             m = m2.reshape(-1, nbins)[:s_flat]
             outs.append(m.reshape(*lead, 1, nbins))
             if with_nz:
@@ -767,6 +796,8 @@ def rfft_mag_exact(x, nbins: int | None = None,
             zr, zi = cfft_exact(re, jnp.zeros_like(xc),
                                 allow_kernel=allow_kernel)
             m = _df_mag(_df_head(zr, nbins), _df_head(zi, nbins))
+            if bin_order == "block":
+                m = _to_block_order(m, n)
             outs.append(m[..., None, :])
             if with_nz:
                 nzs.append(jnp.any(xc != 0.0, axis=-1)[..., None])

@@ -33,7 +33,8 @@ def _interp_matrix(taps: np.ndarray, weights: np.ndarray,
     return m
 
 
-def make_rebin_fn(cfg: ResolvedConfig, *, apply_pixel_map: bool = True):
+def make_rebin_fn(cfg: ResolvedConfig, *, apply_pixel_map: bool = True,
+                  bin_perm: np.ndarray | None = None):
     """Build ``rebin(db [..., nbins]) -> [..., P]`` for the resolved config.
 
     ``top``/``bottom`` are the pixel-map endpoints; curve mode uses
@@ -41,9 +42,22 @@ def make_rebin_fn(cfg: ResolvedConfig, *, apply_pixel_map: bool = True):
     (src/source.cpp:1408-1417, 1548-1557) — the caller supplies them since
     they depend on render geometry. With ``apply_pixel_map=False`` the output
     stays in dBFS.
+
+    ``bin_perm`` declares the INPUT's bin layout: position p of ``db``
+    holds natural bin ``bin_perm[p]`` (the serving engine's block-order
+    state, dsp/spectrum.kernel_bin_perm).  The interp CONSTANTS permute
+    to match — dense-matrix rows reorder, gather taps re-index — so a
+    block-order frame rebins with zero extra per-tick work; output pixel
+    order is unaffected.
     """
     tables = build_interp_tables(cfg)
-    taps = jnp.asarray(tables.taps.astype(np.int32))        # [P, T]
+    nat_taps = tables.taps.astype(np.int32)
+    if bin_perm is not None:
+        # taps address natural bins; the data stores bin b at position
+        # argsort(bin_perm)[b]
+        pos_of_bin = np.argsort(np.asarray(bin_perm)).astype(np.int32)
+        nat_taps = pos_of_bin[nat_taps]
+    taps = jnp.asarray(nat_taps)                             # [P, T]
     weights = jnp.asarray(tables.weights)                    # [P, T]
     band = (None if tables.band_matrix is None
             else jnp.asarray(tables.band_matrix))            # [B, P]
@@ -76,8 +90,10 @@ def make_rebin_fn(cfg: ResolvedConfig, *, apply_pixel_map: bool = True):
         mode = "dense" if on_tpu and nbins_in <= 8192 else "gather"
     dense = mode == "dense"
     if dense:
+        # nat_taps already carries any bin_perm re-index, so the matrix
+        # rows land in the input's storage order directly
         imat = jnp.asarray(_interp_matrix(
-            tables.taps, tables.weights, nbins_in))
+            nat_taps, tables.weights, nbins_in))
 
     n_out = tables.num_outputs
     use_gauss = cfg.filter_mode == FilterMode.GAUSS and not cfg.meter_mode

@@ -115,11 +115,14 @@ def _polar_fields(cfg: ResolvedConfig, g: dict) -> dict:
                 ACOV=jnp.asarray(acov.astype(asf)))
 
 
-def make_renderer(cfg: ResolvedConfig):
+def make_renderer(cfg: ResolvedConfig, bin_perm=None):
     """Build ``render(db [D, nbins]) -> RGBA image [outH, outW, 4] f32``.
 
     For meter mode pass the meter values as ``db [1, num_bars]`` (already
     dBFS).  Waveform mode passes its dB pixel buffer [D, width].
+    ``bin_perm`` declares a permuted input bin layout (the serving
+    engine's block-order state) — forwarded to the rebin stage's constant
+    tables; spectrum modes only.
     """
     g = render_geometry(cfg)
     Hh, Ww = g["height"], g["width"]
@@ -133,10 +136,10 @@ def make_renderer(cfg: ResolvedConfig):
         rebin = None
         num_bars = cfg.num_bars
     elif curve_like:
-        rebin = make_rebin_fn(cfg, apply_pixel_map=True)
+        rebin = make_rebin_fn(cfg, apply_pixel_map=True, bin_perm=bin_perm)
         num_bars = 0
     else:
-        rebin = make_rebin_fn(cfg, apply_pixel_map=True)
+        rebin = make_rebin_fn(cfg, apply_pixel_map=True, bin_perm=bin_perm)
         num_bars = cfg.num_bars
 
     rows = jnp.arange(Hh, dtype=jnp.float32)[:, None]      # [H, 1]

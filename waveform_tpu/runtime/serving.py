@@ -31,6 +31,7 @@ from ..dsp.spectrum import (
     SpectrumState,
     display_decibels,
     init_state,
+    kernel_bin_perm,
     make_spectrum_step,
 )
 from ..rebin.apply import make_rebin_fn
@@ -281,6 +282,10 @@ class ServingEngine:
                 self._native = None
 
         self._init_device_state()
+        # natural bin order unless the spectrum program build resolves the
+        # Pallas kernel's block layout (mode hooks that never build a
+        # spectrum step — the meter engine — keep None)
+        self._bin_perm = None
         self._build_device_programs()
         assert np.shares_memory(self._push_buf, self._in_buf)
         self._tick_cohort = None
@@ -318,12 +323,25 @@ class ServingEngine:
     def _build_device_programs(self) -> None:
         """Compile the mode's packed-tick and bulk-scan programs (mode
         hook; MeterServingEngine swaps the spectrum step for the meter
-        reduction, keeping every host-side path identical)."""
+        reduction, keeping every host-side path identical).
+
+        When the magnitudes ride the Pallas exact kernel, the WHOLE
+        device pipeline (kernel output, EMA trail, dB buffer, rebin
+        input) carries the kernel's block bin layout: the kernel writes
+        its native rows, the rebin's constant tables permute to match
+        (rebin/apply.py), and no per-tick bin relayout exists anywhere —
+        the r4 device trace itemized 21 µs/tick (12%) of pure relayout
+        on this path.  ``self._bin_perm`` records the layout for the
+        boundary conversions (readback, render, checkpoints)."""
         cfg, rfft_fn = self.cfg, self._rfft_fn
+        step_kwargs = self._spectrum_step_kwargs()
+        self._bin_perm = kernel_bin_perm(cfg, rfft_fn, **step_kwargs)
         step = make_spectrum_step(
-            cfg, **self._spectrum_step_kwargs(),
+            cfg, **step_kwargs,
+            bin_order="block" if self._bin_perm is not None else "natural",
             **({} if rfft_fn is None else {"rfft_fn": rfft_fn}))
-        rebin = make_rebin_fn(cfg, apply_pixel_map=False)
+        rebin = make_rebin_fn(cfg, apply_pixel_map=False,
+                              bin_perm=self._bin_perm)
         normalize = self._normalize
         rms_size = cfg.input_rms_size
 
@@ -999,7 +1017,13 @@ class ServingEngine:
         return np.asarray(self._last_pixels)
 
     def read_decibels(self) -> np.ndarray:
-        return np.asarray(self._display_values(self.state))
+        """Host readback of the display dB buffer, in NATURAL bin order
+        (a block-order engine unpermutes on the host — readback is a
+        boundary, not the hot path)."""
+        db = np.asarray(self._display_values(self.state))
+        if self._bin_perm is not None:
+            db = db[..., np.argsort(self._bin_perm)]
+        return db
 
     def render_frames(self) -> jnp.ndarray:
         """RGBA frames for ALL streams in ONE jitted dispatch.
@@ -1013,7 +1037,7 @@ class ServingEngine:
         """
         if self._render_batch is None:
             from ..render.raster import make_renderer
-            render = make_renderer(self.cfg)
+            render = make_renderer(self.cfg, bin_perm=self._bin_perm)
 
             def batch(state):
                 imgs = jax.vmap(render)(self._display_values(state))
@@ -1106,13 +1130,31 @@ class ServingEngine:
 
     # ------------------------------------------------------------------
 
+    def _state_bin_relayout(self, state, to_natural: bool):
+        """Convert a SpectrumState's bin axis between this engine's
+        storage layout and the checkpoint's CANONICAL natural order.
+        Checkpoints always store natural bins so they stay portable
+        across backends/engines whose kernel routing differs (a CPU
+        engine resumes a TPU block-order checkpoint and vice versa)."""
+        if self._bin_perm is None or not hasattr(state, "tsmooth"):
+            return state
+        idx = (np.argsort(self._bin_perm) if to_natural
+               else np.asarray(self._bin_perm))
+        return state.replace(
+            tsmooth=np.asarray(state.tsmooth)[..., idx],
+            decibels=np.asarray(state.decibels)[..., idx])
+
     def save_state(self, path: str) -> None:
-        """Checkpoint device state (EMA trails, dB buffers, latches, ring)."""
+        """Checkpoint device state (EMA trails, dB buffers, latches, ring).
+        Bin axes are canonicalized to natural order (see
+        :meth:`_state_bin_relayout`)."""
         from ..utils.checkpoint import save_pytree
-        save_pytree(path, (self.state, self.ring, self.rms_ring))
+        save_pytree(path, (self._state_bin_relayout(self.state, True),
+                           self.ring, self.rms_ring))
 
     def load_state(self, path: str) -> None:
         """Resume a checkpoint into this engine (same config + stream count)."""
         from ..utils.checkpoint import load_pytree
-        self.state, self.ring, self.rms_ring = load_pytree(
+        state, self.ring, self.rms_ring = load_pytree(
             path, (self.state, self.ring, self.rms_ring))
+        self.state = self._state_bin_relayout(state, False)

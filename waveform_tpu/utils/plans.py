@@ -149,19 +149,23 @@ def measure(n: int, streams: int = 64, ticks: int = 0, reps: int = 8,
         ticks = max(8, (1 << 31) // (n * streams))
 
     from ..kernels import exactfft
-    from ..kernels.exact_pallas import rfft_pair_mag_packed
+    from ..kernels.exact_pallas import rfft_rows_mag_packed
 
-    n1, n2 = n // 128, 128
     S = streams
     w = jnp.ones((n,), jnp.float32)
     wz = jnp.zeros((n,), jnp.float32)
 
     def build(tag):
+        # every candidate consumes/produces the serving ring's FLAT
+        # [S·2, N] rows and emits [S·2, N/2] magnitude rows in ITS OWN
+        # natural layout (kernel: block order with zero relayout; xla:
+        # natural order with zero relayout) — the tuner times what each
+        # path would actually cost the engine end to end
         if tag == "xla":
-            def mag_fn(x4):
-                x = x4.reshape(S, 2, n)
+            def mag_fn(x2):
+                x = x2.reshape(S, 2, n)
                 m = exactfft.rfft_pair_mag_exact(x, allow_kernel=False)
-                return m.reshape(S, 2, n2 // 2, n1).swapaxes(-1, -2)
+                return m.reshape(2 * S, n // 2)
         else:
             split, ddt, bs = tag
             # measure the accuracy tier production resolves (fast by
@@ -170,24 +174,24 @@ def measure(n: int, streams: int = 64, ticks: int = 0, reps: int = 8,
             from ..kernels.exact_pallas import _twiddle_choice
             twd = _twiddle_choice()
 
-            def mag_fn(x4):
-                return rfft_pair_mag_packed(x4, w, wz, split=split,
+            def mag_fn(x2):
+                return rfft_rows_mag_packed(x2, w, wz, split=split,
                                             ddt=ddt, bs=bs, twiddle=twd)[0]
 
-        def run(x4):
+        def run(x2):
             def body(carry, _):
                 mag = mag_fn(carry)
                 d = jnp.concatenate([mag, mag], axis=-1)
                 return (carry * jnp.float32(0.9999)
-                        + d * jnp.float32(1e-6)), mag[0, 0, 0, 0]
-            return jax.lax.scan(body, x4, None, length=ticks)
+                        + d * jnp.float32(1e-6)), mag[0, 0]
+            return jax.lax.scan(body, x2, None, length=ticks)
 
         return jax.jit(run)
 
     tags = _candidates(n) + ["xla"]
     fns = {t: build(t) for t in tags}
     rng = np.random.default_rng(0)
-    x0 = jnp.asarray(0.3 * rng.standard_normal((S, 2, n1, n2)), jnp.float32)
+    x0 = jnp.asarray(0.3 * rng.standard_normal((2 * S, n)), jnp.float32)
     for t in list(fns):
         t0 = time.perf_counter()
         try:

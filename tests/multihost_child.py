@@ -87,9 +87,47 @@ def main() -> None:
              for sl, dim in zip(sh.index, last.shape)], np.int64)
         np.savez(os.path.join(outdir, f"bulk_{proc_id}_{k}.npz"),
                  data=np.asarray(sh.data), bounds=bounds)
+    # --- checkpoint-based re-provision at a NEW stream count -----------
+    # The flow ShardedServingEngine.resized() points multi-host pods at:
+    # save_state (collective allgather, proc 0 writes) -> build a fresh
+    # engine at a different stream count -> load_state(keep=...) migrates
+    # surviving rows and re-places across the mesh.  The reference analog
+    # is update()'s full teardown/re-register on any topology change
+    # (/root/reference/src/source.cpp:1077-1322).
+    from jax.experimental import multihost_utils
+
+    from waveform_tpu.utils.checkpoint import to_host
+
+    db_old = to_host(eng.state.decibels)
+    ck = os.path.join(outdir, "resize_ck.npz")
+    eng.save_state(ck)                      # collective; proc 0 writes
+    multihost_utils.sync_global_devices("resize_ck_saved")
+
+    keep = [5, 0, 3]
+    eng2 = ShardedServingEngine(cfg, 6, pixel_parallel=2, use_native=False)
+    eng2.load_state(ck, keep=keep)          # collective (gathers refs)
+    db_new = to_host(eng2.state.decibels)
+    if proc_id == 0:
+        np.savez(os.path.join(outdir, "resize.npz"),
+                 db_old=db_old, db_new=db_new, keep=np.asarray(keep))
+
+    # the re-provisioned engine must actually RUN: one live tick on the
+    # migrated state (placement + compiled-program shardings line up)
+    for s in range(*eng2.local_streams):
+        r = np.random.default_rng(9000 + s)
+        pkt1 = 0.3 * r.standard_normal((1, 2, HOP)).astype(np.float32)
+        # per-stream feed keeps this simple: one packet per local row
+        eng2.feed(s, pkt1[0], now, now_ns=now)
+    eng2.tick(now_ns=now + HOP * 1_000_000_000 // SR)
+    px2 = eng2.pixels_sharded
+    jax.block_until_ready(px2)
+    assert all(np.isfinite(np.asarray(sh.data)).all()
+               for sh in px2.addressable_shards)
+
     print(f"child {proc_id}: local rows [{lo}, {hi}), "
           f"{len(px.addressable_shards)} + "
-          f"{len(last.addressable_shards)} shards written")
+          f"{len(last.addressable_shards)} shards written; "
+          f"re-provision 8->6 streams via load_state(keep) ok")
 
 
 if __name__ == "__main__":

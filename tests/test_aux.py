@@ -7,6 +7,7 @@ import numpy as np
 import pytest
 
 from waveform_tpu import (
+    DB_MIN,
     AudioInfo,
     DisplayMode,
     FFTWindow,
@@ -153,6 +154,19 @@ def test_checkpoint_roundtrip(tmp_path, rng):
     eng3 = ServingEngine(cfg, 4)
     with pytest.raises(ValueError, match="shape"):
         eng3.load_state(p)
+
+    # ... unless the caller asks for row migration: load_state(keep=...)
+    # maps checkpoint row keep[i] -> new row i and leaves the rest fresh
+    # (the checkpoint-based re-provision flow multi-host resize uses)
+    eng3.load_state(p, keep=[1, 0])
+    after = eng3.read_decibels()
+    np.testing.assert_array_equal(after[0], before[1])
+    np.testing.assert_array_equal(after[1], before[0])
+    assert (after[2:] == DB_MIN).all()
+    np.testing.assert_array_equal(np.asarray(eng3.ring.view3)[:2],
+                                  np.asarray(eng.ring.view3)[[1, 0]])
+    with pytest.raises(ValueError, match="out of range"):
+        eng3.load_state(p, keep=[2])
 
 
 def test_wisdom_cache(tmp_path):

@@ -97,3 +97,14 @@ def test_two_process_sharded_engine_matches_single(tmp_path):
     want_bulk = np.asarray(eng.tick_many(bulk)[-1])
     np.testing.assert_allclose(assemble("bulk"), want_bulk, rtol=0,
                                atol=1e-4)
+
+    # checkpoint-based re-provision at a new stream count (the multi-host
+    # resize flow): surviving rows carry their dB state verbatim, rows
+    # beyond len(keep) start fresh — asserted from the children's gathered
+    # before/after state (tests/multihost_child.py phase 3)
+    z = np.load(tmp_path / "resize.npz")
+    db_old, db_new, keep = z["db_old"], z["db_new"], z["keep"]
+    for i, j in enumerate(keep):
+        np.testing.assert_array_equal(db_new[i], db_old[j])
+    from waveform_tpu import DB_MIN
+    assert (db_new[len(keep):6] == DB_MIN).all()   # fresh user rows

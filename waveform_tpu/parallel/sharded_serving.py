@@ -97,12 +97,15 @@ class ShardedServingEngine(ServingEngine):
         device state across a mesh re-shape is strictly more continuity.
 
         Single-process only (the gather materializes the kept rows on this
-        host): multi-host pods re-provision — build a new engine and carry
-        state with save_state/load_state."""
+        host): multi-host pods re-provision — build a new engine at the
+        new count/mesh and carry state with save_state +
+        load_state(keep=...), both collective (tested end-to-end across
+        two real processes in tests/test_multihost.py)."""
         if jax.process_count() > 1:
             raise NotImplementedError(
                 "multi-host resize: construct a new ShardedServingEngine "
-                "and carry state across with save_state/load_state")
+                "and carry state across with save_state / "
+                "load_state(keep=...) — collective on every process")
         if keep is None:
             keep = list(range(min(self.user_streams, num_streams)))
         if len(keep) > num_streams:
@@ -272,6 +275,16 @@ class ShardedServingEngine(ServingEngine):
 
     def read_decibels(self) -> np.ndarray:
         return super().read_decibels()[:self.user_streams]
+
+    def load_state(self, path: str, keep: list[int] | None = None) -> None:
+        """Resume (optionally row-migrating, see ServingEngine.load_state)
+        and re-place the loaded host arrays across the mesh — the
+        checkpoint-based re-provision flow :meth:`resized` points
+        multi-host pods at.  Every process must call this (and the save
+        that produced ``path`` is itself collective,
+        utils/checkpoint.save_pytree)."""
+        super().load_state(path, keep=keep)
+        self._place_buffers()
 
     @property
     def last_silent(self) -> np.ndarray:

@@ -1138,11 +1138,12 @@ class ServingEngine:
         engine resumes a TPU block-order checkpoint and vice versa)."""
         if self._bin_perm is None or not hasattr(state, "tsmooth"):
             return state
+        from ..utils.checkpoint import to_host
         idx = (np.argsort(self._bin_perm) if to_natural
                else np.asarray(self._bin_perm))
         return state.replace(
-            tsmooth=np.asarray(state.tsmooth)[..., idx],
-            decibels=np.asarray(state.decibels)[..., idx])
+            tsmooth=to_host(state.tsmooth)[..., idx],
+            decibels=to_host(state.decibels)[..., idx])
 
     def save_state(self, path: str) -> None:
         """Checkpoint device state (EMA trails, dB buffers, latches, ring).
@@ -1152,9 +1153,16 @@ class ServingEngine:
         save_pytree(path, (self._state_bin_relayout(self.state, True),
                            self.ring, self.rms_ring))
 
-    def load_state(self, path: str) -> None:
-        """Resume a checkpoint into this engine (same config + stream count)."""
+    def load_state(self, path: str, keep: list[int] | None = None) -> None:
+        """Resume a checkpoint into this engine (same config).
+
+        ``keep`` additionally migrates stream rows: checkpoint row
+        ``keep[i]`` lands in this engine's row ``i`` and rows beyond
+        ``len(keep)`` keep their current state — the checkpoint-based
+        re-provision flow for topology changes that live ``resized()``
+        cannot perform (multi-host pods; see
+        parallel/sharded_serving.py)."""
         from ..utils.checkpoint import load_pytree
         state, self.ring, self.rms_ring = load_pytree(
-            path, (self.state, self.ring, self.rms_ring))
+            path, (self.state, self.ring, self.rms_ring), keep=keep)
         self.state = self._state_bin_relayout(state, False)

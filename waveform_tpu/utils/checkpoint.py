@@ -6,6 +6,16 @@ framework needs more: EMA trails, silence latches, and device ring contents
 survive process restarts so a redeploy doesn't blank every client's graph.
 State pytrees serialize to a single ``.npz`` (no orbax dependency needed at
 this scale; the arrays total a few MB).
+
+Multi-host: ``save_pytree`` is a COLLECTIVE — every process must call it
+(sharded leaves allgather across processes), and process 0 writes the file.
+``load_pytree``'s optional ``keep`` performs the stream-row migration that
+live ``resized()`` cannot do across processes (the re-provision flow
+``ShardedServingEngine.resized`` documents): checkpoint row ``keep[i]``
+lands in new row ``i``, rows beyond ``len(keep)`` keep their fresh-init
+values — the multi-host analog of the reference tearing down and
+re-allocating every buffer on a topology change
+(/root/reference/src/source.cpp:1077-1322).
 """
 
 from __future__ import annotations
@@ -15,14 +25,34 @@ import numpy as np
 import jax
 
 
+def to_host(x) -> np.ndarray:
+    """Leaf -> host numpy, gathering across processes when the leaf is a
+    multi-host sharded array (``np.asarray`` alone raises on those).
+    COLLECTIVE for such leaves: every process must reach this call."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
 def save_pytree(path: str, tree) -> None:
+    """Collective on multi-host (see :func:`to_host`); process 0 writes."""
     leaves, treedef = jax.tree.flatten(tree)
-    arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
-    np.savez_compressed(path, __treedef__=str(treedef), **arrays)
+    arrays = {f"leaf_{i}": to_host(x) for i, x in enumerate(leaves)}
+    if jax.process_index() == 0:
+        np.savez_compressed(path, __treedef__=str(treedef), **arrays)
 
 
-def load_pytree(path: str, like):
-    """Load into the structure of ``like`` (shapes/dtypes must match)."""
+def load_pytree(path: str, like, keep: list[int] | None = None):
+    """Load into the structure of ``like``.
+
+    With ``keep=None`` shapes/dtypes must match (plus the one pinned r3
+    ring-layout evolution below).  With ``keep`` the checkpoint may carry
+    a DIFFERENT stream count: every leaf's leading axis is per-stream
+    (per-(stream·channel) for flat rings — migrated at stream granularity
+    through the ring's channel count), new row ``i`` receives checkpoint
+    row ``keep[i]``, and rows past ``len(keep)`` retain ``like``'s values.
+    """
     from ..dsp.devring import DeviceRing
 
     data = np.load(path, allow_pickle=False)
@@ -37,9 +67,36 @@ def load_pytree(path: str, like):
     loaded = []
     for i, ref in enumerate(leaves):
         arr = data[f"leaf_{i}"]
-        if arr.shape != ref.shape:
-            ref_shape = tuple(np.shape(ref))
-            node = nodes[i] if i < len(nodes) else None
+        ref_shape = tuple(np.shape(ref))
+        node = nodes[i] if i < len(nodes) else None
+        if keep is not None:
+            if isinstance(node, DeviceRing) and arr.ndim == 2:
+                c = node.channels
+                if (arr.shape[0] % c or arr.shape[1] != ref_shape[1]
+                        or len(ref_shape) != 2 or ref_shape[0] % c):
+                    raise ValueError(
+                        f"checkpoint leaf {i} {arr.shape} incompatible with "
+                        f"ring {ref_shape} (channels={c}) for row migration")
+                old3 = arr.reshape(-1, c, arr.shape[1])
+                base = np.array(to_host(ref)).reshape(-1, c, ref_shape[1])
+                if any(not 0 <= j < old3.shape[0] for j in keep):
+                    raise ValueError(f"keep indices out of range for "
+                                     f"checkpoint streams={old3.shape[0]}")
+                base[:len(keep)] = old3[keep]
+                arr = base.reshape(ref_shape)
+            else:
+                if arr.shape[1:] != ref_shape[1:]:
+                    raise ValueError(
+                        f"checkpoint leaf {i} trailing shape {arr.shape} != "
+                        f"expected {ref_shape}; row migration only remaps "
+                        "the stream axis — was the config changed?")
+                if any(not 0 <= j < arr.shape[0] for j in keep):
+                    raise ValueError(f"keep indices out of range for "
+                                     f"checkpoint streams={arr.shape[0]}")
+                base = np.array(to_host(ref))
+                base[:len(keep)] = arr[keep]
+                arr = base
+        elif arr.shape != ref_shape:
             if (isinstance(node, DeviceRing)
                     and arr.ndim == 3 and len(ref_shape) == 2
                     and arr.shape[1] == node.channels

@@ -79,6 +79,31 @@ def test_block_order_matches_kernel_rows(rng):
         assert rel < 1e-6, (split, rel)
 
 
+def test_flat_io_modes_agree(rng, monkeypatch):
+    """The kernel's flat/3-D spec fallbacks (WAVEFORM_TPU_KERNEL_FLAT_IO)
+    all honor the SAME row/bin-order contract: the small-bs 3-D path
+    (N >= 32768 VMEM budgets) and the flat default must be
+    indistinguishable to consumers."""
+    from waveform_tpu.kernels import exact_pallas as ep
+    n = 4096
+    x2 = jnp.asarray((0.3 * rng.standard_normal((4, n))).astype(np.float32))
+    w = jnp.ones((n,), jnp.float32)
+    wz = jnp.zeros((n,), jnp.float32)
+    outs = {}
+    for mode in ("none", "in", "out", "in,out"):
+        monkeypatch.setenv("WAVEFORM_TPU_KERNEL_FLAT_IO", mode)
+        # the env is read at TRACE time under identical static args — the
+        # cached trace would silently alias every mode to the first
+        # (the r4 ablation trap, ROADMAP #41)
+        ep.rfft_rows_mag_packed.clear_cache()
+        m, nz = ep.rfft_rows_mag_packed(x2, w, wz, interpret=True, split=2)
+        outs[mode] = (np.asarray(m), np.asarray(nz))
+    ep.rfft_rows_mag_packed.clear_cache()
+    for mode in ("in", "out", "in,out"):
+        np.testing.assert_array_equal(outs[mode][0], outs["none"][0])
+        np.testing.assert_array_equal(outs[mode][1], outs["none"][1])
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(7)

@@ -184,7 +184,12 @@ def measure(n: int, streams: int = 64, ticks: int = 0, reps: int = 8,
                 d = jnp.concatenate([mag, mag], axis=-1)
                 return (carry * jnp.float32(0.9999)
                         + d * jnp.float32(1e-6)), mag[0, 0]
-            return jax.lax.scan(body, x2, None, length=ticks)
+            c, ys = jax.lax.scan(body, x2, None, length=ticks)
+            # a SCALAR result the timing loop pulls to the host:
+            # block_until_ready alone can return before tiny dispatches
+            # complete on the relay backend (measured: 0.00 us/frame
+            # recorded at N<=1040) — a host readback cannot
+            return c[0, 0] + ys.sum()
 
         return jax.jit(run)
 
@@ -195,7 +200,7 @@ def measure(n: int, streams: int = 64, ticks: int = 0, reps: int = 8,
     for t in list(fns):
         t0 = time.perf_counter()
         try:
-            jax.block_until_ready(fns[t](x0))
+            np.asarray(fns[t](x0))
         except Exception as e:   # candidate unlowerable on this backend
             if verbose:
                 print(f"candidate {t} failed to compile: "
@@ -210,7 +215,7 @@ def measure(n: int, streams: int = 64, ticks: int = 0, reps: int = 8,
     for _ in range(reps):
         for t in tags:
             t0 = time.perf_counter()
-            jax.block_until_ready(fns[t](x0))
+            np.asarray(fns[t](x0))   # host readback: see run()'s note
             times[t].append((time.perf_counter() - t0)
                             / (ticks * S) * 1e6)
     mins = {t: float(np.min(v)) for t, v in times.items()}

@@ -1280,8 +1280,16 @@ def kernel_cost(n: int, streams: int, split: int | None = None,
       ten (t, pair) products of MAX_T=3 sum to a 10× single-plane dot per
       stage (see _digit_stage).
     * ``hbm_bytes`` — compulsory traffic: raw input read + magnitude/
-      nzcount writes + per-grid-block constant reads (digit planes +
-      twiddles re-enter VMEM once per block of ``bs`` streams).
+      nzcount writes + ONE fetch of every invariant operand (digit
+      planes, tiled twiddles/window, selector).  Invariant blocks
+      (index_map constant across the grid) are NOT re-fetched per grid
+      step — measured two ways on v5e (r5): an 8 MB invariant operand
+      costs the same at grid=1/16/64 (re-fetch would add ~640 µs at
+      grid=64), and the kernel's per-frame cost FALLS with block count
+      (0.568/0.357/0.335 µs/frame at 1/4/16 blocks — amortizing
+      per-call overhead, the opposite sign of per-block reloads).
+      The pre-r5 model counted constants per block, overstating HBM
+      ~3× at N=4096/S=256 and mislabeling VPU-bound sizes as HBM-bound.
     * ``split``/``ddt``/``bs`` — the resolved plan, so callers can pick
       the matching peak rate (bf16 vs int8 MXU).
     """
@@ -1312,11 +1320,13 @@ def kernel_cost(n: int, streams: int, split: int | None = None,
     silence = 2 * (2 * n1) * (bs * n2) * bs * (S // bs)
 
     itemsize = 1 if ddt == "int8" else 2
-    blocks = S // bs
     hbm = (S * 2 * n * 4                 # raw input read
            + S * 2 * (n // 2) * 4        # magnitude write
            + S * 2 * 4                   # nz counts
-           + blocks * (const_bytes * itemsize   # digit-plane constants
-                       + 6 * n1 * bs * n2 * 4)) # tiled twiddle planes
+           # invariant operands, fetched ONCE per call (see docstring):
+           + const_bytes * itemsize      # digit-plane constants
+           + 6 * n1 * bs * n2 * 4        # tiled twiddle planes
+           + 2 * 2 * n1 * bs * n2 * 4    # tiled df window planes
+           + bs * n2 * bs * 2)           # silence selector (bf16)
     return {"mxu_flops": stage1 + stage2 + silence, "hbm_bytes": hbm,
             "split": split, "ddt": ddt, "bs": bs}

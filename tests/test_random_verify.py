@@ -170,3 +170,13 @@ def test_random_problem(i, n, backend, win, sine_exp, stereo):
     assert db_err.max() < db_tol, (
         f"draw {i}: n={n} backend={backend} win={win.name} "
         f"sine^{sine_exp} stereo={stereo}: max dB err {db_err.max():.2e}")
+
+    if backend == "exact" and n % 128 == 0 and (n // 128) % 8 == 0:
+        # the r5 zero-relayout contract on the same draw: block bin order
+        # is a pure permutation of the identical values (every lowering —
+        # kernel or fallback — must honor block_bin_of_pos bit-exactly)
+        from waveform_tpu.kernels.exact_pallas import block_bin_of_pos
+        magb = np.asarray(rfft_mag_exact(
+            jnp.asarray(xa), None, window=window, bin_order="block"))
+        inv = np.argsort(block_bin_of_pos(n))
+        np.testing.assert_array_equal(magb[..., inv], mag.astype(np.float32))

@@ -1019,6 +1019,14 @@ def block_bin_of_pos(n: int, split: int | None = None) -> np.ndarray:
     """
     n1, n2 = _factors(n)
     keep = n2 // 2
+    if n % _LANES or n1 % 2:
+        # block order exists only for the kernel's factorization (the
+        # half-pairing needs an even N1); a silent wrong-length permute
+        # would mis-shape downstream consumers, so fail loudly — engines
+        # never request block order here (kernel_bin_perm gates on
+        # kernel_would_run, which implies this geometry)
+        raise ValueError(f"block bin order undefined for N={n}: needs "
+                         f"N % {_LANES} == 0 and an even N/{_LANES}")
     if split not in (2, 3):
         split = _stage1_split(n)
     p = np.arange(n1 * keep)

@@ -204,6 +204,17 @@ def main() -> int:
                 f"({100 * hbm_u:.0f}% of {V5E_PEAK_HBM_GBS:.0f}) | "
                 f"binds: {binds} [split={c['split']} bs={c['bs']}]")
 
+    def bench_key():
+        """PRNG key for the bench's on-device synthetic audio.  The
+        hardware RBG generator costs ~8 us/tick less than threefry at
+        S=256/hop=800 (measured r5: 165.4 -> 157.0 us/tick) — the
+        synthetic source is not the system under test, and its output
+        stays uniform random bits either way."""
+        try:
+            return jax.random.key(0, impl="rbg")
+        except Exception:          # backend without rbg support
+            return jax.random.key(0)
+
     def measure(cfg, s, reps, warmup, rounds=3):
         """Best-of-rounds scan throughput for one (size, streams)."""
         fn, step = build_dispatch(cfg, s)
@@ -212,7 +223,7 @@ def main() -> int:
         dt = jnp.float32(1 / 60)
         active = jnp.ones(s, bool)
         rms = jnp.zeros(s, jnp.float32)
-        key = jax.random.key(0)
+        key = bench_key()
         sums = None
         for i in range(max(warmup, 1)):
             sums, ring, state = fn(jax.random.fold_in(key, i), ring, state,
@@ -296,7 +307,7 @@ def main() -> int:
     dt = jnp.float32(1 / 60)
     active = jnp.ones(S, bool)
     rms = jnp.zeros(S, jnp.float32)
-    key = jax.random.key(0)
+    key = bench_key()
     single = jax.jit(single_tick, donate_argnums=(1, 2))
     m, ring, state = single(key, ring, state, dt, active, rms)
     jax.block_until_ready(m)

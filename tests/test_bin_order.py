@@ -73,7 +73,7 @@ def test_block_order_matches_kernel_rows(rng):
     for split in (2, 3):
         m2, _ = rfft_rows_mag_packed(jnp.asarray(x.reshape(4, n)), w, wz,
                                      interpret=True, split=split)
-        got = np.asarray(m2).reshape(2, 2, n // 2)
+        got = np.swapaxes(np.asarray(m2), 0, 1)   # planar -> [S, 2, nbins]
         inv = np.argsort(block_bin_of_pos(n, split))
         rel = np.abs(got[..., inv] - want).max() / want.max()
         assert rel < 1e-6, (split, rel)

@@ -721,13 +721,23 @@ def _tail_stage2(n1, n2, bs, dtype, rows_hi, rows_lo, f2d_ref, mag_ref,
     # order by permuting their per-bin constants/gather indices instead
     # (dsp/spectrum.py kernel_bin_perm).
     if flat_out:
+        # rows leave CHANNEL-PLANAR ([2, bs, n1·keep] blocks of a
+        # [2, S, nbins] output): XLA's layout assignment carries the EMA
+        # state [S, C, nbins] as {2,0,1} (channel-planar memory), so the
+        # logical (C, S)->(S, C) transpose outside is a metadata bitcast
+        # — the (si, c)-interleaved form still paid a 5.6 µs T(2,128)->
+        # T(8,128) retile into the EMA blend every tick (trace r5)
         h = n1 // 2
-        parts = []
-        for q in range(2 * bs):
+
+        def row(q):
             blk = mag[q * n1:(q + 1) * n1]
-            parts.append(jnp.concatenate([blk[:h], blk[h:]], axis=1))
-        mag_ref[:] = jnp.concatenate(parts, axis=0).reshape(
+            return jnp.concatenate([blk[:h], blk[h:]], axis=1)
+
+        planar = [row(si * 2 + c) for c in (0, 1) for si in range(bs)]
+        m2 = jnp.concatenate(planar, axis=0).reshape(
             2 * bs, n1 * (n2 // 2))
+        mag_ref[:] = jnp.concatenate([m2[:bs][None], m2[bs:][None]],
+                                     axis=0)
     else:
         # small-bs fallback (2·bs < 8 rows — N >= 32768 VMEM budgets):
         # 3-D [2bs, n1, keep] blocks; the caller reproduces the SAME
@@ -1052,14 +1062,16 @@ def rfft_rows_mag_packed(x2: jnp.ndarray, w_hi: jnp.ndarray,
 
     ``x2``: [S·2, N] f32 raw samples, one (stream, channel) row each —
     the serving ring's native flat layout (dsp/devring.py).  Returns
-    ``(mag2, nzcount)``: ``mag2`` [S·2, N/2] f32 kept-half magnitudes in
-    block bin order (see :func:`block_bin_of_pos`), ``nzcount`` [S, 2]
-    f32 per-(stream, channel) raw nonzero counts.  Both sides are flat
-    T(8,128)-tiled rows, so the kernel call inserts NO HBM relayout in
-    either direction.  ``split`` is the stage-1 strategy, ``ddt`` the
-    digit dtype for the MXU passes and ``bs`` an explicit streams-per-
-    block request (all static: callers resolve env/plan reads so they
-    never hide inside a cached trace).
+    ``(mag2, nzcount)``: ``mag2`` [2, S, N/2] f32 kept-half magnitudes,
+    CHANNEL-PLANAR with bins in block order (see :func:`block_bin_of_pos`
+    and _tail_stage2's planar note — ``swapaxes(mag2, 0, 1)`` is the
+    logical [S, 2, N/2] view, and lands as a free metadata bitcast in the
+    layout XLA assigns the EMA carry), ``nzcount`` [S, 2] f32
+    per-(stream, channel) raw nonzero counts.  Neither side of the kernel
+    call inserts an HBM relayout.  ``split`` is the stage-1 strategy,
+    ``ddt`` the digit dtype for the MXU passes and ``bs`` an explicit
+    streams-per-block request (all static: callers resolve env/plan
+    reads so they never hide inside a cached trace).
     """
     S2, n = x2.shape
     S = S2 // 2
@@ -1085,15 +1097,17 @@ def rfft_rows_mag_packed(x2: jnp.ndarray, w_hi: jnp.ndarray,
     # is layout-only and deletes the EMA-side transpose entirely).
     # WAVEFORM_TPU_KERNEL_FLAT_IO=in,out / in / out / none overrides for
     # measurement.
-    blocks_ok = (2 * bs) % 8 == 0 or 2 * bs == S2
     io_env = os.environ.get("WAVEFORM_TPU_KERNEL_FLAT_IO", "out")
-    flat_in = blocks_ok and "in" in io_env.split(",")
+    flat_in = ((2 * bs) % 8 == 0 or 2 * bs == S2) \
+        and "in" in io_env.split(",")
     # the in-VMEM half-pairing lane-concats blk[:h] with blk[h:] — the
     # second operand must start on a sublane-tile boundary (h % 8 == 0,
     # i.e. N1 % 16 == 0) or Mosaic rejects the concat ("result/input
     # offset mismatch on non-concat dimension", reproduced at N=1024);
-    # misaligned sizes keep 3-D blocks + the XLA-side pairing
-    flat_out = (blocks_ok and (n1 // 2) % 8 == 0
+    # misaligned sizes keep 3-D blocks + the XLA-side pairing.  The
+    # planar [2, bs, N/2] output block additionally needs its stream dim
+    # tile-friendly (bs % 8 == 0 or the whole axis).
+    flat_out = ((bs % 8 == 0 or bs == S) and (n1 // 2) % 8 == 0
                 and "out" in io_env.split(","))
     tw_spec = pl.BlockSpec((n1, bs * n2), lambda i: (0, 0), memory_space=vm)
     if flat_in:
@@ -1105,9 +1119,11 @@ def rfft_rows_mag_packed(x2: jnp.ndarray, w_hi: jnp.ndarray,
         x_spec = pl.BlockSpec((2 * bs, n1, n2), lambda i: (i, 0, 0),
                               memory_space=vm)
     if flat_out:
-        mag_spec = pl.BlockSpec((2 * bs, n // 2), lambda i: (i, 0),
+        # channel-planar [2, S, nbins]: block i owns both channels' rows
+        # of its bs streams (see _tail_stage2's planar note)
+        mag_spec = pl.BlockSpec((2, bs, n // 2), lambda i: (0, i, 0),
                                 memory_space=vm)
-        mag_shape = jax.ShapeDtypeStruct((S2, n // 2), jnp.float32)
+        mag_shape = jax.ShapeDtypeStruct((2, S, n // 2), jnp.float32)
     else:
         mag_spec = pl.BlockSpec((2 * bs, n1, keep), lambda i: (i, 0, 0),
                                 memory_space=vm)
@@ -1173,11 +1189,13 @@ def rfft_rows_mag_packed(x2: jnp.ndarray, w_hi: jnp.ndarray,
       jnp.asarray(twr_h), jnp.asarray(twi_h))
 
     if not flat_out:
-        # reproduce the flat contract's half-paired row layout (see
-        # block_bin_of_pos) from the 3-D fallback blocks
+        # reproduce the flat contract's half-paired rows + channel-planar
+        # grouping (see block_bin_of_pos / _tail_stage2) from the 3-D
+        # fallback blocks — an XLA-side relayout those sizes always paid
         h = n1 // 2
-        mag2 = jnp.concatenate([mag2[:, :h], mag2[:, h:]],
-                               axis=-1).reshape(S2, n // 2)
+        m2 = jnp.concatenate([mag2[:, :h], mag2[:, h:]],
+                             axis=-1).reshape(S, 2, n // 2)
+        mag2 = jnp.swapaxes(m2, 0, 1)
     return mag2, jnp.swapaxes(nz, 1, 2).reshape(S, 2)
 
 
@@ -1212,16 +1230,17 @@ def rfft_pair_mag_kernel(x, nbins: int | None = None, window=None,
         split=split, ddt=_digit_dtype_choice(n),
         twiddle=_twiddle_choice())
     nz = (nzc > 0).reshape(*shp, 2)
+    mag = jnp.swapaxes(mag2, 0, 1)      # logical [S, 2, N/2] view
     if bin_order == "block":
         if nbins != n // 2:
             raise ValueError("bin_order='block' requires nbins == N//2 "
                              f"(got nbins={nbins}, N={n})")
-        return mag2.reshape(*shp, 2, n // 2), nz
+        return mag.reshape(*shp, 2, n // 2), nz
     # block rows -> natural flat bins: one constant-index gather inverts
     # the whole layout (half-pairing, 3-factor chunk order, and the
     # k1-major transpose at once — see block_bin_of_pos)
     inv = np.argsort(block_bin_of_pos(n, split))[:nbins]
-    mag = jnp.take(mag2, jnp.asarray(inv.astype(np.int32)), axis=-1)
+    mag = jnp.take(mag, jnp.asarray(inv.astype(np.int32)), axis=-1)
     return mag.reshape(*shp, 2, nbins), nz
 
 

@@ -165,7 +165,7 @@ def measure(n: int, streams: int = 64, ticks: int = 0, reps: int = 8,
             def mag_fn(x2):
                 x = x2.reshape(S, 2, n)
                 m = exactfft.rfft_pair_mag_exact(x, allow_kernel=False)
-                return m.reshape(2 * S, n // 2)
+                return m
         else:
             split, ddt, bs = tag
             # measure the accuracy tier production resolves (fast by
@@ -180,7 +180,7 @@ def measure(n: int, streams: int = 64, ticks: int = 0, reps: int = 8,
 
         def run(x2):
             def body(carry, _):
-                mag = mag_fn(carry)
+                mag = mag_fn(carry).reshape(2 * S, n // 2)
                 d = jnp.concatenate([mag, mag], axis=-1)
                 return (carry * jnp.float32(0.9999)
                         + d * jnp.float32(1e-6)), mag[0, 0]

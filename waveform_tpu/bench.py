@@ -365,8 +365,11 @@ def main() -> int:
             np.asarray(f(*args))
             best = min(best, time.perf_counter() - t0)
         return best
-    mt1, mt2 = meter_timed(T), meter_timed(9 * T)
-    meter_fps = S * 8 * T / max(mt2 - mt1, 1e-9)
+    # 33x spread: the meter tick is ~8 us, so the differenced interval
+    # must carry tens of ms of compute or run-to-run RTT jitter (several
+    # ms) swings the result 2x (measured: 14M vs 30M at a 9x spread)
+    mt1, mt2 = meter_timed(T), meter_timed(33 * T)
+    meter_fps = S * 32 * T / max(mt2 - mt1, 1e-9)
 
     # --- waveform serving: the third engine family --------------------
     # DeviceWaveformEngine's per-pixel resample rows are host int64

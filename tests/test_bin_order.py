@@ -92,13 +92,11 @@ def test_flat_io_modes_agree(rng, monkeypatch):
     outs = {}
     for mode in ("none", "in", "out", "in,out"):
         monkeypatch.setenv("WAVEFORM_TPU_KERNEL_FLAT_IO", mode)
-        # the env is read at TRACE time under identical static args — the
-        # cached trace would silently alias every mode to the first
-        # (the r4 ablation trap, ROADMAP #41)
-        ep.rfft_rows_mag_packed.clear_cache()
+        # the env resolves OUTSIDE the jit (a static arg), so each mode
+        # traces its own program — no cache-clear workaround needed (the
+        # r4 ablation trap, ROADMAP #41, is closed by construction)
         m, nz = ep.rfft_rows_mag_packed(x2, w, wz, interpret=True, split=2)
         outs[mode] = (np.asarray(m), np.asarray(nz))
-    ep.rfft_rows_mag_packed.clear_cache()
     for mode in ("in", "out", "in,out"):
         np.testing.assert_array_equal(outs[mode][0], outs["none"][0])
         np.testing.assert_array_equal(outs[mode][1], outs["none"][1])
@@ -174,6 +172,31 @@ def test_checkpoint_canonical_across_layouts(monkeypatch, rng, tmp_path):
     blk2.load_state(path2)
     np.testing.assert_allclose(blk2.read_decibels(), blk.read_decibels(),
                                rtol=0, atol=1e-6)
+
+
+def test_block_engine_row_migrating_load_keeps_unmigrated_rows(
+        monkeypatch, rng, tmp_path):
+    """load_state(keep=...) on a block-order engine must NOT scramble the
+    rows it does not migrate: they are filled from the engine's own
+    (block-order) state and must survive the final natural->block
+    relayout verbatim (regression: the template rows were handed over in
+    block order and got permuted a second time)."""
+    cfg = _cfg()
+    _kernel_on(monkeypatch)
+    src = ServingEngine(cfg, 2, use_native=False)
+    _feed_ticks(src, rng, 2, cfg)
+    path = str(tmp_path / "ck.npz")
+    src.save_state(path)
+
+    dst = ServingEngine(cfg, 3, use_native=False)
+    assert dst._bin_perm is not None
+    _feed_ticks(dst, np.random.default_rng(5), 3, cfg, ticks=2)
+    before = dst.read_decibels()
+    dst.load_state(path, keep=[1])
+    after = dst.read_decibels()
+    np.testing.assert_array_equal(after[0], src.read_decibels()[1])
+    # rows 1..2 were NOT migrated: bit-identical to their pre-load state
+    np.testing.assert_array_equal(after[1:], before[1:])
 
 
 def test_block_engine_render_and_resize(monkeypatch, rng):

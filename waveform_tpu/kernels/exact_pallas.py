@@ -1006,7 +1006,6 @@ def _lane_selector(n2: int, bs: int) -> np.ndarray:
     return sel
 
 
-@lru_cache(maxsize=32)
 def block_bin_of_pos(n: int, split: int | None = None) -> np.ndarray:
     """Natural bin index stored at each flat position of a kernel mag row.
 
@@ -1038,7 +1037,18 @@ def block_bin_of_pos(n: int, split: int | None = None) -> np.ndarray:
         raise ValueError(f"block bin order undefined for N={n}: needs "
                          f"N % {_LANES} == 0 and an even N/{_LANES}")
     if split not in (2, 3):
+        # resolve the env/plan-dependent default OUTSIDE any caching: a
+        # plan retune between two engine builds must yield the retuned
+        # permutation, not a stale cached one (the kernel trace itself is
+        # keyed on the resolved split, so they stay in step)
         split = _stage1_split(n)
+    return _block_bin_of_pos(n, split)
+
+
+@lru_cache(maxsize=32)
+def _block_bin_of_pos(n: int, split: int) -> np.ndarray:
+    n1, n2 = _factors(n)
+    keep = n2 // 2
     p = np.arange(n1 * keep)
     j, l = p // (2 * keep), p % (2 * keep)
     r = j + (n1 // 2) * (l // keep)
@@ -1051,9 +1061,6 @@ def block_bin_of_pos(n: int, split: int | None = None) -> np.ndarray:
     return (k1 + n1 * k2).astype(np.int32)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("interpret", "split", "ddt", "bs",
-                                    "twiddle"))
 def rfft_rows_mag_packed(x2: jnp.ndarray, w_hi: jnp.ndarray,
                          w_lo: jnp.ndarray, interpret: bool = False,
                          split: int = 2, ddt: str = "bf16",
@@ -1071,8 +1078,25 @@ def rfft_rows_mag_packed(x2: jnp.ndarray, w_hi: jnp.ndarray,
     call inserts an HBM relayout.  ``split`` is the stage-1 strategy,
     ``ddt`` the digit dtype for the MXU passes and ``bs`` an explicit
     streams-per-block request (all static: callers resolve env/plan
-    reads so they never hide inside a cached trace).
+    reads so they never hide inside a cached trace; likewise the
+    WAVEFORM_TPU_KERNEL_FLAT_IO ablation env resolves HERE, outside the
+    jit, so flipping it between calls can never silently alias to a
+    cached trace — the r4 ablation trap).
     """
+    return _rows_mag_packed(
+        x2, w_hi, w_lo, interpret=interpret, split=split, ddt=ddt, bs=bs,
+        twiddle=twiddle,
+        io_env=os.environ.get("WAVEFORM_TPU_KERNEL_FLAT_IO", "out"))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "split", "ddt", "bs",
+                                    "twiddle", "io_env"))
+def _rows_mag_packed(x2: jnp.ndarray, w_hi: jnp.ndarray,
+                     w_lo: jnp.ndarray, interpret: bool = False,
+                     split: int = 2, ddt: str = "bf16",
+                     bs: int | None = None, twiddle: str = "df",
+                     io_env: str = "out"):
     S2, n = x2.shape
     S = S2 // 2
     n1, n2 = _factors(n)
@@ -1097,7 +1121,6 @@ def rfft_rows_mag_packed(x2: jnp.ndarray, w_hi: jnp.ndarray,
     # is layout-only and deletes the EMA-side transpose entirely).
     # WAVEFORM_TPU_KERNEL_FLAT_IO=in,out / in / out / none overrides for
     # measurement.
-    io_env = os.environ.get("WAVEFORM_TPU_KERNEL_FLAT_IO", "out")
     flat_in = ((2 * bs) % 8 == 0 or 2 * bs == S2) \
         and "in" in io_env.split(",")
     # the in-VMEM half-pairing lane-concats blk[:h] with blk[h:] — the

@@ -166,7 +166,134 @@ class _PendingStream:
         self.show = True
 
 
-class ServingEngine:
+
+class AutoMicrobatchMixin:
+    """The closed-loop microbatch="auto" state machine, shared by every
+    engine family (spectrum/meter via ServingEngine, waveform via
+    DeviceWaveformEngine): probe k=1 ticks, pick a completion-capped
+    candidate via :func:`choose_microbatch`, then VALIDATE it against
+    measured flushes (:func:`validate_flush`) before locking — reject →
+    halve → re-validate.  Engines supply two hooks (their plain tick and
+    their microbatch flush tick) plus an optional extra-state reset;
+    everything else, including the subtle accept/halve bookkeeping that
+    previously lived as two drifting copies, is THIS one implementation.
+    """
+
+    _PROBE_TICKS = 4        # k=1 ticks timed before deciding (first tick
+                            # carries the compile and is discarded)
+    _MB_MAX = 8             # worst-case completion grows one frame per k
+    _VALIDATE_FLUSHES = 2   # measured flushes per candidate k (plus one
+                            # dropped for the scan compile)
+    _COMPLETION_FACTOR = 3.0  # flush completion cap, x the k=1 tick
+
+    # -- engine hooks ------------------------------------------------------
+
+    def _mb_plain_tick(self, now_ns: int, dt_f):
+        """One normal k=1 tick (self.tick with _mb_auto masked off)."""
+        raise NotImplementedError
+
+    def _mb_flush_tick(self, now_ns: int, dt_f):
+        """One microbatch-accumulating tick (self._tick_microbatch)."""
+        raise NotImplementedError
+
+    def _reset_mb_extra(self) -> None:
+        """Engine-specific k-shaped state beyond the shared fields."""
+
+    # ----------------------------------------------------------------------
+
+    def _link_rtt(self) -> float:
+        return link_rtt()
+
+    def _choose_microbatch(self, budget: float, rtt: float,
+                           tick: float) -> int:
+        return choose_microbatch(budget, rtt, tick, self._MB_MAX)
+
+    def _tick_probe(self, now_ns: int, dt_f=None):
+        """Auto-mode startup: run normal k=1 ticks, timing completion;
+        after _PROBE_TICKS pick a candidate k, then VALIDATE it against
+        measured flushes before locking (the open-loop pick alone
+        regressed completion p99 in the r4 artifact).  Frame semantics
+        are identical to the chosen mode throughout."""
+        if self._mb > 1:               # validation phase
+            return self._tick_validate(now_ns, dt_f)
+        t0 = time.perf_counter()
+        self._mb_auto = False          # plain tick below
+        try:
+            out = self._mb_plain_tick(now_ns, dt_f)
+        finally:
+            self._mb_auto = True
+        jax.block_until_ready(out)
+        self._probe_ticks.append(time.perf_counter() - t0)
+        if len(self._probe_ticks) > self._PROBE_TICKS:
+            self._probe_tick = float(
+                np.median(self._probe_ticks[1:]))            # drop compile
+            k = self._choose_microbatch(1.0 / self.cfg.fps,
+                                        self._link_rtt(), self._probe_tick)
+            if k <= 1:
+                self._mb_auto = False
+                self._mb = 1
+            else:
+                self._mb = k           # candidate: validate before locking
+                self._val_flushes: list[float] = []
+        return out
+
+    def _tick_validate(self, now_ns: int, dt_f=None):
+        """Run the candidate k as real microbatch ticks, timing each
+        batch-start -> flush-ready completion; after _VALIDATE_FLUSHES
+        measured flushes (plus one dropped for the scan compile), accept
+        or halve (:func:`validate_flush`)."""
+        if self._mb_fill == 0:
+            self._val_t0 = time.perf_counter()
+        self._mb_auto = False
+        try:
+            out = self._mb_flush_tick(now_ns, dt_f)
+        finally:
+            self._mb_auto = True
+        if self._mb_fill == 0:         # a flush just completed
+            jax.block_until_ready(out)
+            self._val_flushes.append(time.perf_counter() - self._val_t0)
+            if len(self._val_flushes) > self._VALIDATE_FLUSHES:
+                ok, nk = validate_flush(
+                    self._val_flushes, self._mb, self._probe_tick,
+                    1.0 / self.cfg.fps, self._COMPLETION_FACTOR)
+                if ok:
+                    self._mb_auto = False
+                    self._mb_completion = float(
+                        np.median(self._val_flushes[1:]))
+                elif nk <= 1:
+                    self._mb_auto = False
+                    self._mb = 1
+                    self._reset_mb_state()
+                else:
+                    self._mb = nk      # re-validate the halved candidate
+                    self._val_flushes = []
+                    self._reset_mb_state()
+        return out
+
+    def _reset_mb_state(self) -> None:
+        """Drop k-shaped microbatch machinery so the next tick rebuilds
+        it at the current ``self._mb`` (validation stepping k down)."""
+        self._mb_bufs = None
+        self._mb_fences = [None, None]
+        self._mb_fill = 0
+        self._mb_slots = []
+        self._scan_packed = None
+        self._reset_mb_extra()
+
+    @property
+    def microbatch(self) -> int:
+        """The active microbatch k (after "auto" resolves its probe)."""
+        return self._mb
+
+    @property
+    def microbatch_completion(self) -> float | None:
+        """Measured median batch-start->flush-ready completion (s) of the
+        validated k, when "auto" resolved through validation — the
+        engine's own per-frame completion prediction for the bench line."""
+        return getattr(self, "_mb_completion", None)
+
+
+class ServingEngine(AutoMicrobatchMixin):
     """Batched device-resident spectrum serving for S streams."""
 
     # meter subclass (runtime/meter_serving.py) packs (counts, fresh, show)
@@ -286,6 +413,7 @@ class ServingEngine:
         # Pallas kernel's block layout (mode hooks that never build a
         # spectrum step — the meter engine — keep None)
         self._bin_perm = None
+        self._bin_inv = None
         self._build_device_programs()
         assert np.shares_memory(self._push_buf, self._in_buf)
         self._tick_cohort = None
@@ -336,6 +464,10 @@ class ServingEngine:
         cfg, rfft_fn = self.cfg, self._rfft_fn
         step_kwargs = self._spectrum_step_kwargs()
         self._bin_perm = kernel_bin_perm(cfg, rfft_fn, **step_kwargs)
+        # position of each natural bin — the build-time inverse every
+        # host-side boundary (readback, checkpoint relayout) reuses
+        self._bin_inv = (None if self._bin_perm is None
+                         else np.argsort(self._bin_perm))
         step = make_spectrum_step(
             cfg, **step_kwargs,
             bin_order="block" if self._bin_perm is not None else "natural",
@@ -751,109 +883,18 @@ class ServingEngine:
         """Device pixels of the last microbatch flush: [k, S, D, P]."""
         return self._last_batch
 
-    @property
-    def microbatch(self) -> int:
-        """The active microbatch k (after "auto" resolves its probe)."""
-        return self._mb
+    # -- auto microbatch policy: shared machinery (AutoMicrobatchMixin) --
 
-    # -- auto microbatch policy ------------------------------------------
+    def _mb_plain_tick(self, now_ns: int, dt_f):
+        return self.tick(now_ns=now_ns, dt=dt_f)
 
-    _PROBE_TICKS = 4        # k=1 ticks timed before deciding (first tick
-                            # carries the compile and is discarded)
-    _MB_MAX = 8             # worst-case completion grows one frame per k
-    _VALIDATE_FLUSHES = 2   # measured flushes per candidate k (plus one
-                            # dropped for the scan compile)
-    _COMPLETION_FACTOR = 3.0  # flush completion cap, × the k=1 tick
+    def _mb_flush_tick(self, now_ns: int, dt_f):
+        return self._tick_microbatch(now_ns, dt_f)
 
-    def _link_rtt(self) -> float:
-        return link_rtt()
-
-    def _choose_microbatch(self, budget: float, rtt: float,
-                           tick: float) -> int:
-        """See :func:`choose_microbatch` (the policy is shared with the
-        waveform engine's microbatch path)."""
-        return choose_microbatch(budget, rtt, tick, self._MB_MAX)
-
-    def _tick_probe(self, now_ns: int, dt_f: float):
-        """Auto-mode startup: run normal k=1 ticks, timing completion;
-        after _PROBE_TICKS pick a candidate k, then VALIDATE it against
-        measured flushes before locking (see :func:`validate_flush` — the
-        open-loop pick alone regressed completion p99 in the r4 artifact).
-        Frame semantics are identical to the chosen mode throughout."""
-        if self._mb > 1:               # validation phase
-            return self._tick_validate(now_ns, dt_f)
-        t0 = time.perf_counter()
-        self._mb_auto = False          # plain tick below
-        try:
-            px = self.tick(now_ns=now_ns, dt=dt_f)
-        finally:
-            self._mb_auto = True
-        jax.block_until_ready(px)
-        self._probe_ticks.append(time.perf_counter() - t0)
-        if len(self._probe_ticks) > self._PROBE_TICKS:
-            self._probe_tick = float(
-                np.median(self._probe_ticks[1:]))            # drop compile
-            k = self._choose_microbatch(1.0 / self.cfg.fps,
-                                        self._link_rtt(), self._probe_tick)
-            if k <= 1:
-                self._mb_auto = False
-                self._mb = 1
-            else:
-                self._mb = k           # candidate: validate before locking
-                self._val_flushes = []
-        return px
-
-    def _tick_validate(self, now_ns: int, dt_f: float):
-        """Run the candidate k as real microbatch ticks, timing each
-        batch-start → flush-ready completion; after _VALIDATE_FLUSHES
-        measured flushes (plus one dropped for the scan compile), accept
-        or halve (:func:`validate_flush`)."""
-        if self._mb_fill == 0:
-            self._val_t0 = time.perf_counter()
-        self._mb_auto = False
-        try:
-            px = self._tick_microbatch(now_ns, dt_f)
-        finally:
-            self._mb_auto = True
-        if self._mb_fill == 0:         # a flush just completed
-            jax.block_until_ready(px)
-            self._val_flushes.append(time.perf_counter() - self._val_t0)
-            if len(self._val_flushes) > self._VALIDATE_FLUSHES:
-                ok, nk = validate_flush(
-                    self._val_flushes, self._mb, self._probe_tick,
-                    1.0 / self.cfg.fps, self._COMPLETION_FACTOR)
-                if ok:
-                    self._mb_auto = False
-                    self._mb_completion = float(
-                        np.median(self._val_flushes[1:]))
-                elif nk <= 1:
-                    self._mb_auto = False
-                    self._mb = 1
-                    self._reset_mb_state()
-                else:
-                    self._mb = nk      # re-validate the halved candidate
-                    self._val_flushes = []
-                    self._reset_mb_state()
-        return px
-
-    def _reset_mb_state(self) -> None:
-        """Drop k-shaped microbatch machinery so the next tick rebuilds
-        it at the current ``self._mb`` (validation stepping k down)."""
-        self._mb_bufs = None
-        self._mb_fences = [None, None]
-        self._mb_fill = 0
-        self._mb_slots = []
+    def _reset_mb_extra(self) -> None:
         self._mb_uniform = []
         self._mb_dts = []
-        self._scan_packed = None
         self._scan_packed_u = None
-
-    @property
-    def microbatch_completion(self) -> float | None:
-        """Measured median batch-start→flush-ready completion (s) of the
-        validated k, when "auto" resolved through validation — the
-        engine's own per-frame completion prediction for the bench line."""
-        return getattr(self, "_mb_completion", None)
 
     def _uniform_count(self) -> tuple[bool, int]:
         """Host-side program choice for this tick: True selects the scalar
@@ -1022,7 +1063,7 @@ class ServingEngine:
         boundary, not the hot path)."""
         db = np.asarray(self._display_values(self.state))
         if self._bin_perm is not None:
-            db = db[..., np.argsort(self._bin_perm)]
+            db = db[..., self._bin_inv]
         return db
 
     def render_frames(self) -> jnp.ndarray:
@@ -1139,7 +1180,7 @@ class ServingEngine:
         if self._bin_perm is None or not hasattr(state, "tsmooth"):
             return state
         from ..utils.checkpoint import to_host
-        idx = (np.argsort(self._bin_perm) if to_natural
+        idx = (self._bin_inv if to_natural
                else np.asarray(self._bin_perm))
         return state.replace(
             tsmooth=to_host(state.tsmooth)[..., idx],
@@ -1163,6 +1204,11 @@ class ServingEngine:
         cannot perform (multi-host pods; see
         parallel/sharded_serving.py)."""
         from ..utils.checkpoint import load_pytree
+        # the template must be in the checkpoint's CANONICAL natural
+        # order: with ``keep``, rows beyond len(keep) are filled FROM the
+        # template, and handing load_pytree this engine's block-order
+        # rows would double-permute them through the final relayout below
         state, self.ring, self.rms_ring = load_pytree(
-            path, (self.state, self.ring, self.rms_ring), keep=keep)
+            path, (self._state_bin_relayout(self.state, True),
+                   self.ring, self.rms_ring), keep=keep)
         self.state = self._state_bin_relayout(state, False)

@@ -28,6 +28,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .serving import AutoMicrobatchMixin
+
 from ..core.config import (
     CAPTURE_TIMEOUT_NS,
     DB_MIN,
@@ -54,7 +56,7 @@ class _WfStream:
         self.show = True
 
 
-class DeviceWaveformEngine:
+class DeviceWaveformEngine(AutoMicrobatchMixin):
     """Batched oscilloscope serving for S independently-synced streams."""
 
     def __init__(self, cfg: ResolvedConfig, num_streams: int,
@@ -695,91 +697,14 @@ class DeviceWaveformEngine:
             self._mb_fences[self._mb_flip] = token
         return self.display
 
-    _PROBE_TICKS = 4     # k=1 ticks timed before deciding (first tick
-                         # carries the compile and is discarded)
-    _VALIDATE_FLUSHES = 2
-    _COMPLETION_FACTOR = 3.0
+    # -- auto microbatch: shared machinery (serving.AutoMicrobatchMixin;
+    #    probe/validate/reset previously lived here as a drifting copy) --
 
-    def _tick_probe(self, now_ns: int):
-        """Auto-mode startup: run normal k=1 ticks, timing completion;
-        after _PROBE_TICKS pick a candidate k via the shared policy, then
-        VALIDATE it against measured flushes before locking (the
-        ServingEngine closed loop; serving.validate_flush)."""
-        from .serving import choose_microbatch, link_rtt
-        if self._mb > 1:               # validation phase
-            return self._tick_validate(now_ns)
-        t0 = time.perf_counter()
-        self._mb_auto = False          # plain tick below
-        try:
-            out = self.tick(now_ns=now_ns)
-        finally:
-            self._mb_auto = True
-        jax.block_until_ready(out)
-        self._probe_ticks.append(time.perf_counter() - t0)
-        if len(self._probe_ticks) > self._PROBE_TICKS:
-            self._probe_tick = float(
-                np.median(self._probe_ticks[1:]))            # drop compile
-            k = choose_microbatch(1.0 / self.cfg.fps, link_rtt(),
-                                  self._probe_tick)
-            if k <= 1:
-                self._mb_auto = False
-                self._mb = 1
-            else:
-                self._mb = k           # candidate: validate before locking
-                self._val_flushes: list[float] = []
-        return out
+    def _mb_plain_tick(self, now_ns: int, dt_f):
+        return self.tick(now_ns=now_ns)
 
-    def _tick_validate(self, now_ns: int):
-        """Time candidate-k flushes (batch-start → flush-ready); accept
-        or halve via the shared serving.validate_flush rule."""
-        from .serving import validate_flush
-        if self._mb_fill == 0:
-            self._val_t0 = time.perf_counter()
-        self._mb_auto = False
-        try:
-            out = self._tick_microbatch(now_ns)
-        finally:
-            self._mb_auto = True
-        if self._mb_fill == 0:         # a flush just completed
-            jax.block_until_ready(out)
-            self._val_flushes.append(time.perf_counter() - self._val_t0)
-            if len(self._val_flushes) > self._VALIDATE_FLUSHES:
-                ok, nk = validate_flush(
-                    self._val_flushes, self._mb, self._probe_tick,
-                    1.0 / self.cfg.fps, self._COMPLETION_FACTOR)
-                if ok:
-                    self._mb_auto = False
-                    self._mb_completion = float(
-                        np.median(self._val_flushes[1:]))
-                elif nk <= 1:
-                    self._mb_auto = False
-                    self._mb = 1
-                    self._reset_mb_state()
-                else:
-                    self._mb = nk      # re-validate the halved candidate
-                    self._val_flushes = []
-                    self._reset_mb_state()
-        return out
-
-    def _reset_mb_state(self) -> None:
-        """Drop k-shaped microbatch machinery so the next tick rebuilds
-        it at the current ``self._mb``."""
-        self._mb_bufs = None
-        self._mb_fences = [None, None]
-        self._mb_fill = 0
-        self._mb_slots = []
-        self._scan_packed = None
-
-    @property
-    def microbatch_completion(self) -> float | None:
-        """Measured median batch-start→flush-ready completion (s) of the
-        validated k (None unless "auto" resolved through validation)."""
-        return getattr(self, "_mb_completion", None)
-
-    @property
-    def microbatch(self) -> int:
-        """The active microbatch k (after "auto" resolves its probe)."""
-        return self._mb
+    def _mb_flush_tick(self, now_ns: int, dt_f):
+        return self._tick_microbatch(now_ns)
 
     @property
     def display(self):

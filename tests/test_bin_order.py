@@ -79,6 +79,22 @@ def test_block_order_matches_kernel_rows(rng):
         assert rel < 1e-6, (split, rel)
 
 
+def test_block_bin_of_pos_tracks_split_resolution(monkeypatch):
+    """The default-split permutation must re-resolve the env/plan choice
+    on every call (regression: the lru cache keyed (n, None) and latched
+    the first resolution, so a plan retune between two engine builds
+    could desynchronize a new kernel trace from its consumer perms)."""
+    from waveform_tpu.kernels.exact_pallas import block_bin_of_pos
+    n = 4096
+    monkeypatch.setenv("WAVEFORM_TPU_STAGE1_SPLIT", "2")
+    p2 = block_bin_of_pos(n)
+    monkeypatch.setenv("WAVEFORM_TPU_STAGE1_SPLIT", "3")
+    p3 = block_bin_of_pos(n)
+    assert not np.array_equal(p2, p3)
+    np.testing.assert_array_equal(p2, block_bin_of_pos(n, 2))
+    np.testing.assert_array_equal(p3, block_bin_of_pos(n, 3))
+
+
 def test_flat_io_modes_agree(rng, monkeypatch):
     """The kernel's flat/3-D spec fallbacks (WAVEFORM_TPU_KERNEL_FLAT_IO)
     all honor the SAME row/bin-order contract: the small-bs 3-D path

@@ -163,6 +163,27 @@ def test_block_engine_matches_natural_engine(monkeypatch, rng):
     assert abs(kb * SR / cfg.fft_size - 1200) < SR / cfg.fft_size
 
 
+def test_block_engine_split3_matches_natural(monkeypatch, rng):
+    """Engine-level perm/kernel agreement under the NON-default 3-factor
+    stage-1 split (what a plan retune can select, as r5's table does at
+    N >= 8192): the step's kernel trace and every consumer permutation
+    must resolve the same order."""
+    monkeypatch.setenv("WAVEFORM_TPU_STAGE1_SPLIT", "3")
+    cfg = _cfg(fft_size=4096)     # N1 % 32 == 0: split 3 admissible
+    S = 2
+    _kernel_on(monkeypatch)
+    blk = ServingEngine(cfg, S, use_native=False)
+    assert blk._bin_perm is not None
+    monkeypatch.setenv("WAVEFORM_TPU_EXACT_KERNEL", "never")
+    nat = ServingEngine(cfg, S, use_native=False)
+    r1, r2 = (np.random.default_rng(3) for _ in range(2))
+    pb = _feed_ticks(blk, r1, S, cfg, ticks=3)
+    pn = _feed_ticks(nat, r2, S, cfg, ticks=3)
+    np.testing.assert_allclose(pb, pn, rtol=0, atol=1e-4)
+    np.testing.assert_allclose(blk.read_decibels(), nat.read_decibels(),
+                               rtol=0, atol=1e-4)
+
+
 def test_checkpoint_canonical_across_layouts(monkeypatch, rng, tmp_path):
     """Checkpoints store natural bins: a block-order engine's save loads
     into a natural-order engine (and back) with state continuity."""

@@ -363,8 +363,9 @@ def _slice4(hi, lo, s_inv, dtype=jnp.bfloat16, exact: bool = False):
         return digits
 
     sc = jnp.float32(2.0 ** _SLICE_TOP)
-    i = (jnp.rint(hi * s_inv * sc).astype(jnp.int32)
-         + jnp.rint(lo * s_inv * sc).astype(jnp.int32))
+    i = jnp.rint(hi * s_inv * sc).astype(jnp.int32)
+    if lo is not None:   # fast stage 2's input carries no lo words
+        i = i + jnp.rint(lo * s_inv * sc).astype(jnp.int32)
     u = i + jnp.int32(_SLICE_BIAS)
     digits = []
     for k in range(_N_DIGITS):
@@ -394,11 +395,15 @@ def _digit_stage(const_ref, digits, s, left: bool, exact: bool = True):
 
     * ``exact=True``: TwoSum-compensated — the df pair carries the
       rounding of v0 + tail (~1e-9-relative chain)
-    * ``exact=False`` (fast tier): plain f32 sum, lo ≡ 0 — one rounding
-      per add (~2^-24 of |v|), the same ~1.5e-7 class as the fast
-      twiddle/slice tiers; deletes the serial TwoSum from between the
-      MXU stages (measured with the fast magnitude: 0.462 → 0.374
-      µs/frame at N=4096/S=256 on v5e)
+    * ``exact=False`` (fast tier): plain f32 sum, lo ≡ None — one
+      rounding per add (~2^-24 of |v|), the same ~1.5e-7 class as the
+      fast twiddle/slice tiers; deletes the serial TwoSum from between
+      the MXU stages (measured with the fast magnitude: 0.462 → 0.374
+      µs/frame at N=4096/S=256 on v5e).  The lo half is None, not a
+      zeros array: Mosaic does not algebraically fold x·0 or x+0, so a
+      materialized zero lane used to ride the whole downstream tail for
+      real — twiddle products, the stage-2 regroup stack, and a
+      fixed-point convert all executed on dead zeros (r5, measured).
     """
     acc = jnp.int32 if digits[0].dtype == jnp.int8 else jnp.float32
     k1 = digits[0].shape[0 if left else 1]   # single-plane K
@@ -422,7 +427,7 @@ def _digit_stage(const_ref, digits, s, left: bool, exact: bool = True):
     if not exact:
         v = (weighted(0, dots[0]) + weighted(1, dots[1])
              + weighted(2, dots[2]) + weighted(3, dots[3]))
-        return v, jnp.zeros_like(v)
+        return v, None
 
     v0 = weighted(0, dots[0])
     tail = weighted(3, dots[3])
@@ -575,13 +580,17 @@ def _kernel_real_mag(n1, n2, bs, ddt, twiddle, flat_in, flat_out, x_ref,
     a_hi, a_lo = _digit_stage(f1d_ref, digits, s, left=True,
                               exact=ex)            # [4n1, bs*n2]
 
+    def _lo(r0):
+        # fast tier: stage 1 emits no lo words (see _digit_stage) — keep
+        # the absence structural so no dead lane rides the tail
+        return None if a_lo is None else a_lo[r0:r0 + n1, :]
+
     chans = []
     for c in (0, 1):
         chans.append((
-            (a_hi[2 * c * n1:(2 * c + 1) * n1, :],
-             a_lo[2 * c * n1:(2 * c + 1) * n1, :]),
+            (a_hi[2 * c * n1:(2 * c + 1) * n1, :], _lo(2 * c * n1)),
             (a_hi[(2 * c + 1) * n1:(2 * c + 2) * n1, :],
-             a_lo[(2 * c + 1) * n1:(2 * c + 2) * n1, :])))
+             _lo((2 * c + 1) * n1))))
     _real_mag_tail(n1, n2, bs, dtype, chans,
                    twr_hi_ref, twr_lo_ref, twi_hi_ref, twi_lo_ref,
                    twr_h_ref, twi_h_ref, f2d_ref, mag_ref, twiddle,
@@ -614,16 +623,20 @@ def _real_mag_tail(n1, n2, bs, dtype, chans,
     # ---- twiddle per channel + regroup to stream-major rows ------------
     rows_hi, rows_lo = [], []
     if twiddle == "f32":
-        # single-rounding products; the stage-1 lo words still ride the
-        # lo lane (scaled by the f32 twiddle), so only the product
-        # roundings (~2^-24 relative) are given up
+        # single-rounding products.  The fast stage 1 emits NO lo words
+        # (_digit_stage returns None), so there is no lo lane here at
+        # all — a zeros-array lo used to ride the twiddle products, the
+        # stage-2 regroup stack, and a fixed-point convert as real VPU
+        # work (Mosaic folds none of it; measured r5)
         for ar, ai in chans:
-            br = (ar[0] * twr0 - ai[0] * twi0,
-                  ar[1] * twr0 - ai[1] * twi0)
-            bi = (ar[0] * twi0 + ai[0] * twr0,
-                  ar[1] * twi0 + ai[1] * twr0)
-            rows_hi.append((br[0], bi[0]))
-            rows_lo.append((br[1], bi[1]))
+            br = ar[0] * twr0 - ai[0] * twi0
+            bi = ar[0] * twi0 + ai[0] * twr0
+            if ar[1] is not None:   # robustness: lo-carrying caller
+                rows_lo.append((ar[1] * twr0 - ai[1] * twi0,
+                                ar[1] * twi0 + ai[1] * twr0))
+            else:
+                rows_lo.append((None, None))
+            rows_hi.append((br, bi))
         _tail_stage2(n1, n2, bs, dtype, rows_hi, rows_lo, f2d_ref, mag_ref,
                      exact=False, flat_out=flat_out)
         return
@@ -677,7 +690,9 @@ def _tail_stage2(n1, n2, bs, dtype, rows_hi, rows_lo, f2d_ref, mag_ref,
              for si in range(bs) for c in (0, 1)], axis=0)
 
     b_hi = stack(rows_hi)                              # [bs*2*n1, 2n2]
-    b_lo = stack(rows_lo)
+    # the fast tier carries no lo lane (see _real_mag_tail) — skip the
+    # whole lo regroup instead of stacking a dead array
+    b_lo = None if rows_lo[0][0] is None else stack(rows_lo)
 
     # ---- stage 2: kept half-spectrum columns only ----------------------
     # per-row scales: rows are (si, c, k1)-major, so every (stream,
@@ -700,8 +715,9 @@ def _tail_stage2(n1, n2, bs, dtype, rows_hi, rows_lo, f2d_ref, mag_ref,
         s0, e0 = two_sum(rr[0], ii[0])
         mag = jnp.sqrt(jnp.maximum(s0 + (e0 + rr[1] + ii[1]), 0.0))
     else:
-        cr = jnp.clip(c_hi[:, :keep] + c_lo[:, :keep], -lim, lim)
-        ci = jnp.clip(c_hi[:, keep:] + c_lo[:, keep:], -lim, lim)
+        # fast stage 2 emits c_lo=None (nothing to fold)
+        cr = jnp.clip(c_hi[:, :keep], -lim, lim)
+        ci = jnp.clip(c_hi[:, keep:], -lim, lim)
         mag = jnp.sqrt(cr * cr + ci * ci)
     # flat-row emission: mag's rows are already (si, c, k1)-major, so
     # each (si, c) block of n1 rows collapses into ONE [n1·keep]-lane row
@@ -875,11 +891,13 @@ def _kernel_real_mag3(n1, n2, bs, a, ddt, twiddle, flat_in, flat_out,
         col = slice(c * M, (c + 1) * M)
 
         def rows(src, r0):
-            return (src[0][r0:r0 + a, col], src[1][r0:r0 + a, col])
+            lo = None if src[1] is None else src[1][r0:r0 + a, col]
+            return (src[0][r0:r0 + a, col], lo)
 
         def cat4(blocks):
-            return (jnp.concatenate([b[0] for b in blocks], axis=0),
-                    jnp.concatenate([b[1] for b in blocks], axis=0))
+            lo = (None if blocks[0][1] is None else
+                  jnp.concatenate([b[1] for b in blocks], axis=0))
+            return (jnp.concatenate([b[0] for b in blocks], axis=0), lo)
 
         ar = cat4([rows(a02, 0), rows(a13, 0),
                    rows(a02, 2 * a), rows(a13, 2 * a)])
